@@ -1,0 +1,171 @@
+"""Tests for L1 runtime: logmath (LAdd semantics), config parser, CLI, scp."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from htk_tpu.utils import logmath
+from htk_tpu.utils.config import Config
+from htk_tpu.utils.cli import Option, parse_args, read_scp
+from htk_tpu.utils.errors import HTKError
+from htk_tpu.io.scp import parse_scp_entry
+
+
+def ladd_ref(x, y):
+    """Literal transcription of HMath.c LAdd for scalar reference."""
+    if x < y:
+        x, y = y, x
+    diff = y - x
+    if diff < logmath.MINLOGEXP:
+        return x if x > logmath.LSMALL else logmath.LZERO
+    return x + math.log(1.0 + math.exp(diff))
+
+
+class TestLogMath:
+    def test_ladd_matches_reference_scalar(self):
+        cases = [
+            (-1.0, -2.0),
+            (-100.0, -100.0),
+            (-1.0, -50.0),
+            (logmath.LZERO, -5.0),
+            (logmath.LZERO, logmath.LZERO),
+            (-0.6e10, -0.7e10),  # both below LSMALL -> LZERO
+            (0.0, 0.0),
+            (-30.0, -5.0),
+        ]
+        for x, y in cases:
+            got = float(logmath.ladd(jnp.float64(x) if False else jnp.array(x), jnp.array(y)))
+            want = ladd_ref(x, y)
+            assert got == pytest.approx(want, rel=1e-5, abs=1e-5), (x, y)
+
+    def test_ladd_lzero_identity(self):
+        x = jnp.array([-3.0, -700.0, logmath.LZERO])
+        out = logmath.ladd(x, jnp.full_like(x, logmath.LZERO))
+        np.testing.assert_allclose(out[:2], x[:2], rtol=1e-6)
+        assert float(out[2]) == logmath.LZERO
+
+    def test_ladd_reduce_matches_fold(self):
+        rng = np.random.default_rng(0)
+        a = rng.uniform(-50, 0, size=(4, 7)).astype(np.float32)
+        a[1, 3] = logmath.LZERO
+        a[2, :] = logmath.LZERO
+        got = logmath.ladd_reduce(jnp.array(a), axis=-1)
+        for i in range(4):
+            acc = logmath.LZERO
+            for v in a[i]:
+                acc = ladd_ref(acc, float(v))
+            assert float(got[i]) == pytest.approx(acc, rel=1e-5, abs=1e-4), i
+
+    def test_lsub(self):
+        x, y = -2.0, -3.0
+        want = math.log(math.exp(x) - math.exp(y))
+        assert float(logmath.lsub(jnp.array(x), jnp.array(y))) == pytest.approx(want, rel=1e-4)
+        # equal args -> LZERO (complete cancellation)
+        assert float(logmath.lsub(jnp.array(-2.0), jnp.array(-2.0))) == logmath.LZERO
+
+    def test_jit_and_vmap(self):
+        f = jax.jit(logmath.ladd)
+        assert float(f(jnp.array(-1.0), jnp.array(-1.0))) == pytest.approx(
+            -1.0 + math.log(2.0), rel=1e-6
+        )
+
+
+class TestConfig:
+    def test_parse_and_precedence(self):
+        c = Config()
+        c.read_string(
+            """
+            # comment
+            TARGETKIND = MFCC_E_D_A
+            HPARM: TARGETKIND = PLP_0
+            SOURCERATE = 625
+            ENORMALISE = F
+            HPARM: SAVEWITHCRC = T   # trailing comment
+            WINDOWSIZE = 250000.0
+            """
+        )
+        assert c.str_("TARGETKIND") == "MFCC_E_D_A"
+        assert c.str_("TARGETKIND", module="HPARM") == "PLP_0"
+        assert c.str_("TARGETKIND", module="HWAVE") == "MFCC_E_D_A"
+        assert c.int_("SOURCERATE") == 625
+        assert c.bool_("ENORMALISE") is False
+        assert c.bool_("SAVEWITHCRC", module="HPARM") is True
+        assert c.flt_("WINDOWSIZE") == 250000.0
+        assert c.str_("NOSUCH", "dflt") == "dflt"
+
+    def test_case_insensitive(self):
+        c = Config()
+        c.read_string("hparm: targetkind = MFCC")
+        assert c.str_("TargetKind", module="HParm") == "MFCC"
+
+    def test_bad_line_raises(self):
+        c = Config()
+        with pytest.raises(HTKError):
+            c.read_string("THIS IS NOT = = VALID %%")
+
+    def test_config_file_and_set(self, tmp_path):
+        p = tmp_path / "cfg"
+        p.write_text("NUMCEPS = 12\n")
+        c = Config.load([str(p)], use_env=False)
+        assert c.int_("NUMCEPS") == 12
+        c.set("NUMCEPS", "13")
+        assert c.int_("NUMCEPS") == 13
+
+
+class TestCli:
+    def test_std_and_tool_opts(self, tmp_path):
+        cfg = tmp_path / "c1"
+        cfg.write_text("TARGETKIND = MFCC_E\n")
+        scp = tmp_path / "s.scp"
+        scp.write_text("a.wav b.wav\nc.wav\n# cmt\n")
+        ta = parse_args(
+            "HCopy",
+            ["-C", str(cfg), "-T", "1", "-S", str(scp), "src.wav", "tgt.mfc"],
+            {"n": Option("n", 1, "nbest", typ=int)},
+            min_args=0,
+        )
+        assert ta.trace == 1
+        assert ta.script == ["a.wav", "b.wav", "c.wav"]
+        assert ta.args == ["src.wav", "tgt.mfc"]
+        assert ta.config.str_("TARGETKIND") == "MFCC_E"
+
+    def test_negative_number_positional(self):
+        ta = parse_args("HVite", ["-p", "-4.0", "-s", "5.0"],
+                        {"p": Option("p", 1, "word pen", typ=float),
+                         "s": Option("s", 1, "lm scale", typ=float)})
+        assert ta.get("p") == -4.0
+        assert ta.get("s") == 5.0
+
+    def test_multi_value_option(self):
+        ta = parse_args(
+            "HERest",
+            ["-t", "250.0", "150.0", "1000.0"],
+            {"t": Option("t", 3, "beams", typ=float)},
+        )
+        assert ta.get("t") == (250.0, 150.0, 1000.0)
+
+    def test_unknown_option_raises(self):
+        with pytest.raises(HTKError):
+            parse_args("HFoo", ["-Q"], {})
+
+
+class TestScp:
+    def test_plain(self):
+        e = parse_scp_entry("/data/x.wav")
+        assert e.logical == e.physical == "/data/x.wav"
+        assert e.start is None
+
+    def test_alias_and_segment(self):
+        e = parse_scp_entry("utt1=/data/x.wav[100,299]")
+        assert e.logical == "utt1"
+        assert e.physical == "/data/x.wav"
+        assert (e.start, e.end) == (100, 299)
+
+    def test_segment_only(self):
+        e = parse_scp_entry("/d/y.mfc[0,9]")
+        assert e.logical == "/d/y.mfc"
+        assert e.physical == "/d/y.mfc"
+        assert (e.start, e.end) == (0, 9)

@@ -1,0 +1,140 @@
+"""Waveform file I/O.
+
+Mirrors `HTKLib/HWave.c` (OpenWaveInput/GetWaveData/OpenWaveOutput): reads
+audio in the formats the north-star recipes touch — HTK, WAV(E) RIFF,
+NIST/SPHERE, NOHEAD raw — and writes HTK/WAV. Sample periods are in HTK's
+100 ns units. Samples are returned as int16 mono numpy arrays (HTK reads
+16-bit linear; multi-channel WAVs take channel 0, matching HWave's
+single-channel model).
+
+Formats not yet implemented from HWave's full list (AIFF, SDES1, SUNAU8,
+OGI, ESIG, ESPS, SCRIBE, TIMIT) raise numbered errors; they are outside
+the benchmark configs and can be added without API change.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..utils.errors import HError
+from . import parmkind as pk
+from .htkfeat import read_htk_file, write_htk_file
+
+FORMATS = ["HTK", "WAV", "WAVE", "NIST", "SPHERE", "NOHEAD", "RAW", "ALIEN"]
+
+
+@dataclass
+class Waveform:
+    samples: np.ndarray  # int16, shape (n,)
+    samp_period: int  # 100ns units
+
+
+def _read_wav_riff(raw: bytes, path: str) -> Waveform:
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        HError(6250, "ReadWave: %s is not a RIFF/WAVE file", path)
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        chunk = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        HError(6251, "ReadWave: %s missing fmt/data chunk", path)
+    audio_fmt, nchan, rate, _, _, bits = fmt
+    if audio_fmt not in (1, 0xFFFE) or bits != 16:
+        HError(6252, "ReadWave: %s: only 16-bit PCM WAV supported (fmt=%d bits=%d)",
+               path, audio_fmt, bits)
+    x = np.frombuffer(data, dtype="<i2")
+    if nchan > 1:
+        x = x[::nchan]
+    return Waveform(np.ascontiguousarray(x), int(round(1e7 / rate)))
+
+
+def _read_nist(raw: bytes, path: str) -> Waveform:
+    if not raw.startswith(b"NIST_1A"):
+        HError(6253, "ReadWave: %s is not a NIST/SPHERE file", path)
+    hdr_size = int(raw[8:16].split()[0])
+    hdr = raw[:hdr_size].decode("ascii", errors="replace")
+    fields = {}
+    for line in hdr.splitlines():
+        parts = line.split()
+        if len(parts) >= 3 and parts[1].startswith("-"):
+            fields[parts[0]] = parts[2]
+    rate = int(fields.get("sample_rate", "16000"))
+    nbytes = int(fields.get("sample_n_bytes", "2"))
+    if nbytes != 2:
+        HError(6254, "ReadWave: %s: only 2-byte NIST samples supported", path)
+    coding = fields.get("sample_coding", "pcm")
+    if "ulaw" in coding:
+        HError(6254, "ReadWave: %s: ulaw NIST not supported", path)
+    byte_fmt = fields.get("sample_byte_format", "01")
+    dt = "<i2" if byte_fmt == "01" else ">i2"
+    x = np.frombuffer(raw[hdr_size:], dtype=dt).astype(np.int16)
+    return Waveform(np.ascontiguousarray(x), int(round(1e7 / rate)))
+
+
+def read_wave(
+    path: str,
+    fmt: str = "HTK",
+    source_rate: Optional[int] = None,
+    natural_order: bool = False,
+) -> Waveform:
+    """Read a waveform file (HWave.c : OpenWaveInput/GetWaveData).
+
+    `fmt` follows the SOURCEFORMAT config value. `source_rate` (100 ns
+    units, the SOURCERATE config) is required for headerless formats.
+    """
+    fmt = fmt.upper()
+    try:
+        with open(path, "rb") as f:
+            raw = f.read()
+    except OSError as e:
+        HError(6210, "ReadWave: cannot open %s (%s)", path, e)
+    if fmt in ("WAV", "WAVE"):
+        return _read_wav_riff(raw, path)
+    if fmt in ("NIST", "SPHERE"):
+        return _read_nist(raw, path)
+    if fmt in ("NOHEAD", "RAW"):
+        if not source_rate:
+            HError(6230, "ReadWave: SOURCERATE required for NOHEAD input %s", path)
+        dt = "<i2" if natural_order else ">i2"
+        return Waveform(np.frombuffer(raw, dtype=dt).astype(np.int16), int(source_rate))
+    if fmt == "HTK":
+        ff = read_htk_file(path, natural_order=natural_order)
+        if pk.base_kind(ff.parm_kind) != pk.BASE_KINDS.index("WAVEFORM"):
+            HError(6231, "ReadWave: %s is not a WAVEFORM HTK file (%s)", path, ff.kind_str)
+        return Waveform(ff.data.reshape(-1).astype(np.int16), ff.samp_period)
+    HError(6270, "ReadWave: unsupported SOURCEFORMAT %s", fmt)
+
+
+def write_wave(path: str, wave: Waveform, fmt: str = "HTK") -> None:
+    """Write a waveform file (HWave.c : OpenWaveOutput/PutWaveSample)."""
+    fmt = fmt.upper()
+    if fmt == "HTK":
+        write_htk_file(
+            path,
+            wave.samples.reshape(-1, 1),
+            wave.samp_period,
+            pk.str2parmkind("WAVEFORM"),
+        )
+        return
+    if fmt in ("WAV", "WAVE"):
+        rate = int(round(1e7 / wave.samp_period))
+        data = wave.samples.astype("<i2").tobytes()
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        hdr += b"data" + struct.pack("<I", len(data))
+        with open(path, "wb") as f:
+            f.write(hdr + data)
+        return
+    HError(6270, "WriteWave: unsupported TARGETFORMAT %s", fmt)

@@ -1,0 +1,492 @@
+"""TPU-native feature-extraction frontend (HTK HParm/HSigP semantics).
+
+Replaces the per-frame scalar pipeline of `HTKLib/HParm.c : ConvertFrame()`
+and `HTKLib/HSigP.c` (PreEmphasise/Ham/Wave2FBank/FBank2MFCC/WeightCepstrum)
+with one whole-utterance batched computation:
+
+  frames(T, win) -> preemph -> window -> |rFFT| -> mel (matmul, MXU)
+  -> log -> DCT (matmul, MXU) -> lifter -> [+c0/+E] -> deltas/accs (matmul)
+  -> CMN/energy-norm (per-file reductions)
+
+All stages are static-shaped jnp ops so the whole frontend jits into a
+handful of XLA fusions with the two matmuls on the MXU. The mel filterbank
+and DCT matrices are precomputed on host exactly per HTK's InitFBank
+formulas (bin edges, loChan/loWt rounding, mel floor), which is where
+bit-parity with HTK lives (SURVEY.md §7 hard-part #1).
+
+The filterbank/DCT precompute is float64 on host, cast to float32 — HTK
+computes these tables in C float; differences are below the 1e-4 budget.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io import parmkind as pk
+from ..utils.config import Config
+from ..utils.errors import HError
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Static frontend parameters (the HPARM config surface).
+
+    Field names follow the HTK config keys they mirror.
+    """
+
+    target_kind: int = pk.str2parmkind("MFCC_E_D_A")  # TARGETKIND
+    samp_period: int = 625  # SOURCERATE, 100ns units (625 = 16 kHz)
+    window_size: float = 250000.0  # WINDOWSIZE, 100ns
+    target_rate: float = 100000.0  # TARGETRATE (frame shift), 100ns
+    preem_coef: float = 0.97  # PREEMCOEF
+    use_hamming: bool = True  # USEHAMMING
+    zmean_source: bool = False  # ZMEANSOURCE (per-frame DC removal)
+    raw_energy: bool = True  # RAWENERGY
+    num_chans: int = 20  # NUMCHANS
+    num_ceps: int = 12  # NUMCEPS
+    cep_lifter: int = 22  # CEPLIFTER
+    enormalise: bool = True  # ENORMALISE
+    escale: float = 0.1  # ESCALE
+    sil_floor: float = 50.0  # SILFLOOR (dB)
+    delta_window: int = 2  # DELTAWINDOW
+    acc_window: int = 2  # ACCWINDOW
+    third_window: int = 2  # THIRDWINDOW
+    lo_freq: float = -1.0  # LOFREQ
+    hi_freq: float = -1.0  # HIFREQ
+    use_power: bool = False  # USEPOWER
+    add_dither: float = 0.0  # ADDDITHER [LC: unsupported, must be 0]
+    simple_diffs: bool = False  # SIMPLEDIFFS
+    lpc_order: int = 12  # LPCORDER (PLP)
+    comp_factor: float = 0.33  # COMPRESSFACT (PLP cube-root)
+
+    @classmethod
+    def from_config(cls, cfg: Config, samp_period: int) -> "FrontendConfig":
+        m = "HPARM"
+        kind_s = cfg.str_("TARGETKIND", "MFCC_E_D_A", module=m)
+        return cls(
+            target_kind=pk.str2parmkind(kind_s),
+            samp_period=samp_period,
+            window_size=cfg.flt_("WINDOWSIZE", 250000.0, module=m),
+            target_rate=cfg.flt_("TARGETRATE", 100000.0, module=m),
+            preem_coef=cfg.flt_("PREEMCOEF", 0.97, module=m),
+            use_hamming=cfg.bool_("USEHAMMING", True, module=m),
+            zmean_source=cfg.bool_("ZMEANSOURCE", False, module=m),
+            raw_energy=cfg.bool_("RAWENERGY", True, module=m),
+            num_chans=cfg.int_("NUMCHANS", 20, module=m),
+            num_ceps=cfg.int_("NUMCEPS", 12, module=m),
+            cep_lifter=cfg.int_("CEPLIFTER", 22, module=m),
+            enormalise=cfg.bool_("ENORMALISE", True, module=m),
+            escale=cfg.flt_("ESCALE", 0.1, module=m),
+            sil_floor=cfg.flt_("SILFLOOR", 50.0, module=m),
+            delta_window=cfg.int_("DELTAWINDOW", 2, module=m),
+            acc_window=cfg.int_("ACCWINDOW", 2, module=m),
+            third_window=cfg.int_("THIRDWINDOW", 2, module=m),
+            lo_freq=cfg.flt_("LOFREQ", -1.0, module=m),
+            hi_freq=cfg.flt_("HIFREQ", -1.0, module=m),
+            use_power=cfg.bool_("USEPOWER", False, module=m),
+            simple_diffs=cfg.bool_("SIMPLEDIFFS", False, module=m),
+            lpc_order=cfg.int_("LPCORDER", 12, module=m),
+            comp_factor=cfg.flt_("COMPRESSFACT", 0.33, module=m),
+        )
+
+    # -- derived static geometry ----------------------------------------
+
+    @property
+    def frame_size(self) -> int:
+        return int(self.window_size / self.samp_period + 0.5)
+
+    @property
+    def frame_shift(self) -> int:
+        return int(self.target_rate / self.samp_period + 0.5)
+
+    @property
+    def fft_n(self) -> int:
+        n = 2
+        while n < self.frame_size:
+            n *= 2
+        return n
+
+    @property
+    def base(self) -> int:
+        return pk.base_kind(self.target_kind)
+
+    @property
+    def base_str(self) -> str:
+        return pk.BASE_KINDS[self.base]
+
+    def n_static(self) -> int:
+        """Static coefficients per frame (before _N suppression)."""
+        if self.base_str in ("FBANK", "MELSPEC"):
+            n = self.num_chans
+        elif self.base_str in ("MFCC", "PLP", "LPCEPSTRA"):
+            n = self.num_ceps
+        elif self.base_str == "LPC":
+            n = self.lpc_order
+        else:
+            HError(6320, "Frontend: unsupported TARGETKIND base %s", self.base_str)
+        if pk.has_qual(self.target_kind, pk.HASZEROC):
+            n += 1
+        if pk.has_qual(self.target_kind, pk.HASENERGY):
+            n += 1
+        return n
+
+    def n_blocks(self) -> int:
+        n = 1
+        if pk.has_qual(self.target_kind, pk.HASDELTA):
+            n += 1
+        if pk.has_qual(self.target_kind, pk.HASACCS):
+            n += 1
+        if pk.has_qual(self.target_kind, pk.HASTHIRD):
+            n += 1
+        return n
+
+    def width(self) -> int:
+        w = self.n_static() * self.n_blocks()
+        if pk.has_qual(self.target_kind, pk.HASNULLE):
+            w -= 1
+        return w
+
+
+# ---------------------------------------------------------------------------
+# Host-side precomputed tables (HSigP.c : InitFBank / FBank2MFCC tables)
+# ---------------------------------------------------------------------------
+
+
+def _mel(freq_hz: float) -> float:
+    return 1127.0 * math.log(1.0 + freq_hz / 700.0)
+
+
+def mel_weight_matrix(cfg: FrontendConfig) -> np.ndarray:
+    """Triangular mel filterbank as an (n_rfft_bins, num_chans) matrix.
+
+    Reproduces HSigP.c : InitFBank()'s loChan/loWt tables and
+    Wave2FBank()'s accumulation, recast as a single matrix so the binning
+    runs as one MXU matmul over all frames. Row j corresponds to rfft bin
+    j (0-based; HTK's 1-based "bin k" = rfft bin k-1).
+    """
+    fft_n = cfg.fft_n
+    nby2 = fft_n // 2
+    fs = 1.0e7 / cfg.samp_period
+    fres = 1.0e7 / (cfg.samp_period * fft_n * 700.0)
+    max_chan = cfg.num_chans + 1
+
+    klo, khi = 2, nby2
+    mlo = 0.0
+    mhi = 1127.0 * math.log(1.0 + (nby2 + 1 - 1) * fres)
+    if cfg.lo_freq >= 0.0:
+        mlo = _mel(cfg.lo_freq)
+        klo = max(2, int(cfg.lo_freq * cfg.samp_period * 1.0e-7 * fft_n + 2.5))
+    if cfg.hi_freq > 0.0:
+        mhi = _mel(cfg.hi_freq)
+        khi = min(nby2, int(cfg.hi_freq * cfg.samp_period * 1.0e-7 * fft_n + 0.5))
+
+    # channel centres, uniformly spaced in mel between mlo and mhi
+    cf = np.zeros(max_chan + 1)
+    for chan in range(1, max_chan + 1):
+        cf[chan] = (chan / max_chan) * (mhi - mlo) + mlo
+
+    # loChan: highest centre at or below each bin's mel frequency
+    lo_chan = np.full(nby2 + 1, -1, dtype=np.int64)
+    chan = 1
+    for k in range(1, nby2 + 1):
+        melk = 1127.0 * math.log(1.0 + (k - 1) * fres)
+        if klo <= k <= khi:
+            while chan <= max_chan and cf[chan] < melk:
+                chan += 1
+            lo_chan[k] = chan - 1
+
+    lo_wt = np.zeros(nby2 + 1)
+    for k in range(1, nby2 + 1):
+        c = lo_chan[k]
+        if klo <= k <= khi:
+            melk = 1127.0 * math.log(1.0 + (k - 1) * fres)
+            if c > 0:
+                lo_wt[k] = (cf[c + 1] - melk) / (cf[c + 1] - cf[c])
+            else:
+                lo_wt[k] = (cf[1] - melk) / (cf[1] - mlo)
+
+    # scatter into matrix over rfft bins 0..nby2 (HTK never uses DC/Nyquist)
+    W = np.zeros((nby2 + 1, cfg.num_chans))
+    for k in range(klo, khi + 1):
+        c = lo_chan[k]
+        j = k - 1  # rfft bin index
+        if c > 0:
+            W[j, c - 1] += lo_wt[k]
+        if c < cfg.num_chans:
+            W[j, c] += 1.0 - lo_wt[k]
+    return W.astype(np.float32)
+
+
+def dct_matrix(num_chans: int, num_ceps: int) -> np.ndarray:
+    """(num_chans, num_ceps) DCT per HSigP.c : FBank2MFCC()."""
+    mfnorm = math.sqrt(2.0 / num_chans)
+    M = np.zeros((num_chans, num_ceps))
+    for j in range(1, num_ceps + 1):
+        x = j * math.pi / num_chans
+        for k in range(1, num_chans + 1):
+            M[k - 1, j - 1] = mfnorm * math.cos(x * (k - 0.5))
+    return M.astype(np.float32)
+
+
+def lifter_vector(num_ceps: int, L: int) -> np.ndarray:
+    """Cepstral liftering weights per HSigP.c : GenCepWin/WeightCepstrum."""
+    if L <= 0:
+        return np.ones(num_ceps, dtype=np.float32)
+    j = np.arange(1, num_ceps + 1)
+    return (1.0 + (L / 2.0) * np.sin(math.pi * j / L)).astype(np.float32)
+
+
+def regression_matrix(n_frames: int, win: int, simple_diffs: bool = False) -> np.ndarray:
+    """(T, T) matrix R with deltas = R @ x (HParm.c : Regress()).
+
+    d_t = sum_{th=1..win} th*(x_{t+th} - x_{t-th}) / (2*sum th^2), with
+    boundary frames replicated (index clamping), matching HTK's file-mode
+    behaviour. simple_diffs uses (x_{t+th}-x_{t-th})/(2*win) instead.
+    """
+    R = np.zeros((n_frames, n_frames))
+    if simple_diffs:
+        norm = 2.0 * win
+        for t in range(n_frames):
+            for th in range(1, win + 1):
+                hi = min(n_frames - 1, t + th)
+                lo = max(0, t - th)
+                R[t, hi] += 1.0 / norm
+                R[t, lo] -= 1.0 / norm
+    else:
+        sigma2 = 2.0 * sum(th * th for th in range(1, win + 1))
+        for t in range(n_frames):
+            for th in range(1, win + 1):
+                hi = min(n_frames - 1, t + th)
+                lo = max(0, t - th)
+                R[t, hi] += th / sigma2
+                R[t, lo] -= th / sigma2
+    return R.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Device pipeline
+# ---------------------------------------------------------------------------
+
+
+def num_frames(n_samples: int, cfg: FrontendConfig) -> int:
+    """HParm frame count: ((nSamples - frameSize) / frameShift) + 1."""
+    if n_samples < cfg.frame_size:
+        return 0
+    return (n_samples - cfg.frame_size) // cfg.frame_shift + 1
+
+
+def _frame_signal(x: jnp.ndarray, frame_size: int, frame_shift: int, n_frames: int):
+    idx = jnp.arange(n_frames)[:, None] * frame_shift + jnp.arange(frame_size)[None, :]
+    return x[idx]
+
+
+def _delta_block(x: jnp.ndarray, win: int, simple: bool) -> jnp.ndarray:
+    """Apply HTK regression along time for a (T, D) block.
+
+    Computed directly (gather + weighted sum) rather than via the (T, T)
+    matrix so the cost is O(T*D*win) and shapes stay static.
+    """
+    T = x.shape[0]
+    if simple:
+        norm = 2.0 * win
+        acc = jnp.zeros_like(x)
+        for th in range(1, win + 1):
+            hi = jnp.clip(jnp.arange(T) + th, 0, T - 1)
+            lo = jnp.clip(jnp.arange(T) - th, 0, T - 1)
+            acc = acc + (x[hi] - x[lo])
+        return acc / norm
+    sigma2 = 2.0 * sum(th * th for th in range(1, win + 1))
+    acc = jnp.zeros_like(x)
+    for th in range(1, win + 1):
+        hi = jnp.clip(jnp.arange(T) + th, 0, T - 1)
+        lo = jnp.clip(jnp.arange(T) - th, 0, T - 1)
+        acc = acc + th * (x[hi] - x[lo])
+    return acc / sigma2
+
+
+@dataclass(frozen=True)
+class _Tables:
+    mel_w: np.ndarray
+    dct: np.ndarray
+    lifter: np.ndarray
+    hamming: np.ndarray
+
+
+@functools.lru_cache(maxsize=64)
+def _tables(cfg: FrontendConfig) -> _Tables:
+    fs = cfg.frame_size
+    a = 2.0 * math.pi / (fs - 1)
+    ham = (0.54 - 0.46 * np.cos(a * np.arange(fs))).astype(np.float32)
+    return _Tables(
+        mel_w=mel_weight_matrix(cfg),
+        dct=dct_matrix(cfg.num_chans, cfg.num_ceps),
+        lifter=lifter_vector(cfg.num_ceps, cfg.cep_lifter),
+        hamming=ham,
+    )
+
+
+def _statics_from_frames(frames: jnp.ndarray, cfg: FrontendConfig, tbl: _Tables):
+    """frames (T, frame_size) float32 -> statics (T, n_static) + raw logE.
+
+    Follows HParm.c ConvertFrame order: zmean -> rawE -> preemph -> window
+    -> spectrum -> mel -> log -> DCT -> lifter -> c0/E append.
+    """
+    x = frames
+    if cfg.zmean_source:
+        x = x - jnp.mean(x, axis=1, keepdims=True)
+
+    raw_e = jnp.sum(x * x, axis=1)
+
+    if cfg.preem_coef != 0.0:
+        # PreEmphasise: s[j] -= k*s[j-1] (descending, so original values);
+        # s[0] *= 1-k falls out of pairing s[0] with itself in the shift.
+        shifted = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+        x = x - cfg.preem_coef * shifted
+    if cfg.use_hamming:
+        x = x * jnp.asarray(tbl.hamming)
+
+    win_e = jnp.sum(x * x, axis=1)
+    log_e = jnp.log(jnp.maximum(raw_e if cfg.raw_energy else win_e, 1e-20))
+
+    fft_n = cfg.fft_n
+    spec = jnp.fft.rfft(x, n=fft_n, axis=1)
+    mag = jnp.abs(spec).astype(jnp.float32)  # (T, fft_n//2+1)
+    if cfg.use_power:
+        mag = mag * mag
+
+    # precision="highest" keeps these parity-critical matmuls in true f32
+    # on the MXU (default TPU matmul is bf16 — ~1e-3 rel error, outside
+    # the 1e-4 parity budget); cost is negligible at these sizes.
+    fbank = jnp.matmul(mag, jnp.asarray(tbl.mel_w), precision="highest")
+    log_fbank = jnp.log(jnp.maximum(fbank, 1.0))  # melFloor = 1.0
+
+    base = cfg.base_str
+    cols = []
+    if base == "MELSPEC":
+        cols.append(fbank)
+    elif base == "FBANK":
+        cols.append(log_fbank)
+    elif base == "MFCC":
+        ceps = jnp.matmul(log_fbank, jnp.asarray(tbl.dct), precision="highest")
+        ceps = ceps * jnp.asarray(tbl.lifter)
+        cols.append(ceps)
+    else:
+        HError(6320, "Frontend: TARGETKIND base %s not yet device-supported", base)
+
+    if pk.has_qual(cfg.target_kind, pk.HASZEROC):
+        mfnorm = math.sqrt(2.0 / cfg.num_chans)
+        c0 = jnp.sum(log_fbank, axis=1, keepdims=True) * mfnorm
+        cols.append(c0)
+    if pk.has_qual(cfg.target_kind, pk.HASENERGY):
+        cols.append(log_e[:, None])
+    return jnp.concatenate(cols, axis=1), log_e
+
+
+def _qualify(statics: jnp.ndarray, cfg: FrontendConfig, valid: Optional[jnp.ndarray] = None):
+    """Apply _E normalisation, _Z CMN, _D/_A/_T, _N to static features.
+
+    `valid` is an optional (T,) bool mask marking real (non-padding) frames;
+    per-file reductions (CMN mean, energy max) respect it.
+    """
+    T = statics.shape[0]
+    if valid is None:
+        valid = jnp.ones((T,), dtype=bool)
+    vf = valid.astype(statics.dtype)[:, None]
+    nvalid = jnp.maximum(jnp.sum(vf), 1.0)
+
+    has_e = pk.has_qual(cfg.target_kind, pk.HASENERGY)
+    has_0 = pk.has_qual(cfg.target_kind, pk.HASZEROC)
+    x = statics
+
+    # _Z: cepstral mean subtraction over the file, statics except energy
+    # (energy is handled by ENORMALISE; HParm.c MeanNormalise behaviour).
+    if pk.has_qual(cfg.target_kind, pk.HASZEROM):
+        ncep = x.shape[1] - (1 if has_e else 0)
+        mean = jnp.sum(x[:, :ncep] * vf, axis=0) / nvalid
+        x = x.at[:, :ncep].add(-mean[None, :])
+
+    # ENORMALISE: e' = 1.0 - (emax - e)*escale with silence floor (HParm.c)
+    if has_e and cfg.enormalise:
+        e = x[:, -1]
+        emax = jnp.max(jnp.where(valid, e, -jnp.inf))
+        emin = emax - (cfg.sil_floor * math.log(10.0)) / 10.0
+        e = jnp.maximum(e, emin)
+        e = 1.0 - (emax - e) * cfg.escale
+        x = x.at[:, -1].set(e)
+
+    # Padding rows must replicate the last *valid* row before every
+    # regression stage, otherwise the next stage's boundary clamp reads
+    # stale values through the padding (HTK clamps at the true last frame).
+    n_real = jnp.sum(valid.astype(jnp.int32))
+    last = jnp.clip(jnp.arange(T), 0, n_real - 1)
+
+    blocks = [x]
+    if pk.has_qual(cfg.target_kind, pk.HASDELTA):
+        d = _delta_block(blocks[-1], cfg.delta_window, cfg.simple_diffs)[last]
+        blocks.append(d)
+        if pk.has_qual(cfg.target_kind, pk.HASACCS):
+            a = _delta_block(d, cfg.acc_window, cfg.simple_diffs)[last]
+            blocks.append(a)
+            if pk.has_qual(cfg.target_kind, pk.HASTHIRD):
+                t3 = _delta_block(a, cfg.third_window, cfg.simple_diffs)[last]
+                blocks.append(t3)
+    out = jnp.concatenate(blocks, axis=1)
+
+    if pk.has_qual(cfg.target_kind, pk.HASNULLE):
+        # _N: suppress absolute energy (or c0 if no _E) from the statics
+        if not (has_e or has_0):
+            HError(6321, "Frontend: _N requires _E or _0")
+        drop = cfg.n_static() - 1  # energy (or c0) is the last static column
+        keep = [i for i in range(out.shape[1]) if i != drop]
+        out = out[:, jnp.asarray(keep)]
+    return out
+
+
+def _bucket_len(n: int) -> int:
+    """Round frame counts up to limit jit retraces across utterance lengths."""
+    b = 32
+    while b < n:
+        b = b * 2 if b < 512 else b + 256
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_frames_pad"))
+def _extract_padded(samples: jnp.ndarray, n_frames_real: jnp.ndarray,
+                    cfg: FrontendConfig, n_frames_pad: int) -> jnp.ndarray:
+    tbl = _tables(cfg)
+    frames = _frame_signal(samples, cfg.frame_size, cfg.frame_shift, n_frames_pad)
+    frames = frames.astype(jnp.float32)
+    statics, _ = _statics_from_frames(frames, cfg, tbl)
+    valid = jnp.arange(n_frames_pad) < n_frames_real
+    # Replicate the last real frame into the padding rows so the delta
+    # regression's boundary clamp (HParm replicates edge frames) holds at
+    # the real end of the utterance; per-file reductions use `valid`.
+    last = jnp.clip(jnp.arange(n_frames_pad), 0, n_frames_real - 1)
+    statics = statics[last]
+    return _qualify(statics, cfg, valid=valid)
+
+
+def compute_features(samples: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
+    """Waveform (int16/float) -> HTK feature matrix (T, width) float32.
+
+    The public single-utterance entry (HCopy's hot path). Pads the frame
+    count to a bucket so repeated calls across utterance lengths reuse a
+    small set of compiled programs.
+    """
+    samples = np.asarray(samples, dtype=np.float32)
+    T = num_frames(len(samples), cfg)
+    if T < 1:
+        HError(6322, "Frontend: utterance too short (%d samples)", len(samples))
+    Tp = _bucket_len(T)
+    need = (Tp - 1) * cfg.frame_shift + cfg.frame_size
+    padded = np.zeros(need, dtype=np.float32)
+    padded[: len(samples)] = samples
+    out = _extract_padded(jnp.asarray(padded), jnp.asarray(T), cfg, Tp)
+    return np.asarray(out[:T])

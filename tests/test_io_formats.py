@@ -1,0 +1,150 @@
+"""Format round-trip tests (SURVEY.md §4: read→write→read identity)."""
+
+import numpy as np
+import pytest
+
+from htk_tpu.io import parmkind as pk
+from htk_tpu.io.htkfeat import read_htk_file, write_htk_file
+from htk_tpu.io.wavefile import Waveform, read_wave, write_wave
+from htk_tpu.utils.errors import HTKError
+
+
+class TestParmKind:
+    def test_roundtrip(self):
+        # canonical qualifier order is E D N A T C K Z 0 V (HParm.c)
+        for s in ["MFCC_E_D_A", "MFCC_D_A_Z_0", "FBANK", "PLP_E_D_A_T",
+                  "WAVEFORM", "MFCC_E_D_A_C_K", "USER", "DISCRETE_V"]:
+            assert pk.parmkind2str(pk.str2parmkind(s)) == s
+        # non-canonical input canonicalises
+        assert pk.parmkind2str(pk.str2parmkind("MFCC_0_D_A_Z")) == "MFCC_D_A_Z_0"
+
+    def test_codes(self):
+        assert pk.str2parmkind("MFCC") == 6
+        assert pk.str2parmkind("MFCC_E") == 6 | 0x40
+        assert pk.str2parmkind("MFCC_E_D_A") == 6 | 0x40 | 0x100 | 0x200
+        assert pk.str2parmkind("mfcc_e") == pk.str2parmkind("MFCC_E")
+
+    def test_bad_kind(self):
+        with pytest.raises(HTKError):
+            pk.str2parmkind("NOTAKIND")
+        with pytest.raises(HTKError):
+            pk.str2parmkind("MFCC_Q")
+
+
+class TestHTKFeatureFile:
+    def test_float_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(50, 39)).astype(np.float32)
+        p = str(tmp_path / "a.mfc")
+        kind = pk.str2parmkind("MFCC_E_D_A")
+        write_htk_file(p, x, 100000, kind)
+        ff = read_htk_file(p)
+        assert ff.samp_period == 100000
+        assert ff.parm_kind == kind
+        assert ff.kind_str == "MFCC_E_D_A"
+        np.testing.assert_array_equal(ff.data, x)
+
+    def test_header_is_big_endian(self, tmp_path):
+        p = str(tmp_path / "b.mfc")
+        write_htk_file(p, np.zeros((3, 2), np.float32), 100000, pk.str2parmkind("USER"))
+        raw = open(p, "rb").read()
+        n = np.frombuffer(raw[:4], dtype=">i4")[0]
+        assert n == 3
+        assert len(raw) == 12 + 3 * 2 * 4
+
+    def test_compressed_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(2)
+        x = (rng.normal(size=(40, 13)) * 10).astype(np.float32)
+        p = str(tmp_path / "c.mfc")
+        kind = pk.str2parmkind("MFCC_E_C")
+        write_htk_file(p, x, 100000, kind)
+        raw = open(p, "rb").read()
+        n_hdr = np.frombuffer(raw[:4], dtype=">i4")[0]
+        samp_size = np.frombuffer(raw[8:10], dtype=">i2")[0]
+        assert n_hdr == 44  # +4 rows for A/B vectors
+        assert samp_size == 26  # int16 per column
+        ff = read_htk_file(p)
+        assert ff.data.shape == (40, 13)
+        # quantisation error bounded by half a step: range/(2*32767)
+        step = (x.max(0) - x.min(0)) / (2 * 32767.0)
+        assert np.all(np.abs(ff.data - x) <= step + 1e-6)
+
+    def test_crc_roundtrip_and_corruption(self, tmp_path):
+        x = np.ones((5, 4), np.float32)
+        p = str(tmp_path / "d.mfc")
+        kind = pk.str2parmkind("USER_K")
+        write_htk_file(p, x, 100000, kind)
+        ff = read_htk_file(p)
+        np.testing.assert_array_equal(ff.data, x)
+        # corrupt one payload byte -> warning (recoverable), data still parsed
+        raw = bytearray(open(p, "rb").read())
+        raw[20] ^= 0xFF
+        open(p, "wb").write(bytes(raw))
+        read_htk_file(p)  # must not raise
+
+    def test_compressed_with_crc(self, tmp_path):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(20, 13)).astype(np.float32)
+        p = str(tmp_path / "e.mfc")
+        write_htk_file(p, x, 100000, pk.str2parmkind("MFCC_E_C_K"))
+        ff = read_htk_file(p)
+        assert ff.data.shape == (20, 13)
+        assert "_C_K" in ff.kind_str
+
+
+class TestWave:
+    def test_wav_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(4)
+        s = (rng.normal(size=16000) * 1000).astype(np.int16)
+        p = str(tmp_path / "a.wav")
+        write_wave(p, Waveform(s, 625), fmt="WAV")
+        w = read_wave(p, fmt="WAV")
+        assert w.samp_period == 625
+        np.testing.assert_array_equal(w.samples, s)
+
+    def test_htk_waveform_roundtrip(self, tmp_path):
+        s = np.arange(-100, 100, dtype=np.int16)
+        p = str(tmp_path / "a.htk")
+        write_wave(p, Waveform(s, 625), fmt="HTK")
+        w = read_wave(p, fmt="HTK")
+        np.testing.assert_array_equal(w.samples, s)
+        assert w.samp_period == 625
+
+    def test_nist(self, tmp_path):
+        s = np.arange(0, 50, dtype="<i2")
+        hdr = b"NIST_1A\n   1024\n"
+        body = (
+            "sample_rate -i 16000\nsample_n_bytes -i 2\n"
+            "sample_byte_format -s2 01\nsample_coding -s3 pcm\nend_head\n"
+        ).encode()
+        raw = hdr + body + b" " * (1024 - len(hdr) - len(body)) + s.tobytes()
+        p = str(tmp_path / "a.sph")
+        open(p, "wb").write(raw)
+        w = read_wave(p, fmt="NIST")
+        assert w.samp_period == 625
+        np.testing.assert_array_equal(w.samples, np.arange(0, 50))
+
+    def test_nohead_needs_rate(self, tmp_path):
+        p = str(tmp_path / "raw")
+        open(p, "wb").write(b"\x00\x01" * 10)
+        with pytest.raises(HTKError):
+            read_wave(p, fmt="NOHEAD")
+        w = read_wave(p, fmt="NOHEAD", source_rate=625)
+        assert len(w.samples) == 10
+
+    def test_multichannel_wav_takes_channel0(self, tmp_path):
+        import struct
+        rate = 8000
+        left = np.arange(10, dtype="<i2")
+        right = -np.arange(10, dtype="<i2")
+        inter = np.empty(20, dtype="<i2")
+        inter[0::2] = left
+        inter[1::2] = right
+        data = inter.tobytes()
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, rate, rate * 4, 4, 16)
+        hdr += b"data" + struct.pack("<I", len(data))
+        p = str(tmp_path / "st.wav")
+        open(p, "wb").write(hdr + data)
+        w = read_wave(p, fmt="WAV")
+        np.testing.assert_array_equal(w.samples, left)

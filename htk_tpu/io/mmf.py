@@ -128,8 +128,10 @@ class HMMSet:
 # Tokenizer
 # ---------------------------------------------------------------------------
 
+# atoms must stop at '<', '~' and '"' — HTK writes keywords without
+# surrounding whitespace (e.g. `<VECSIZE> 4<NULLD><MFCC_E><DIAGC>`).
 _TOKEN_RE = re.compile(
-    r"""<(?P<kw>[^>]+)>|~(?P<mac>[a-zA-Z])|"(?P<qstr>[^"]*)"|(?P<atom>\S+)""",
+    r"""<(?P<kw>[^>]+)>|~(?P<mac>[a-zA-Z])|"(?P<qstr>[^"]*)"|(?P<atom>[^\s<~"]+)""",
     re.VERBOSE,
 )
 

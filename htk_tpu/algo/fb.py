@@ -1,0 +1,258 @@
+"""Embedded Baum-Welch forward-backward as log-space device scans.
+
+The TPU-native replacement for `HTKLib/HFB.c` (SURVEY.md §3.2): instead of
+per-frame pointer-chasing over a composite HMM with beam pruning, the
+whole utterance runs as three `lax.scan`s over dense (Q,) state vectors:
+
+  1. backward scan  -> beta_t               (logsumexp-semiring matvec)
+  2. forward scan   -> alpha_t, logP
+  3. accumulation scan -> xi transition counts (Q, Q)
+
+then mixture occupancies L_jm(t) reduce onto the physical Gaussian block
+with two MXU matmuls ((Q*maxmix, T) @ (T, D)) and segment-sums implement
+HTK's tied-parameter accumulator sharing. No pruning: at north-star sizes
+(Q <= ~512) dense compute is faster on TPU than any sparse bookkeeping,
+and results match un-pruned HTK (beams only ever drop negligible mass).
+
+Everything here is jit/vmap-compatible with static (T, Q, maxmix) shapes;
+tools bucket utterances to limit retraces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.outp import mix_scores, pack_gaussians, state_outp
+from ..utils.logmath import LZERO, MINLOGEXP, exp_or_zero, ladd_reduce
+
+
+class Accumulators(NamedTuple):
+    """HTK's MuAcc/VaAcc/WtAcc/TrAcc as one pytree (HTrain.c role)."""
+
+    occ: jnp.ndarray  # (M,) mixture occupancies
+    sum_x: jnp.ndarray  # (M, D) occupancy-weighted feature sums
+    sum_xx: jnp.ndarray  # (M, D) occupancy-weighted squared sums
+    wt_occ: jnp.ndarray  # (S, maxmix) per-state mixture occupancies
+    tr: jnp.ndarray  # (TR_FLAT,) transition counts (flat (Tn, Nmax, Nmax))
+    total_logp: jnp.ndarray  # () sum of per-utterance log likelihoods
+    total_frames: jnp.ndarray  # () total frames accumulated
+    n_utts: jnp.ndarray  # () utterances accumulated
+
+
+def zero_accs(n_mix: int, dim: int, n_states: int, max_mix: int, tr_flat: int):
+    return Accumulators(
+        occ=jnp.zeros(n_mix, jnp.float32),
+        sum_x=jnp.zeros((n_mix, dim), jnp.float32),
+        sum_xx=jnp.zeros((n_mix, dim), jnp.float32),
+        wt_occ=jnp.zeros((n_states, max_mix), jnp.float32),
+        tr=jnp.zeros(tr_flat, jnp.float32),
+        total_logp=jnp.zeros((), jnp.float32),
+        total_frames=jnp.zeros((), jnp.float32),
+        n_utts=jnp.zeros((), jnp.float32),
+    )
+
+
+def _ladd_matvec_left(alpha: jnp.ndarray, logA: jnp.ndarray) -> jnp.ndarray:
+    """pred[j] = logsumexp_i alpha[i] + logA[i, j] (HTK LAdd clamping)."""
+    return ladd_reduce(alpha[:, None] + logA, axis=0)
+
+
+def _ladd_matvec_right(v: jnp.ndarray, logA: jnp.ndarray) -> jnp.ndarray:
+    """out[i] = logsumexp_j logA[i, j] + v[j]."""
+    return ladd_reduce(logA + v[None, :], axis=1)
+
+
+def forward_scan(outp, logA, a0, t_real):
+    """alpha_t for t = 0..T-1 (HFB.c StepAlpha); (T, Q) stacked."""
+    T, Q = outp.shape
+
+    def step(alpha, inp):
+        outp_t, t = inp
+        pred = _ladd_matvec_left(alpha, logA)
+        alpha_new = jnp.where(t == 0, a0, pred) + outp_t
+        return alpha_new, alpha_new
+
+    # init derives from outp so its sharding/varying axes match the data
+    # (required for scan carries under shard_map)
+    init = jnp.full_like(outp[0], LZERO)
+    _, alphas = jax.lax.scan(step, init, (outp, jnp.arange(T)))
+    return alphas
+
+
+def backward_scan(outp, logA, aE, t_real):
+    """beta_t for t = 0..T-1 (HFB.c SetBeta); (T, Q) stacked.
+
+    beta at the true last frame (t_real-1) is aE; the recursion resets
+    there so padding frames beyond t_real never contaminate real betas.
+    """
+    T, Q = outp.shape
+    outp_next = jnp.concatenate([outp[1:], jnp.zeros((1, Q), outp.dtype)], axis=0)
+    is_last = jnp.arange(T) == (t_real - 1)
+
+    def step(beta_next, inp):
+        o_next, last = inp
+        val = _ladd_matvec_right(o_next + beta_next, logA)
+        beta_t = jnp.where(last, aE, val)
+        return beta_t, beta_t
+
+    _, betas_rev = jax.lax.scan(
+        step,
+        jnp.full_like(outp[0], LZERO),
+        (outp_next[::-1], is_last[::-1]),
+    )
+    return betas_rev[::-1]
+
+
+def xi_scan(alphas, betas, outp, logA, logp, t_real):
+    """Summed transition posteriors xi[i,j] (the TrAcc integrand).
+
+    xi_sum[i,j] = sum_{t<t_real-1} exp(alpha_t[i] + A[i,j]
+                                       + outp_{t+1}[j] + beta_{t+1}[j] - logP)
+    """
+    T, Q = outp.shape
+    tgt = jnp.concatenate(
+        [outp[1:] + betas[1:], jnp.full((1, Q), LZERO, outp.dtype)], axis=0
+    )
+    valid = (jnp.arange(T) < (t_real - 1)).astype(outp.dtype)
+
+    def step(acc, inp):
+        alpha_t, tgt_t, v = inp
+        term = exp_or_zero(alpha_t[:, None] + logA + tgt_t[None, :] - logp)
+        return acc + term * v, None
+
+    xi, _ = jax.lax.scan(step, jnp.zeros_like(logA), (alphas, tgt, valid))
+    return xi
+
+
+def fb_utterance(
+    feats,  # (T, D)
+    t_real,  # () int32
+    comp_state,  # (Q,) int32 physical state ids (trash row for padding)
+    q_mask,  # (Q,) bool
+    logA,  # (Q, Q)
+    a0,  # (Q,)
+    aE,  # (Q,)
+    tr_seg,  # (Q, Q) int32 flat cells, -1 = cross/invalid
+    entry_seg,  # (Q,) int32
+    exit_seg,  # (Q,) int32
+    *,
+    means,
+    variances,
+    gconsts,
+    state_mix,  # (S, maxmix)
+    state_logw,
+    n_states: int,
+    tr_flat: int,
+    precision: str = "highest",
+) -> Tuple[jnp.ndarray, Accumulators]:
+    """Forward-backward + accumulation for one utterance (HFB.c FBUtt)."""
+    T, D = feats.shape
+    Q = comp_state.shape[0]
+    # state_mix may carry a trailing trash row for padded composite states;
+    # n_states is the true physical state count for accumulator shapes.
+    S = n_states
+    maxmix = state_mix.shape[1]
+    M = means.shape[0]
+
+    # 1. observation likelihoods for the states this utterance touches
+    Wt, c = pack_gaussians(means, variances, gconsts)
+    mix_lp = mix_scores(feats, Wt, c, precision=precision)  # (T, M)
+    st_mix = state_mix[comp_state]  # (Q, maxmix)
+    st_logw = state_logw[comp_state]
+    gathered = mix_lp[:, jnp.maximum(st_mix, 0)]  # (T, Q, maxmix)
+    weighted = jnp.where(st_mix[None] >= 0, gathered + st_logw[None], LZERO)
+    outp = ladd_reduce(weighted, axis=-1)  # (T, Q) log b_j(o_t)
+    outp = jnp.where(q_mask[None, :], outp, LZERO)
+
+    # 2. scans
+    betas = backward_scan(outp, logA, aE, t_real)
+    alphas = forward_scan(outp, logA, a0, t_real)
+    alpha_last = alphas[jnp.maximum(t_real - 1, 0)]
+    logp = ladd_reduce(alpha_last + aE, axis=0)
+
+    t_mask = (jnp.arange(T) < t_real).astype(feats.dtype)
+
+    # 3. state/mixture occupancies
+    gamma = alphas + betas - logp  # (T, Q) log domain
+    l_log = gamma[:, :, None] + st_logw[None] + gathered - outp[:, :, None]
+    l_log = jnp.where(st_mix[None] >= 0, l_log, LZERO)
+    L = exp_or_zero(l_log) * t_mask[:, None, None]  # (T, Q, maxmix)
+
+    occ_qm = jnp.sum(L, axis=0)  # (Q, maxmix)
+    Lf = L.reshape(T, Q * maxmix)
+    sum_x_qm = jnp.matmul(Lf.T, feats, precision=precision)  # (Q*maxmix, D)
+    sum_xx_qm = jnp.matmul(Lf.T, feats * feats, precision=precision)
+
+    flat_mix = jnp.where(st_mix >= 0, st_mix, M).reshape(-1)  # (Q*maxmix,)
+    occ = jax.ops.segment_sum(occ_qm.reshape(-1), flat_mix, M + 1)[:M]
+    sum_x = jax.ops.segment_sum(sum_x_qm, flat_mix, M + 1)[:M]
+    sum_xx = jax.ops.segment_sum(sum_xx_qm, flat_mix, M + 1)[:M]
+
+    state_seg = jnp.where(q_mask & (comp_state < S), comp_state, S)  # (Q,)
+    wt_occ = jax.ops.segment_sum(occ_qm, state_seg, S + 1)[:S]
+
+    # 4. transition accumulators
+    xi = xi_scan(alphas, betas, outp, logA, logp, t_real)  # (Q, Q)
+    entry_occ = exp_or_zero(a0 + outp[0] + betas[0] - logp)  # (Q,)
+    exit_occ = exp_or_zero(alpha_last + aE - logp)
+
+    within = (tr_seg >= 0).astype(feats.dtype)
+    tr_within = jax.ops.segment_sum(
+        xi.reshape(-1), jnp.where(tr_seg >= 0, tr_seg, tr_flat).reshape(-1),
+        tr_flat + 1,
+    )[:tr_flat]
+    cross_in = jnp.sum(xi * (1.0 - within), axis=0) + entry_occ  # (Q,)
+    cross_out = jnp.sum(xi * (1.0 - within), axis=1) + exit_occ
+    tr_entry = jax.ops.segment_sum(
+        cross_in, jnp.where(entry_seg >= 0, entry_seg, tr_flat), tr_flat + 1
+    )[:tr_flat]
+    tr_exit = jax.ops.segment_sum(
+        cross_out, jnp.where(exit_seg >= 0, exit_seg, tr_flat), tr_flat + 1
+    )[:tr_flat]
+    tr = tr_within + tr_entry + tr_exit
+
+    n_frames = t_real.astype(jnp.float32)
+    ok = (logp > LZERO / 2).astype(jnp.float32)  # drop failed utterances
+    accs = Accumulators(
+        occ=occ * ok,
+        sum_x=sum_x * ok,
+        sum_xx=sum_xx * ok,
+        wt_occ=wt_occ * ok,
+        tr=tr * ok,
+        total_logp=logp * ok,
+        total_frames=n_frames * ok,
+        n_utts=ok,
+    )
+    return logp, accs
+
+
+def fb_batch(
+    feats, t_real, comp_state, q_mask, logA, a0, aE, tr_seg, entry_seg, exit_seg,
+    *, means, variances, gconsts, state_mix, state_logw, n_states, tr_flat,
+    precision: str = "highest",
+):
+    """vmapped forward-backward over a padded utterance batch.
+
+    Returns (per-utterance logP (B,), summed Accumulators).
+    """
+    fn = functools.partial(
+        fb_utterance,
+        means=means,
+        variances=variances,
+        gconsts=gconsts,
+        state_mix=state_mix,
+        state_logw=state_logw,
+        n_states=n_states,
+        tr_flat=tr_flat,
+        precision=precision,
+    )
+    logps, accs = jax.vmap(fn)(
+        feats, t_real, comp_state, q_mask, logA, a0, aE, tr_seg, entry_seg, exit_seg
+    )
+    summed = jax.tree.map(lambda a: jnp.sum(a, axis=0), accs)
+    return logps, summed

@@ -1,0 +1,172 @@
+"""Training orchestration: utterance prep, bucketing, jitted batch steps.
+
+The glue between host data (features + transcriptions) and the device FB
+scans — the role HERest.c's main loop plays, reshaped for SPMD: utterances
+are bucketed to a small set of (T, Q) pad shapes (so jit traces stay
+bounded), batched, and each batch runs one `fb_batch` call. Accumulator
+pytrees sum across batches (and across devices via parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.hmmset import CompiledHMMSet
+from ..utils.errors import HError, HRError
+from ..utils.logmath import LZERO
+from .composite import CompositeHMM, build_composite
+from .fb import Accumulators, fb_batch, zero_accs
+
+
+@dataclass
+class UttData:
+    """One prepared utterance (host arrays, unpadded)."""
+
+    name: str
+    feats: np.ndarray  # (T, D) f32
+    hmm: CompositeHMM
+
+
+def prepare_utterance(
+    comp: CompiledHMMSet, name: str, feats: np.ndarray, model_names: Sequence[str]
+) -> UttData:
+    ids = [comp.model_id(m) for m in model_names]
+    return UttData(name=name, feats=np.asarray(feats, np.float32),
+                   hmm=build_composite(comp, ids))
+
+
+def _bucket(n: int, base: int = 32) -> int:
+    b = base
+    while b < n:
+        b = b * 2 if b < 512 else b + 256
+    return b
+
+
+def make_batches(
+    utts: Sequence[UttData], batch_size: int = 8
+) -> List[List[UttData]]:
+    """Group utterances into batches of similar padded shape."""
+    buckets: Dict[Tuple[int, int], List[UttData]] = {}
+    for u in utts:
+        key = (_bucket(u.feats.shape[0]), _bucket(u.hmm.n_states, 16))
+        buckets.setdefault(key, []).append(u)
+    batches = []
+    for key in sorted(buckets):
+        us = buckets[key]
+        for i in range(0, len(us), batch_size):
+            batches.append(us[i : i + batch_size])
+    return batches
+
+
+def pad_batch(batch: Sequence[UttData], n_states_phys: int,
+              pad_to: Optional[int] = None):
+    """Pad a batch to common (B, T, Q) arrays for fb_batch."""
+    B = len(batch)
+    Bp = pad_to or B
+    T = _bucket(max(u.feats.shape[0] for u in batch))
+    Q = _bucket(max(u.hmm.n_states for u in batch), 16)
+    D = batch[0].feats.shape[1]
+
+    feats = np.zeros((Bp, T, D), np.float32)
+    t_real = np.zeros(Bp, np.int32)
+    comp_state = np.full((Bp, Q), n_states_phys, np.int32)  # trash state id
+    q_mask = np.zeros((Bp, Q), bool)
+    logA = np.full((Bp, Q, Q), LZERO, np.float32)
+    a0 = np.full((Bp, Q), LZERO, np.float32)
+    aE = np.full((Bp, Q), LZERO, np.float32)
+    tr_seg = np.full((Bp, Q, Q), -1, np.int32)
+    entry_seg = np.full((Bp, Q), -1, np.int32)
+    exit_seg = np.full((Bp, Q), -1, np.int32)
+
+    for b, u in enumerate(batch):
+        t = u.feats.shape[0]
+        q = u.hmm.n_states
+        feats[b, :t] = u.feats
+        t_real[b] = t
+        comp_state[b, :q] = np.minimum(u.hmm.comp_state, n_states_phys)
+        q_mask[b, :q] = True
+        logA[b, :q, :q] = u.hmm.logA
+        a0[b, :q] = u.hmm.a0
+        aE[b, :q] = u.hmm.aE
+        tr_seg[b, :q, :q] = u.hmm.tr_seg
+        entry_seg[b, :q] = u.hmm.entry_seg
+        exit_seg[b, :q] = u.hmm.exit_seg
+    return dict(
+        feats=feats, t_real=t_real, comp_state=comp_state, q_mask=q_mask,
+        logA=logA, a0=a0, aE=aE, tr_seg=tr_seg, entry_seg=entry_seg,
+        exit_seg=exit_seg,
+    )
+
+
+class Trainer:
+    """Runs embedded-reestimation accumulation over a corpus."""
+
+    def __init__(self, comp: CompiledHMMSet, precision: str = "highest"):
+        self.comp = comp
+        self.precision = precision
+        self.tr_flat = int(np.prod(comp.log_transp.shape))
+        # physical state table gets one trash row appended for padding
+        self.state_mix_pad = np.concatenate(
+            [comp.state_mix, np.full((1, comp.max_mix), -1, np.int32)], axis=0
+        )
+        self.state_logw_pad = np.concatenate(
+            [comp.state_logw, np.full((1, comp.max_mix), LZERO, np.float32)],
+            axis=0,
+        )
+        self._jit_cache: Dict[Tuple[int, int, int], object] = {}
+
+    def _step_fn(self):
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=())
+        def step(params, batch):
+            means, variances, gconsts, state_mix, state_logw = params
+            return fb_batch(
+                batch["feats"], batch["t_real"], batch["comp_state"],
+                batch["q_mask"], batch["logA"], batch["a0"], batch["aE"],
+                batch["tr_seg"], batch["entry_seg"], batch["exit_seg"],
+                means=means, variances=variances, gconsts=gconsts,
+                state_mix=state_mix, state_logw=state_logw,
+                n_states=self.comp.n_states, tr_flat=self.tr_flat,
+                precision=self.precision,
+            )
+
+        return step
+
+    def params(self):
+        c = self.comp
+        return (
+            jnp.asarray(c.means), jnp.asarray(c.variances),
+            jnp.asarray(c.gconsts), jnp.asarray(self.state_mix_pad),
+            jnp.asarray(self.state_logw_pad),
+        )
+
+    def accumulate(self, utts: Sequence[UttData], batch_size: int = 8,
+                   trace: int = 0):
+        """One full pass over the corpus; returns summed Accumulators."""
+        c = self.comp
+        total = zero_accs(c.n_mix, c.dim, c.n_states, c.max_mix, self.tr_flat)
+        step = self._step_fn()
+        params = self.params()
+        n_fail = 0
+        for batch in make_batches(utts, batch_size):
+            arrs = pad_batch(batch, c.n_states)
+            logps, accs = step(params, {k: jnp.asarray(v) for k, v in arrs.items()})
+            total = jax.tree.map(lambda a, b: a + b, total, accs)
+            lp = np.asarray(logps)
+            for u, l in zip(batch, lp[: len(batch)]):
+                if l <= LZERO / 2:
+                    n_fail += 1
+                    HRError(7323, "accumulate: no path through utterance %s", u.name)
+                elif trace >= 2:
+                    print(f"  {u.name}: logP={l:.2f} "
+                          f"({l / u.feats.shape[0]:.3f}/frame)")
+        if n_fail:
+            HRError(7324, "accumulate: %d utterance(s) skipped", n_fail)
+        return total

@@ -1,0 +1,95 @@
+"""Data-parallel training over a device mesh.
+
+The TPU-native equivalent of HTK's parallel mode (SURVEY.md §2.6/§5.8):
+HTK shards the corpus across N `HERest -p n` jobs that exchange binary
+accumulator files; here the same algebra — accumulator addition is exact
+and associative — runs as one SPMD program: utterance batches shard over
+the mesh's data axis, every device scans its shard, and the Accumulators
+pytree is `psum`'d over ICI. Serial and sharded training are bit-for-bit
+reproducible up to f32 summation order (tests assert tight equality).
+
+Multi-host extension: call jax.distributed.initialize() before building
+the mesh; the same shard_map program then spans hosts with psums riding
+ICI within a slice and DCN across slices.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..algo.fb import Accumulators, fb_batch, zero_accs
+from ..algo.trainer import Trainer, UttData, make_batches, pad_batch
+from ..utils.logmath import LZERO
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+class ShardedTrainer(Trainer):
+    """Trainer whose batch step shards utterances across a mesh."""
+
+    def __init__(self, comp, mesh: Mesh, axis: str = "data",
+                 precision: str = "highest"):
+        super().__init__(comp, precision=precision)
+        self.mesh = mesh
+        self.axis = axis
+        self.n_dev = mesh.devices.size
+
+    def _step_fn(self):
+        axis = self.axis
+
+        def local(params, batch):
+            means, variances, gconsts, state_mix, state_logw = params
+            logps, accs = fb_batch(
+                batch["feats"], batch["t_real"], batch["comp_state"],
+                batch["q_mask"], batch["logA"], batch["a0"], batch["aE"],
+                batch["tr_seg"], batch["entry_seg"], batch["exit_seg"],
+                means=means, variances=variances, gconsts=gconsts,
+                state_mix=state_mix, state_logw=state_logw,
+                n_states=self.comp.n_states, tr_flat=self.tr_flat,
+                precision=self.precision,
+            )
+            # exact accumulator exchange: the psum IS HERest's acc-file
+            # combine step, riding ICI instead of the filesystem
+            accs = jax.lax.psum(accs, axis)
+            return logps, accs
+
+        sharded = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(), P(self.axis)),
+            out_specs=(P(self.axis), P()),
+        )
+        return jax.jit(sharded)
+
+    def accumulate(self, utts: Sequence[UttData], batch_size: int = 8,
+                   trace: int = 0):
+        """Corpus pass with per-batch device sharding.
+
+        batch_size is per device; each global batch holds
+        batch_size * n_dev utterances (padded rows contribute zero).
+        """
+        c = self.comp
+        total = zero_accs(c.n_mix, c.dim, c.n_states, c.max_mix, self.tr_flat)
+        step = self._step_fn()
+        params = self.params()
+        gbs = batch_size * self.n_dev
+        for batch in make_batches(utts, gbs):
+            bp = math.ceil(len(batch) / self.n_dev) * self.n_dev
+            arrs = pad_batch(batch, c.n_states, pad_to=bp)
+            logps, accs = step(params, {k: jnp.asarray(v) for k, v in arrs.items()})
+            total = jax.tree.map(lambda a, b: a + b, total, accs)
+            if trace >= 2:
+                lp = np.asarray(logps)
+                for u, l in zip(batch, lp[: len(batch)]):
+                    print(f"  {u.name}: logP={l:.2f}")
+        return total

@@ -1,0 +1,181 @@
+"""HERest — embedded Baum-Welch reestimation.
+
+Mirrors `HTKTools/HERest.c` (SURVEY.md §3.2): one invocation performs one
+reestimation iteration over the corpus — load HMMs, forward-backward every
+utterance against its transcription, accumulate, update, save. Parallel
+modes:
+
+  -p N (N>0)   accumulate this shard only, dump HERN.acc, don't update
+  -p 0         load accumulator files given after the HMM list, update
+  (default)    accumulate + update in one process; utterance batches are
+               additionally sharded over all visible devices via
+               shard_map+psum (the TPU-native -p)
+
+Usage: HERest [options] hmmList [accFiles... with -p 0]
+
+  -H mmf   load HMM macro file (repeatable)     -M dir  output directory
+  -I mlf   load master label file (repeatable)  -L dir  label dir
+  -X ext   label extension (default lab)        -u tmvw update flags
+  -t f [i l]  pruning beams (accepted, ignored: dense scans don't prune)
+  -p N     parallel mode (above)                -v f    minimum variance
+  -w f     mixture weight floor (accepted)      -s file write stats file
+  -B       binary MMF output (not yet implemented, text written)
+  Standard: -A -C -D -S -T -V
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+
+from ..algo.reestimate import UpdateFlags, reestimate
+from ..algo.trainer import Trainer, prepare_utterance
+from ..io.mlf import MLF, find_labels
+from ..io.mmf import load_hmm_list, load_mmf, save_mmf
+from ..models.hmmset import compile_hmmset, write_back
+from ..parallel.acc_files import dump_accs, load_accs, sum_accs
+from ..utils.cli import Option, parse_args, tool_main
+from ..utils.errors import HError, HRError
+from ._common import force_platform_from_env, open_speech_file
+
+USAGE = "Usage: HERest [options] hmmList [accFiles...]"
+
+OPTS = {
+    "H": Option("H", 1, "load MMF", repeatable=True),
+    "M": Option("M", 1, "output directory"),
+    "I": Option("I", 1, "load MLF", repeatable=True),
+    "L": Option("L", 1, "label directory"),
+    "X": Option("X", 1, "label extension"),
+    "u": Option("u", 1, "update flags tmvw"),
+    "t": Option("t", 1, "pruning beam (ignored)", typ=float),
+    "p": Option("p", 1, "parallel mode", typ=int),
+    "v": Option("v", 1, "minimum variance", typ=float),
+    "w": Option("w", 1, "mixture weight floor", typ=float),
+    "s": Option("s", 1, "stats file"),
+    "d": Option("d", 1, "hmm definition directory"),
+    "b": Option("b", 1, "batch size", typ=int),
+}
+
+
+def _load_stats_targets(comp, accs):
+    """Per-physical-state occupancy for the HHEd stats file."""
+    return np.asarray(accs.wt_occ).sum(axis=1)
+
+
+def write_stats_file(path: str, hset, comp, accs) -> None:
+    """HERest -s stats file: per-HMM per-state occupancies (HHEd RO input).
+
+    Format (HTK): index logicalName nUtts totalOcc then per-state occs.
+    """
+    state_occ = _load_stats_targets(comp, accs)
+    with open(path, "w") as f:
+        for i, name in enumerate(comp.names):
+            n = int(comp.model_nstates[i])
+            occs = [state_occ[comp.model_states[i, k]] for k in range(n - 2)]
+            f.write(
+                f'{i + 1:4d} "{name}" {int(np.asarray(accs.n_utts)):10d} '
+                + " ".join(f"{o:10.2f}" for o in occs)
+                + "\n"
+            )
+
+
+def run(argv: List[str]) -> int:
+    force_platform_from_env()
+    ta = parse_args("HERest", argv, OPTS, min_args=1, usage=USAGE)
+    cfg = ta.config
+    hmm_list_file = ta.args[0]
+    extra = ta.args[1:]
+
+    mmfs = ta.get_all("H")
+    if not mmfs:
+        HError(1030, "HERest: at least one -H mmf required\n%s", USAGE)
+    hset = load_mmf(mmfs)
+    hmm_list = load_hmm_list(hmm_list_file)
+    missing = [l for l, p in hmm_list if (p or l) not in hset.hmms]
+    if missing:
+        HError(7035, "HERest: HMMs not in MMF: %s", " ".join(missing[:5]))
+    comp = compile_hmmset(hset)
+
+    flags = UpdateFlags.parse(ta.get("u", "tmvw"))
+    min_var = float(ta.get("v", 1e-6) or 1e-6)
+    var_floor = hset.macros["v"].get("varFloor1")
+    p_mode = int(ta.get("p", -1)) if ta.has("p") else -1
+    out_dir = ta.get("M", ".")
+    batch_size = int(ta.get("b", 8) or 8)
+
+    if p_mode == 0:
+        if not extra:
+            HError(1030, "HERest: -p 0 needs accumulator files")
+        accs = sum_accs([load_accs(p) for p in extra])
+    else:
+        mlfs = [MLF.load(p) for p in ta.get_all("I")]
+        label_dir = ta.get("L")
+        label_ext = ta.get("X", "lab")
+        files = ta.script + extra
+        if not files:
+            HError(1030, "HERest: no training files\n%s", USAGE)
+
+        trainer = _make_trainer(comp, cfg)
+        utts = []
+        for fn in files:
+            data, period, kind, e = open_speech_file(fn, cfg)
+            tr = find_labels(e.logical, mlfs, label_dir, label_ext)
+            names = [l.name for l in tr.labels]
+            if not names:
+                HRError(7325, "HERest: empty transcription for %s", e.logical)
+                continue
+            utts.append(prepare_utterance(comp, e.logical, data, names))
+        if not utts:
+            HError(7326, "HERest: no trainable utterances")
+        accs = trainer.accumulate(utts, batch_size=batch_size, trace=ta.trace)
+
+        if p_mode > 0:
+            os.makedirs(out_dir, exist_ok=True)
+            acc_path = os.path.join(out_dir, f"HER{p_mode}.acc")
+            dump_accs(accs, acc_path)
+            if ta.trace:
+                print(f"HERest: dumped accumulators to {acc_path}")
+            return 0
+
+    tf = float(np.asarray(accs.total_frames))
+    tl = float(np.asarray(accs.total_logp))
+    nu = int(np.asarray(accs.n_utts))
+    if ta.trace:
+        print(
+            f"Reestimation complete - average log prob per frame = "
+            f"{tl / max(tf, 1.0):.5f} ({nu} utterances, {int(tf)} frames)"
+        )
+
+    m, v, w, t = reestimate(comp, accs, flags, var_floor=var_floor,
+                            min_var=min_var)
+    write_back(comp, means=m, variances=v, weights=w, transps=t)
+
+    if ta.has("s"):
+        write_stats_file(ta.get("s"), hset, comp, accs)
+
+    os.makedirs(out_dir, exist_ok=True)
+    out_mmf = os.path.join(out_dir, os.path.basename(mmfs[0]))
+    save_mmf(hset, out_mmf)
+    if ta.trace:
+        print(f"HERest: saved {out_mmf}")
+    return 0
+
+
+def _make_trainer(comp, cfg) -> Trainer:
+    """Serial or device-sharded trainer per visible devices / config."""
+    import jax
+
+    n_dev = len(jax.devices())
+    if n_dev > 1 and cfg.bool_("USESHARDING", True, module="HTKTPU"):
+        from ..parallel.mesh import ShardedTrainer, make_mesh
+
+        return ShardedTrainer(comp, make_mesh())
+    return Trainer(comp)
+
+
+main = tool_main(run)
+
+if __name__ == "__main__":
+    raise SystemExit(main())

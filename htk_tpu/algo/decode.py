@@ -1,0 +1,213 @@
+"""Word-network Viterbi decoding (the HRec token-passing core, TPU-shaped).
+
+Replaces `HTKLib/HRec.c : ProcessObservation()`'s per-token pointer work
+with a dense per-frame update over the whole network (SURVEY.md §2.5):
+
+  1. word-end scores   WE[i]   = segment-max of (v + aE) per word node
+  2. cross-word step   entry[j] = max_i WE[i] + s*lm[i,j] + p   (max-plus
+     matvec over the epsilon-closed node matrix; s = LM scale, p = word
+     insertion penalty)
+  3. within-word step  K shifted adds over the banded transition matrix
+  4. combine + emit    v'[s] = max(within, entry) + outp[t, s]
+
+Word-link records (HRec's RelToken paths) are two int32 planes (entry
+node, entry time) carried with the scores; per-frame word-end snapshots
+(T, Nn) stream out of the scan and host code walks them backwards for the
+1-best transcription (and lattice arcs, later).
+
+Observation likelihoods come from one batched OutP over *physical* states
+(ops/outp.py) — the HLVModel flattening: network states just gather rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.hmmset import CompiledHMMSet
+from ..ops.outp import all_state_outp
+from ..utils.logmath import LZERO, LSMALL
+from .net import DecodeNetwork
+
+
+@dataclass
+class DecodeResult:
+    words: List[str]  # output word sequence (suppressed symbols removed)
+    word_nodes: List[int]  # node index per word
+    times: List[Tuple[int, int]]  # (start_frame, end_frame) inclusive
+    score: float  # total log likelihood (acoustic + scaled LM)
+    scores: List[float]  # per-word segment scores
+
+
+def _shift_down(x, k, fill):
+    """y[s] = x[s-k] with fill for s < k."""
+    if k == 0:
+        return x
+    return jnp.concatenate([jnp.full((k,), fill, x.dtype), x[:-k]])
+
+
+def decode_scan(
+    outp_states,  # (T, Ns) per-network-state log b(o_t)
+    band,  # (K, Ns)
+    a0,  # (Ns,)
+    aE,  # (Ns,)
+    node_of_state,  # (Ns,)
+    entry_bonus,  # (Ns,) pron prob per state's chain (added at entry)
+    trans,  # (Nn, Nn) scaled closed LM matrix
+    start_entry,  # (Nn,)
+    word_pen: float,
+    n_nodes: int,
+):
+    T, Ns = outp_states.shape
+    K = band.shape[0]
+    Nn = n_nodes
+    sidx = jnp.arange(Ns, dtype=jnp.int32)
+
+    def step(carry, inp):
+        v, wn, wt = carry
+        outp_t, t = inp
+
+        # 1. word-end scores from previous frame's tokens
+        e_state = v + aE  # (Ns,)
+        WE = jax.ops.segment_max(e_state, node_of_state, Nn)
+        WE = jnp.maximum(WE, LZERO)  # empty segments -> LZERO
+        # argmax state per node (lowest index on ties)
+        is_best = (e_state >= WE[node_of_state] - 1e-6) & (e_state > LSMALL)
+        best_sid = jax.ops.segment_min(
+            jnp.where(is_best, sidx, Ns), node_of_state, Nn
+        )
+        safe_sid = jnp.minimum(best_sid, Ns - 1)
+        pwn = jnp.where(best_sid < Ns, wn[safe_sid], -1)
+        pwt = jnp.where(best_sid < Ns, wt[safe_sid], -1)
+
+        # 2. cross-word max-plus matvec (+ start entry at t=0)
+        cand = WE[:, None] + trans  # (Nn_from, Nn_to)
+        entry_n = jnp.max(cand, axis=0) + word_pen
+        an = jnp.argmax(cand, axis=0).astype(jnp.int32)
+        entry_n = jnp.where(t == 0, start_entry, entry_n)
+        an = jnp.where(t == 0, -1, an)
+
+        entry_s = entry_n[node_of_state] + a0 + entry_bonus  # (Ns,)
+
+        # 3. within-word banded update
+        cands = jnp.stack(
+            [_shift_down(v, k, LZERO) + band[k] for k in range(K)], axis=0
+        )  # (K, Ns)
+        within = jnp.max(cands, axis=0)
+        argk = jnp.argmax(cands, axis=0).astype(jnp.int32)
+        src = jnp.maximum(sidx - argk, 0)
+        wwn = wn[src]
+        wwt = wt[src]
+
+        # 4. combine
+        use_entry = entry_s > within
+        new_v = jnp.maximum(within, entry_s) + outp_t
+        new_wn = jnp.where(use_entry, an[node_of_state], wwn)
+        new_wt = jnp.where(use_entry, t - 1, wwt)
+        # dead tokens carry no history
+        dead = new_v <= LSMALL
+        new_wn = jnp.where(dead, -1, new_wn)
+        new_wt = jnp.where(dead, -1, new_wt)
+
+        return (new_v, new_wn, new_wt), (WE, pwn, pwt)
+
+    init = (
+        jnp.full((Ns,), LZERO, outp_states.dtype),
+        jnp.full((Ns,), -1, jnp.int32),
+        jnp.full((Ns,), -1, jnp.int32),
+    )
+    (v, wn, wt), (WEs, pwns, pwts) = jax.lax.scan(
+        step, init, (outp_states, jnp.arange(T))
+    )
+    return (v, wn, wt), (WEs, pwns, pwts)
+
+
+def decode(
+    net: DecodeNetwork,
+    comp: CompiledHMMSet,
+    feats: np.ndarray,
+    lm_scale: float = 1.0,
+    word_pen: float = 0.0,
+    precision: str = "highest",
+) -> Optional[DecodeResult]:
+    """Decode one utterance; returns None if no complete path survives."""
+    T = feats.shape[0]
+    # physical-state likelihoods once, then gather per network state
+    logb, _ = all_state_outp(
+        jnp.asarray(feats, jnp.float32),
+        jnp.asarray(comp.means), jnp.asarray(comp.variances),
+        jnp.asarray(comp.gconsts), jnp.asarray(comp.state_mix),
+        jnp.asarray(comp.state_logw), precision=precision,
+    )  # (T, S_phys)
+    outp_states = logb[:, jnp.asarray(net.comp_state)]  # (T, Ns)
+
+    node_of_state = jnp.asarray(net.node_of_chain[net.chain_of])
+    entry_bonus = jnp.asarray(net.chain_pron_prob[net.chain_of])
+    trans = jnp.asarray(net.trans * lm_scale)
+    start_entry = jnp.asarray(net.start_entry * lm_scale)
+
+    (v, wn, wt), (WEs, pwns, pwts) = decode_scan(
+        outp_states, jnp.asarray(net.band), jnp.asarray(net.a0),
+        jnp.asarray(net.aE), node_of_state, entry_bonus, trans, start_entry,
+        float(word_pen), net.n_nodes,
+    )
+
+    # final word-ends at the last frame
+    v = np.asarray(v)
+    wn = np.asarray(wn)
+    wt = np.asarray(wt)
+    nos = np.asarray(node_of_state)
+    e_state = v + np.asarray(net.aE)
+    Nn = net.n_nodes
+    WE_fin = np.full(Nn, LZERO, np.float64)
+    pwn_fin = np.full(Nn, -1, np.int64)
+    pwt_fin = np.full(Nn, -1, np.int64)
+    for s in np.argsort(-e_state):
+        i = nos[s]
+        if e_state[s] > WE_fin[i]:
+            WE_fin[i] = e_state[s]
+            pwn_fin[i] = wn[s]
+            pwt_fin[i] = wt[s]
+
+    final = WE_fin + np.asarray(net.end_exit, np.float64) * lm_scale
+    i = int(np.argmax(final))
+    if final[i] <= LSMALL:
+        return None
+    score = float(final[i])
+
+    WEs = np.asarray(WEs)
+    pwns = np.asarray(pwns)
+    pwts = np.asarray(pwts)
+
+    # traceback over word-link records: (node, end_time)
+    words_rev: List[Tuple[int, int, int]] = []  # (node, t_start, t_end)
+    t = T - 1
+    node = i
+    pn, pt = int(pwn_fin[i]), int(pwt_fin[i])
+    while True:
+        words_rev.append((node, pt + 1, t))
+        if pn < 0 or pt < 0:
+            break
+        node, t = pn, pt
+        # records for end time t live in scan step t+1
+        pn = int(pwns[t + 1, node])
+        pt = int(pwts[t + 1, node])
+
+    words_rev.reverse()
+    words, nodes, times, scores = [], [], [], []
+    prev_score = 0.0
+    for node, t0, t1 in words_rev:
+        out = net.node_out[node]
+        sym = net.node_words[node] if out is None else out
+        if sym:
+            words.append(sym)
+            nodes.append(node)
+            times.append((t0, t1))
+            scores.append(0.0)
+    return DecodeResult(
+        words=words, word_nodes=nodes, times=times, score=score, scores=scores
+    )

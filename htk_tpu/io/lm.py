@@ -1,0 +1,125 @@
+"""n-gram language models (ARPA format).
+
+Mirrors `HTKLib/HLM.c : ReadLModel()/GetLMProb()` for the decode-side LM:
+ARPA back-off files up to trigram. Log probs in the file are base-10
+(ARPA convention); accessors return natural logs (HTK works in ln).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from ..utils.errors import HError
+
+LN10 = math.log(10.0)
+
+
+@dataclass
+class NGramLM:
+    order: int = 2
+    # unigrams: word -> (ln prob, ln backoff)
+    unigrams: Dict[str, Tuple[float, float]] = field(default_factory=dict)
+    # bigrams: (w1, w2) -> (ln prob, ln backoff)
+    bigrams: Dict[Tuple[str, str], Tuple[float, float]] = field(default_factory=dict)
+    trigrams: Dict[Tuple[str, str, str], float] = field(default_factory=dict)
+
+    @property
+    def vocab(self) -> List[str]:
+        return list(self.unigrams)
+
+    def logp_uni(self, w: str) -> float:
+        e = self.unigrams.get(w)
+        return e[0] if e else -99.0 * LN10
+
+    def logp_bi(self, w1: str, w2: str) -> float:
+        """ln P(w2 | w1) with back-off."""
+        e = self.bigrams.get((w1, w2))
+        if e is not None:
+            return e[0]
+        u1 = self.unigrams.get(w1)
+        bo = u1[1] if u1 else 0.0
+        return bo + self.logp_uni(w2)
+
+    def logp_tri(self, w1: str, w2: str, w3: str) -> float:
+        e = self.trigrams.get((w1, w2, w3))
+        if e is not None:
+            return e
+        b12 = self.bigrams.get((w1, w2))
+        bo = b12[1] if b12 else 0.0
+        return bo + self.logp_bi(w2, w3)
+
+
+def read_arpa(path: str) -> NGramLM:
+    try:
+        lines = open(path, "r", errors="replace").read().splitlines()
+    except OSError as e:
+        HError(8110, "ReadLModel: cannot open LM %s (%s)", path, e)
+    lm = NGramLM()
+    section = 0
+    for raw in lines:
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("\\data\\"):
+            section = -1
+            continue
+        if line.startswith("\\1-grams"):
+            section = 1
+            continue
+        if line.startswith("\\2-grams"):
+            section = 2
+            lm.order = max(lm.order, 2)
+            continue
+        if line.startswith("\\3-grams"):
+            section = 3
+            lm.order = 3
+            continue
+        if line.startswith("\\end\\"):
+            break
+        if section == -1:
+            continue
+        parts = line.split()
+        if section == 1 and len(parts) >= 2:
+            p = float(parts[0]) * LN10
+            w = parts[1]
+            bo = float(parts[2]) * LN10 if len(parts) > 2 else 0.0
+            lm.unigrams[w] = (p, bo)
+        elif section == 2 and len(parts) >= 3:
+            p = float(parts[0]) * LN10
+            bo = float(parts[3]) * LN10 if len(parts) > 3 else 0.0
+            lm.bigrams[(parts[1], parts[2])] = (p, bo)
+        elif section == 3 and len(parts) >= 4:
+            lm.trigrams[(parts[1], parts[2], parts[3])] = float(parts[0]) * LN10
+    if not lm.unigrams:
+        HError(8150, "ReadLModel: no unigrams found in %s", path)
+    return lm
+
+
+def write_arpa(lm: NGramLM, path: str) -> None:
+    with open(path, "w") as f:
+        f.write("\\data\\\n")
+        f.write(f"ngram 1={len(lm.unigrams)}\n")
+        if lm.bigrams:
+            f.write(f"ngram 2={len(lm.bigrams)}\n")
+        if lm.trigrams:
+            f.write(f"ngram 3={len(lm.trigrams)}\n")
+        f.write("\n\\1-grams:\n")
+        for w, (p, bo) in sorted(lm.unigrams.items()):
+            if bo != 0.0:
+                f.write(f"{p / LN10:.4f} {w} {bo / LN10:.4f}\n")
+            else:
+                f.write(f"{p / LN10:.4f} {w}\n")
+        if lm.bigrams:
+            f.write("\n\\2-grams:\n")
+            for (w1, w2), (p, bo) in sorted(lm.bigrams.items()):
+                if bo != 0.0:
+                    f.write(f"{p / LN10:.4f} {w1} {w2} {bo / LN10:.4f}\n")
+                else:
+                    f.write(f"{p / LN10:.4f} {w1} {w2}\n")
+        if lm.trigrams:
+            f.write("\n\\3-grams:\n")
+            for (w1, w2, w3), p in sorted(lm.trigrams.items()):
+                f.write(f"{p / LN10:.4f} {w1} {w2} {w3}\n")
+        f.write("\n\\end\\\n")

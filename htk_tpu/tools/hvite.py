@@ -1,0 +1,199 @@
+"""HVite — Viterbi word recognition and forced alignment.
+
+Mirrors `HTKTools/HVite.c` (SURVEY.md §3.3): recognition mode expands a
+word network (-w SLF) with the dictionary and HMM set and decodes each
+utterance with the token-passing scan (algo/decode); alignment mode (-a)
+builds a composite HMM from each utterance's word transcription (expanded
+through the dictionary) and runs the max-plus alignment scan
+(algo/viterbi), emitting phone- or word-level label files.
+
+Usage: HVite [options] dictFile hmmList testFiles...
+
+  -w netfile  recognition from word network (SLF)
+  -a          align from word transcriptions (-I mlf)
+  -m          output model (phone) alignment with times
+  -s f        grammar/LM scale factor          -p f  word insertion penalty
+  -r f        pronunciation scale (accepted)
+  -i mlf      output recognised/aligned labels to MLF
+  -l dir / -y ext   output label dir / extension
+  -H mmf      load HMM macro file (repeatable)
+  -I mlf      input word-level MLF (alignment)  -L/-X  input label dir/ext
+  -t f        pruning beam (accepted, ignored — dense scans don't prune)
+  -b word     boundary word inserted around alignment (e.g. silence)
+  -T n        trace
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..algo.composite import build_composite
+from ..algo.decode import decode
+from ..algo.net import compile_network
+from ..algo.viterbi import align
+from ..io.dictionary import read_dict
+from ..io.mlf import MLF, Label, Transcription, find_labels, save_label_file
+from ..io.mmf import load_hmm_list, load_mmf
+from ..io.slf import read_slf
+from ..models.hmmset import compile_hmmset
+from ..utils.cli import Option, parse_args, tool_main
+from ..utils.errors import HError, HRError
+from ._common import force_platform_from_env, open_speech_file
+
+USAGE = "Usage: HVite [options] dictFile hmmList testFiles..."
+
+OPTS = {
+    "w": Option("w", 1, "recognise from network"),
+    "a": Option("a", 0, "align from label files"),
+    "m": Option("m", 0, "output model alignment"),
+    "s": Option("s", 1, "LM scale", typ=float),
+    "p": Option("p", 1, "word penalty", typ=float),
+    "r": Option("r", 1, "pron scale", typ=float),
+    "i": Option("i", 1, "output MLF"),
+    "l": Option("l", 1, "output label dir"),
+    "y": Option("y", 1, "output label ext"),
+    "H": Option("H", 1, "load MMF", repeatable=True),
+    "I": Option("I", 1, "input MLF", repeatable=True),
+    "L": Option("L", 1, "input label dir"),
+    "X": Option("X", 1, "input label ext"),
+    "t": Option("t", 1, "beam (ignored)", typ=float),
+    "b": Option("b", 1, "boundary word"),
+    "o": Option("o", 1, "output label format flags"),
+    "n": Option("n", 2, "n-best (accepted)", typ=int),
+}
+
+FRAME_100NS = 100000  # 10ms frames in 100ns units (from TARGETRATE)
+
+
+def _out_label_path(logical: str, out_dir: Optional[str], ext: str) -> str:
+    stem = os.path.splitext(os.path.basename(logical))[0]
+    name = f"{stem}.{ext}"
+    return os.path.join(out_dir, name) if out_dir else name
+
+
+def run(argv: List[str]) -> int:
+    force_platform_from_env()
+    ta = parse_args("HVite", argv, OPTS, min_args=2, usage=USAGE)
+    cfg = ta.config
+    dict_file, hmm_list_file = ta.args[0], ta.args[1]
+    files = ta.script + ta.args[2:]
+    if not files:
+        HError(1030, "HVite: no test files\n%s", USAGE)
+
+    mmfs = ta.get_all("H")
+    if not mmfs:
+        HError(1030, "HVite: at least one -H mmf required")
+    hset = load_mmf(mmfs)
+    comp = compile_hmmset(hset)
+    vocab = read_dict(dict_file)
+    load_hmm_list(hmm_list_file)  # validated for parity; comp holds models
+
+    lm_scale = float(ta.get("s", 1.0) or 1.0)
+    word_pen = float(ta.get("p", 0.0) or 0.0)
+    out_mlf_path = ta.get("i")
+    out_dir = ta.get("l")
+    out_ext = ta.get("y", "rec")
+    period = int(cfg.flt_("TARGETRATE", 100000.0, module="HPARM"))
+
+    out_mlf = MLF() if out_mlf_path else None
+
+    if ta.has("w"):
+        lat = read_slf(ta.get("w"))
+        net = compile_network(lat, vocab, comp)
+        if ta.trace:
+            print(
+                f"HVite: network {net.n_nodes} nodes, {net.n_chains} chains, "
+                f"{net.n_states} states"
+            )
+        for fn in files:
+            data, _p, _k, e = open_speech_file(fn, cfg)
+            res = decode(net, comp, data, lm_scale, word_pen)
+            tr = Transcription(alternatives=[[]])
+            if res is None:
+                HRError(8522, "HVite: no tokens survived for %s", e.logical)
+            else:
+                for w, (t0, t1) in zip(res.words, res.times):
+                    tr.alternatives[0].append(
+                        Label(name=w, start=t0 * period, end=(t1 + 1) * period)
+                    )
+                if ta.trace:
+                    print(f"{e.logical}: {' '.join(res.words)}  "
+                          f"[{res.score:.2f}]")
+            _emit(tr, e.logical, out_mlf, out_dir, out_ext)
+    elif ta.has("a"):
+        mlfs = [MLF.load(p) for p in ta.get_all("I")]
+        label_dir = ta.get("L")
+        label_ext = ta.get("X", "lab")
+        bound = ta.get("b")
+        for fn in files:
+            data, _p, _k, e = open_speech_file(fn, cfg)
+            wtr = find_labels(e.logical, mlfs, label_dir, label_ext)
+            words = [l.name for l in wtr.labels]
+            if bound:
+                words = [bound] + words + [bound]
+            phones: List[str] = []
+            word_of_phone: List[str] = []
+            occ_of_phone: List[int] = []  # word-occurrence index per phone
+            for oi, w in enumerate(words):
+                wd = vocab.get(w)
+                if wd is None:
+                    HError(8621, "HVite: word %s not in dictionary", w)
+                phs = wd.prons[0].phones  # first pronunciation for alignment
+                phones.extend(phs)
+                word_of_phone.extend([w] * len(phs))
+                occ_of_phone.extend([oi] * len(phs))
+            hmm = build_composite(comp, [comp.model_id(p) for p in phones])
+            res = align(comp, hmm, data)
+            tr = Transcription(alternatives=[[]])
+            if ta.has("m"):
+                for inst, t0, t1, seg_score in res.model_seq:
+                    tr.alternatives[0].append(Label(
+                        name=phones[inst], start=t0 * period,
+                        end=t1 * period, score=seg_score,
+                    ))
+            else:
+                # merge aligned phone segments into word segments
+                cur_occ, w0, w1 = None, 0, 0
+                for inst, t0, t1, _sc in res.model_seq:
+                    occ = occ_of_phone[inst]
+                    if occ != cur_occ:
+                        if cur_occ is not None:
+                            tr.alternatives[0].append(Label(
+                                name=words[cur_occ], start=w0 * period,
+                                end=w1 * period,
+                            ))
+                        cur_occ, w0 = occ, t0
+                    w1 = t1
+                if cur_occ is not None:
+                    tr.alternatives[0].append(Label(
+                        name=words[cur_occ], start=w0 * period, end=w1 * period,
+                    ))
+            if ta.trace:
+                print(f"{e.logical}: aligned {len(phones)} phones, "
+                      f"score {res.score:.2f}")
+            _emit(tr, e.logical, out_mlf, out_dir, out_ext)
+    else:
+        HError(1030, "HVite: either -w netfile or -a required\n%s", USAGE)
+
+    if out_mlf is not None:
+        out_mlf.save(out_mlf_path, with_times=True, with_scores=False)
+        if ta.trace:
+            print(f"HVite: wrote {out_mlf_path}")
+    return 0
+
+
+def _emit(tr, logical, out_mlf, out_dir, out_ext):
+    if out_mlf is not None:
+        stem = os.path.splitext(os.path.basename(logical))[0]
+        out_mlf.add(f"*/{stem}.{out_ext}", tr)
+    else:
+        save_label_file(_out_label_path(logical, out_dir, out_ext), tr)
+
+
+main = tool_main(run)
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,150 @@
+"""Decode stack tests: dict/SLF parsing, alignment, word-loop recognition."""
+
+import math
+
+import numpy as np
+import pytest
+
+from htk_tpu.algo.composite import build_composite
+from htk_tpu.algo.decode import decode
+from htk_tpu.algo.net import compile_network
+from htk_tpu.algo.viterbi import align
+from htk_tpu.io.dictionary import Vocab, read_dict, write_dict
+from htk_tpu.io.slf import read_slf, write_slf
+from htk_tpu.models.hmmset import compile_hmmset
+from htk_tpu.models.proto import clone_proto, make_proto
+from htk_tpu.tools.hbuild import word_loop_lattice
+from htk_tpu.tools.hresults import dp_align, strip_context
+
+from test_fb import numpy_fb_reference, small_set
+from htk_tpu.algo.trainer import prepare_utterance
+
+
+def separable_set(dim=3, seed=0):
+    """Three 1-mix monophones with well-separated means."""
+    hs = make_proto(nstates=4, dim=dim, parm_kind="USER")
+    cl = clone_proto(hs, "proto", ["aa", "iy", "sil"])
+    centers = {"aa": 5.0, "iy": -5.0, "sil": 0.0}
+    for nm, h in cl.hmms.items():
+        for k, si in enumerate(h.states):
+            mp = si.streams[0].mixes[0]
+            mp.mean = np.full(dim, centers[nm], np.float32) + 0.3 * k
+            mp.var = np.full(dim, 0.6, np.float32)
+            mp.fix_gconst()
+    return compile_hmmset(cl)
+
+
+def emit_frames(seq, frames_per=8, dim=3, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = {"aa": 5.0, "iy": -5.0, "sil": 0.0}
+    out = []
+    for p in seq:
+        out.append(centers[p] + 0.3 * rng.normal(size=(frames_per, dim)))
+    return np.concatenate(out).astype(np.float32)
+
+
+class TestDictSLF:
+    def test_dict_roundtrip(self, tmp_path):
+        p = tmp_path / "dict"
+        p.write_text(
+            "ONE   w ah n\n"
+            "TWO   t uw\n"
+            "TWO   t uh\n"
+            "SIL [] sil\n"
+            "SENT-START [s] 0.9 sil\n"
+        )
+        v = read_dict(str(p))
+        assert len(v.words["TWO"].prons) == 2
+        assert v.words["SIL"].prons[0].out_sym == ""
+        assert v.words["SENT-START"].prons[0].prob == pytest.approx(0.9)
+        out = tmp_path / "dict2"
+        write_dict(v, str(out))
+        v2 = read_dict(str(out))
+        assert v2.words["SIL"].prons[0].out_sym == ""
+        assert [p.phones for p in v2.words["TWO"].prons] == [["t", "uw"], ["t", "uh"]]
+
+    def test_slf_roundtrip(self, tmp_path):
+        lat = word_loop_lattice(["ONE", "TWO"])
+        p = str(tmp_path / "wdnet.slf")
+        write_slf(lat, p)
+        l2 = read_slf(p)
+        assert len(l2.nodes) == len(lat.nodes)
+        assert len(l2.arcs) == len(lat.arcs)
+        assert l2.start_node() == 0
+        assert l2.end_node() == 2
+
+
+class TestAlign:
+    def test_alignment_recovers_boundaries(self):
+        comp = separable_set()
+        seq = ["sil", "aa", "iy", "sil"]
+        feats = emit_frames(seq)
+        hmm = build_composite(comp, [comp.model_id(p) for p in seq])
+        res = align(comp, hmm, feats)
+        # each instance should occupy roughly its 8-frame block
+        assert len(res.model_seq) == 4
+        for k, (inst, t0, t1, _s) in enumerate(res.model_seq):
+            assert inst == k
+            assert abs(t0 - 8 * k) <= 2
+        # viterbi score <= FB logP (max path vs sum over paths)
+        logp_ref, *_ = numpy_fb_reference(feats.astype(np.float64), hmm, comp)
+        assert res.score <= logp_ref + 1e-3
+
+
+class TestDecode:
+    def make_net(self, comp):
+        lat = word_loop_lattice(["A", "I", "S"])
+        v = Vocab()
+        v.add_pron("A", ["aa"])
+        v.add_pron("I", ["iy"])
+        v.add_pron("S", ["sil"], out_sym="")
+        return compile_network(lat, v, comp)
+
+    def test_word_loop_decode(self):
+        comp = separable_set()
+        net = self.make_net(comp)
+        seq = ["sil", "aa", "iy", "aa", "sil"]
+        feats = emit_frames(seq, seed=3)
+        res = decode(net, comp, feats)
+        assert res is not None
+        # S is output-suppressed; word sequence should be A I A
+        assert res.words == ["A", "I", "A"]
+        # times roughly at 8-frame blocks
+        assert abs(res.times[0][0] - 8) <= 2
+
+    def test_insertion_penalty_reduces_words(self):
+        comp = separable_set()
+        net = self.make_net(comp)
+        rng = np.random.default_rng(9)
+        # ambiguous audio near zero: loop would happily insert many words
+        feats = (0.4 * rng.normal(size=(40, 3))).astype(np.float32)
+        res_free = decode(net, comp, feats, word_pen=0.0)
+        res_pen = decode(net, comp, feats, word_pen=-50.0)
+        assert res_pen is not None and res_free is not None
+        assert len(res_pen.word_nodes) <= len(res_free.word_nodes)
+
+    def test_multiple_pronunciations(self):
+        comp = separable_set()
+        lat = word_loop_lattice(["X"])
+        v = Vocab()
+        v.add_pron("X", ["aa"])
+        v.add_pron("X", ["iy"])
+        net = compile_network(lat, v, comp)
+        feats = emit_frames(["iy"], frames_per=10, seed=4)
+        res = decode(net, comp, feats)
+        assert res is not None
+        assert res.words == ["X"]
+
+
+class TestHResults:
+    def test_dp_align(self):
+        ref = "a b c d".split()
+        hyp = "a x c d e".split()
+        h, s, d, i, pairs = dp_align(ref, hyp)
+        assert (h, s, d, i) == (3, 1, 0, 1)
+
+    def test_strip_context(self):
+        assert strip_context("a-b+c") == "b"
+        assert strip_context("b+c") == "b"
+        assert strip_context("a-b") == "b"
+        assert strip_context("b") == "b"

@@ -72,6 +72,42 @@ def _maxplus_closure(null_arcs: np.ndarray) -> np.ndarray:
     return C
 
 
+def word_internal_phone_map(model_names):
+    """Pronunciation phones -> word-internal context-dependent names.
+
+    The word-internal slice of HNet.c's context expansion: inside a word,
+    p_i maps to p_{i-1}-p_i+p_{i+1} (biphones at word edges), falling back
+    to less specific names (biphone, then monophone) when the model set
+    lacks the full context — HNet's FindModel search order.
+    """
+    names = set(model_names)
+
+    def best(left, p, right):
+        cands = []
+        if left and right:
+            cands.append(f"{left}-{p}+{right}")
+        if right:
+            cands.append(f"{p}+{right}")
+        if left:
+            cands.append(f"{left}-{p}")
+        cands.append(p)
+        for c in cands:
+            if c in names:
+                return c
+        return p
+
+    def fn(phones):
+        out = []
+        n = len(phones)
+        for i, p in enumerate(phones):
+            left = phones[i - 1] if i > 0 else None
+            right = phones[i + 1] if i < n - 1 else None
+            out.append(best(left, p, right))
+        return out
+
+    return fn
+
+
 def compile_network(
     lat: Lattice,
     vocab: Vocab,

@@ -1,0 +1,465 @@
+"""HHEd — HMM definition editor (model surgery).
+
+Mirrors `HTKTools/HHEd.c` (SURVEY.md §3.4): a script of edit commands
+applied to a loaded HMMSet. Implemented commands:
+
+  TR n                    set trace level
+  QS 'name' { p1,p2,.. }  define a context question
+  RO f [statsfile]        outlier threshold + load state occupancies
+  LS statsfile            load state occupancies
+  CL hmmlist              clone monophones into the triphones of hmmlist
+  TI macro itemlist       tie items to a shared macro
+  TB f macro itemlist     decision-tree cluster + tie states
+  AU hmmlist              add unseen triphones by tree lookup
+  ST file                 save question set + trees
+  LT file                 load question set + trees
+  MU n itemlist           mixture-up splitting (n or +n)
+  SH                      show summary
+
+Usage: HHEd [options] edScript hmmList
+
+  -H mmf   load HMM macro file (repeatable)
+  -M dir   output directory
+  -w list  write the updated model list
+  Standard: -A -B -C -D -S -T -V
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shlex
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..algo.tree import (Question, Tree, build_tree, classify, load_trees,
+                         parse_triphone, save_trees, state_stats)
+from ..io.mmf import HMMDef, HMMSet, MixPDF, StateInfo, StreamElem, load_hmm_list, load_mmf, save_mmf
+from ..models.itemlist import Item, parse_item_list
+from ..utils.cli import Option, parse_args, tool_main
+from ..utils.errors import HError, HRError
+
+USAGE = "Usage: HHEd [options] edScript hmmList"
+
+OPTS = {
+    "H": Option("H", 1, "load MMF", repeatable=True),
+    "M": Option("M", 1, "output directory"),
+    "w": Option("w", 1, "write updated model list"),
+}
+
+
+class Editor:
+    def __init__(self, hset: HMMSet, trace: int = 0):
+        self.hset = hset
+        self.trace = trace
+        self.questions: List[Question] = []
+        self.qdict: Dict[str, Question] = {}
+        self.trees: List[Tree] = []
+        self.stats: Dict[Tuple[str, int], float] = {}  # (hmm, state) -> occ
+        self.ro_threshold = 0.0
+
+    # -- commands --------------------------------------------------------
+
+    def cmd_qs(self, name: str, patterns: List[str]):
+        q = Question(name=name, patterns=patterns)
+        self.questions.append(q)
+        self.qdict[name] = q
+
+    def cmd_ls(self, path: str):
+        for ln in open(path):
+            parts = shlex.split(ln)
+            if len(parts) < 4:
+                continue
+            name = parts[1]
+            occs = [float(x) for x in parts[3:]]
+            for k, occ in enumerate(occs):
+                self.stats[(name, k + 2)] = occ
+        if self.trace:
+            print(f"HHEd: loaded stats for {len(self.stats)} states")
+
+    def cmd_ro(self, thresh: float, path: Optional[str]):
+        self.ro_threshold = thresh
+        if path:
+            self.cmd_ls(path)
+
+    def cmd_cl(self, list_path: str):
+        names = [l for l, p in load_hmm_list(list_path)]
+        hset = self.hset
+        n_new = 0
+        for nm in names:
+            if nm in hset.hmms:
+                continue
+            _, base, _ = parse_triphone(nm)
+            src = hset.hmms.get(base)
+            if src is None:
+                HError(2662, "CL: no source model %s for %s", base, nm)
+            hset.hmms[nm] = _deep_clone(src, nm)
+            hset.macros["h"][nm] = hset.hmms[nm]
+            n_new += 1
+        if self.trace:
+            print(f"HHEd: CL cloned {n_new} models from {list_path}")
+
+    def cmd_ti(self, macro: str, spec: str):
+        items = parse_item_list(spec, self.hset)
+        kind = items[0].kind
+        if kind == "transP":
+            shared = items[0].hmm.transp
+            self.hset.macros["t"][macro] = shared
+            for it in items[1:]:
+                it.hmm.transp = shared
+        elif kind == "state":
+            # HTK ties to the state with max occupancy if stats loaded,
+            # else the first item
+            best = items[0]
+            if self.stats:
+                best = max(
+                    items,
+                    key=lambda it: self.stats.get((it.hmm.name, it.state_idx), 0.0),
+                )
+            shared = best.hmm.states[best.state_idx - 2]
+            self.hset.macros["s"][macro] = shared
+            for it in items:
+                it.hmm.states[it.state_idx - 2] = shared
+        elif kind == "mean":
+            shared = None
+            for it in items:
+                mp = _get_mix(it)
+                if shared is None:
+                    shared = mp.mean
+                    self.hset.macros["u"][macro] = shared
+                mp.mean = shared
+        elif kind == "cov":
+            shared = None
+            for it in items:
+                mp = _get_mix(it)
+                if shared is None:
+                    shared = mp.var
+                    self.hset.macros["v"][macro] = shared
+                mp.var = shared
+        else:
+            HError(2640, "TI: unsupported item kind %s", kind)
+        if self.trace:
+            print(f"HHEd: TI {macro} tied {len(items)} {kind} items")
+
+    def cmd_tb(self, thresh: float, macro: str, spec: str):
+        if not self.questions:
+            HError(2663, "TB: no questions defined (QS first)")
+        items = parse_item_list(spec, self.hset)
+        if items[0].kind != "state":
+            HError(2640, "TB: item list must select states")
+        # all items must be distinct physical states with 1-mix streams
+        entries = []
+        state_idx = items[0].state_idx
+        base = parse_triphone(items[0].hmm.name)[1]
+        for it in items:
+            occ = self.stats.get((it.hmm.name, it.state_idx), 1.0)
+            si = it.hmm.states[it.state_idx - 2]
+            if len(si.streams[0].mixes) != 1:
+                HError(2663, "TB: states must be single-Gaussian (run before MU)")
+            entries.append((it.hmm.name, state_stats(si, occ)))
+        tree, leaf_members = build_tree(
+            base, state_idx, entries, self.questions, thresh,
+            min_occ=self.ro_threshold,
+        )
+        # create tied states with pooled parameters per leaf
+        name_to_item = {(it.hmm.name): it for it in items}
+        for k, leaf_node in enumerate(tree._leaves):  # type: ignore[attr-defined]
+            mac = f"{macro}{k + 1}"
+            leaf_node.macro = mac
+            members = leaf_members[k]
+            sts = [
+                (name_to_item[nm].hmm.states[state_idx - 2],
+                 self.stats.get((nm, state_idx), 1.0))
+                for nm in members
+            ]
+            shared = _pooled_state(sts)
+            self.hset.macros["s"][mac] = shared
+            for nm in members:
+                name_to_item[nm].hmm.states[state_idx - 2] = shared
+        self.trees.append(tree)
+        if self.trace:
+            print(
+                f"HHEd: TB {macro} clustered {len(entries)} states -> "
+                f"{len(leaf_members)} tied states (thresh {thresh})"
+            )
+
+    def cmd_au(self, list_path: str):
+        names = [l for l, p in load_hmm_list(list_path)]
+        by_phone: Dict[Tuple[str, int], Tree] = {}
+        for t in self.trees:
+            by_phone[(t.base_phone, t.state_idx)] = t
+        n_new = 0
+        for nm in names:
+            if nm in self.hset.hmms:
+                continue
+            _, base, _ = parse_triphone(nm)
+            src = self.hset.hmms.get(base)
+            if src is None:
+                # source any existing triphone of this phone for topology
+                for cand in self.hset.hmms.values():
+                    if parse_triphone(cand.name)[1] == base:
+                        src = cand
+                        break
+            if src is None:
+                HRError(2661, "AU: no tree/source for %s", nm)
+                continue
+            h = HMMDef(name=nm, nstates=src.nstates)
+            h.transp = src.transp  # share (usually a tied ~t macro already)
+            for s in range(2, src.nstates):
+                tr = by_phone.get((base, s))
+                if tr is None:
+                    h.states.append(src.states[s - 2])
+                    continue
+                mac = classify(tr, self.qdict, nm)
+                shared = self.hset.macros["s"].get(mac)
+                if shared is None:
+                    HError(2662, "AU: tree leaf %s has no tied state", mac)
+                h.states.append(shared)
+            self.hset.hmms[nm] = h
+            self.hset.macros["h"][nm] = h
+            n_new += 1
+        if self.trace:
+            print(f"HHEd: AU added {n_new} unseen models from {list_path}")
+
+    def cmd_mu(self, target: str, spec: str):
+        items = parse_item_list(spec, self.hset)
+        # operate at stream level: group mix items by their stream
+        streams = []
+        seen = set()
+        for it in items:
+            si = it.hmm.states[it.state_idx - 2]
+            se = si.streams[it.stream_idx - 1]
+            if id(se) not in seen:
+                seen.add(id(se))
+                streams.append(se)
+        rng = np.random.default_rng(0)
+        for se in streams:
+            cur = len([m for m in se.mixes if m is not None])
+            tgt = cur + int(target[1:]) if target.startswith("+") else int(target)
+            while cur < tgt:
+                _split_heaviest(se)
+                cur += 1
+        if self.trace:
+            print(f"HHEd: MU {target} over {len(streams)} streams")
+
+    def cmd_st(self, path: str):
+        save_trees(path, self.questions, self.trees)
+        if self.trace:
+            print(f"HHEd: ST saved {len(self.trees)} trees to {path}")
+
+    def cmd_lt(self, path: str):
+        qd, trees = load_trees(path)
+        self.qdict.update(qd)
+        self.questions.extend(q for q in qd.values() if q not in self.questions)
+        self.trees.extend(trees)
+        if self.trace:
+            print(f"HHEd: LT loaded {len(trees)} trees from {path}")
+
+    def cmd_sh(self):
+        hs = self.hset
+        n_states = len({id(s) for h in hs.hmms.values() for s in h.states})
+        print(
+            f"HMMSet: {len(hs.hmms)} models, {n_states} physical states, "
+            f"{len(hs.macros['s'])} ~s macros, vecsize {hs.vec_size}"
+        )
+
+
+def _deep_clone(src: HMMDef, name: str) -> HMMDef:
+    h = HMMDef(name=name, nstates=src.nstates)
+    for si in src.states:
+        se_src = si.streams[0]
+        se = StreamElem()
+        for w, mp in zip(se_src.weights, se_src.mixes):
+            if mp is None:
+                se.mixes.append(None)
+                se.weights.append(0.0)
+                continue
+            nmp = MixPDF(
+                mean=np.array(mp.mean, np.float32).copy(),
+                var=np.array(mp.var, np.float32).copy(),
+                cov_kind=mp.cov_kind,
+                gconst=mp.gconst,
+            )
+            se.mixes.append(nmp)
+            se.weights.append(w)
+        h.states.append(StateInfo(streams=[se]))
+    h.transp = np.array(src.transp, np.float32).copy()
+    return h
+
+
+def _get_mix(it: Item) -> MixPDF:
+    si = it.hmm.states[it.state_idx - 2]
+    return si.streams[it.stream_idx - 1].mixes[(it.mix_idx or 1) - 1]
+
+
+def _pooled_state(members: List[Tuple[StateInfo, float]]) -> StateInfo:
+    """Occupancy-pooled single-Gaussian tied state for a TB leaf."""
+    occ = sum(o for _, o in members) or 1.0
+    d = len(members[0][0].streams[0].mixes[0].mean)
+    mean = np.zeros(d, np.float64)
+    sqr = np.zeros(d, np.float64)
+    for si, o in members:
+        mp = si.streams[0].mixes[0]
+        mean += o * mp.mean.astype(np.float64)
+        sqr += o * (mp.var.astype(np.float64) + mp.mean.astype(np.float64) ** 2)
+    mean /= occ
+    var = np.maximum(sqr / occ - mean * mean, 1e-6)
+    mp = MixPDF(mean=mean.astype(np.float32), var=var.astype(np.float32))
+    mp.fix_gconst()
+    se = StreamElem(weights=[1.0], mixes=[mp])
+    return StateInfo(streams=[se])
+
+
+def _split_heaviest(se: StreamElem):
+    """HHEd MU: clone the heaviest mixture, perturb means +/-0.2 stddev."""
+    live = [(i, w) for i, (w, m) in enumerate(zip(se.weights, se.mixes))
+            if m is not None]
+    if not live:
+        return
+    i, w = max(live, key=lambda t: t[1])
+    mp = se.mixes[i]
+    sd = np.sqrt(np.maximum(mp.var.astype(np.float64), 1e-10)).astype(np.float32)
+    new = MixPDF(
+        mean=(mp.mean + 0.2 * sd).astype(np.float32),
+        var=mp.var.copy(),
+        cov_kind=mp.cov_kind,
+    )
+    new.fix_gconst()
+    mp.mean = (mp.mean - 0.2 * sd).astype(np.float32)
+    mp.fix_gconst()
+    se.weights[i] = w / 2.0
+    se.mixes.append(new)
+    se.weights.append(w / 2.0)
+
+
+# -- script parsing ---------------------------------------------------------
+
+
+class _ScriptReader:
+    """Sequential token reader for HHEd scripts.
+
+    Tokens: quoted strings ('..' or ".."), brace groups ({..} returned
+    whole, with nesting), bare words. Comments run from // to end of line.
+    """
+
+    def __init__(self, text: str):
+        text = re.sub(r"//[^\n]*", " ", text)
+        self.text = text
+        self.pos = 0
+
+    def _skip_ws(self):
+        while self.pos < len(self.text) and self.text[self.pos].isspace():
+            self.pos += 1
+
+    def next(self) -> Optional[str]:
+        self._skip_ws()
+        if self.pos >= len(self.text):
+            return None
+        c = self.text[self.pos]
+        if c in "'\"":
+            end = self.text.index(c, self.pos + 1)
+            tok = self.text[self.pos + 1 : end]
+            self.pos = end + 1
+            return tok
+        if c == "{":
+            depth = 0
+            start = self.pos
+            while self.pos < len(self.text):
+                if self.text[self.pos] == "{":
+                    depth += 1
+                elif self.text[self.pos] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        self.pos += 1
+                        return self.text[start : self.pos]
+                self.pos += 1
+            HError(2619, "HHEd: unterminated { in script")
+        m = re.match(r"\S+", self.text[self.pos :])
+        tok = m.group(0)
+        self.pos += len(tok)
+        return tok
+
+
+def run_script(text: str, ed: Editor):
+    r = _ScriptReader(text)
+    while True:
+        op = r.next()
+        if op is None:
+            return
+        if op == "TR":
+            ed.trace = int(r.next())
+        elif op == "QS":
+            name = r.next()
+            pats_tok = r.next()
+            pats = [p.strip().strip('"') for p in pats_tok.strip("{}").split(",")
+                    if p.strip()]
+            ed.cmd_qs(name, pats)
+        elif op == "RO":
+            thresh = float(r.next())
+            # optional stats file: peek — next token is a path unless it
+            # is another command (2 uppercase letters) or brace
+            save = r.pos
+            nxt = r.next()
+            if nxt is not None and not re.fullmatch(r"[A-Z]{2}", nxt):
+                ed.cmd_ro(thresh, nxt)
+            else:
+                r.pos = save
+                ed.cmd_ro(thresh, None)
+        elif op == "LS":
+            ed.cmd_ls(r.next())
+        elif op == "CL":
+            ed.cmd_cl(r.next())
+        elif op == "TI":
+            macro = r.next()
+            ed.cmd_ti(macro, r.next())
+        elif op == "TB":
+            thresh = float(r.next())
+            macro = r.next()
+            ed.cmd_tb(thresh, macro, r.next())
+        elif op == "AU":
+            ed.cmd_au(r.next())
+        elif op == "ST":
+            ed.cmd_st(r.next())
+        elif op == "LT":
+            ed.cmd_lt(r.next())
+        elif op == "MU":
+            ed.cmd_mu(r.next(), r.next())
+        elif op == "SH":
+            ed.cmd_sh()
+        elif op == "CO":
+            r.next()  # consume list path
+            HRError(2640, "HHEd: CO not yet implemented, ignored")
+        else:
+            HError(2650, "HHEd: unknown command %s", op)
+
+
+def run(argv: List[str]) -> int:
+    ta = parse_args("HHEd", argv, OPTS, min_args=2, usage=USAGE)
+    script_file, hmm_list_file = ta.args[0], ta.args[1]
+    mmfs = ta.get_all("H")
+    if not mmfs:
+        HError(1030, "HHEd: at least one -H mmf required\n%s", USAGE)
+    hset = load_mmf(mmfs)
+    load_hmm_list(hmm_list_file)
+
+    ed = Editor(hset, trace=ta.trace)
+    run_script(open(script_file).read(), ed)
+
+    out_dir = ta.get("M", ".")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, os.path.basename(mmfs[0]))
+    save_mmf(hset, out)
+    if ta.has("w"):
+        with open(ta.get("w"), "w") as f:
+            for nm in hset.hmms:
+                f.write(nm + "\n")
+    if ta.trace:
+        print(f"HHEd: saved {out}")
+    return 0
+
+
+main = tool_main(run)
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -101,8 +101,11 @@ def run(argv: List[str]) -> int:
     out_mlf = MLF() if out_mlf_path else None
 
     if ta.has("w"):
+        from ..algo.net import word_internal_phone_map
+
         lat = read_slf(ta.get("w"))
-        net = compile_network(lat, vocab, comp)
+        pmap = word_internal_phone_map(comp.names)
+        net = compile_network(lat, vocab, comp, phone_map=pmap)
         if ta.trace:
             print(
                 f"HVite: network {net.n_nodes} nodes, {net.n_chains} chains, "

@@ -1,0 +1,144 @@
+"""HHEd model-surgery tests: item lists, MU splitting, TB clustering, AU."""
+
+import numpy as np
+import pytest
+
+from htk_tpu.algo.tree import (Question, build_tree, classify, load_trees,
+                               parse_triphone, save_trees, state_stats)
+from htk_tpu.io.mmf import load_mmf, save_mmf
+from htk_tpu.models.hmmset import compile_hmmset
+from htk_tpu.models.itemlist import parse_item_list
+from htk_tpu.models.proto import clone_proto, make_proto
+from htk_tpu.tools.hhed import Editor, run_script
+
+
+def mono_set(names=("aa", "iy", "sil"), dim=4, seed=0):
+    hs = make_proto(nstates=5, dim=dim, parm_kind="USER")
+    cl = clone_proto(hs, "proto", list(names))
+    rng = np.random.default_rng(seed)
+    for h in cl.hmms.values():
+        for si in h.states:
+            mp = si.streams[0].mixes[0]
+            mp.mean = rng.normal(size=dim).astype(np.float32)
+            mp.var = (0.5 + rng.random(dim)).astype(np.float32)
+            mp.fix_gconst()
+    return cl
+
+
+class TestItemList:
+    def test_patterns(self):
+        hs = mono_set()
+        items = parse_item_list("{*.transP}", hs)
+        assert len(items) == 3 and items[0].kind == "transP"
+        items = parse_item_list("{(aa,iy).state[2-4]}", hs)
+        assert len(items) == 6
+        items = parse_item_list("{*.state[2].mix}", hs)
+        assert len(items) == 3 and items[0].kind == "mix"
+        items = parse_item_list("{sil.state[3]}", hs)
+        assert len(items) == 1 and items[0].state_idx == 3
+
+    def test_triphone_family_pattern(self):
+        hs = mono_set(names=("x-aa+y", "z-aa+w", "aa", "iy"))
+        items = parse_item_list('{("*-aa+*","aa").state[2]}', hs)
+        names = {it.hmm.name for it in items}
+        assert names == {"x-aa+y", "z-aa+w", "aa"}
+
+
+class TestTriphones:
+    def test_parse(self):
+        assert parse_triphone("l-b+r") == ("l", "b", "r")
+        assert parse_triphone("b+r") == (None, "b", "r")
+        assert parse_triphone("l-b") == ("l", "b", None)
+        assert parse_triphone("b") == (None, "b", None)
+
+
+class TestScript:
+    def test_cl_ti_mu(self, tmp_path):
+        hs = mono_set()
+        tri_list = tmp_path / "triphones"
+        tri_list.write_text("aa-iy+sil\nsil-aa+iy\naa\niy\nsil\n")
+        script = (
+            f"CL {tri_list}\n"
+            "TI T_aa {(*-aa+*,aa).transP}\n"
+            "MU 3 {sil.state[2-4].mix}\n"
+        )
+        ed = Editor(hs)
+        run_script(script, ed)
+        assert "aa-iy+sil" in hs.hmms
+        # transP tying: sil-aa+iy shares with aa
+        assert hs.hmms["sil-aa+iy"].transp is hs.hmms["aa"].transp
+        # MU: sil states now have 3 mixtures each, weights sum to 1
+        for si in hs.hmms["sil"].states:
+            se = si.streams[0]
+            assert len(se.mixes) == 3
+            assert sum(se.weights) == pytest.approx(1.0, rel=1e-5)
+        # cloned models compile cleanly
+        compile_hmmset(hs)
+
+    def test_tb_clusters_and_au(self, tmp_path):
+        # 2 groups of triphones of 'aa' with distinct state-2 means
+        names = ["p-aa+x", "b-aa+x", "t-aa+x", "k-aa+x"]
+        hs = mono_set(names=tuple(names) + ("aa",))
+        for nm in names:
+            mp = hs.hmms[nm].states[0].streams[0].mixes[0]
+            # p,b alike; t,k alike
+            base = 10.0 if nm[0] in "pb" else -10.0
+            mp.mean = np.full(4, base, np.float32)
+            mp.var = np.ones(4, np.float32)
+            mp.fix_gconst()
+        ed = Editor(hs)
+        script = (
+            'QS "L_Stop_V" { p-*,b-* }\n'
+            'QS "L_Stop_U" { t-*,k-* }\n'
+            "RO 0.0\n"
+            'TB 10.0 "ST_aa_2_" {(*-aa+*).state[2]}\n'
+            f"ST {tmp_path / 'trees'}\n"
+        )
+        run_script(script, ed)
+        # two clusters expected
+        s2 = {id(hs.hmms[nm].states[0]) for nm in names}
+        assert len(s2) == 2
+        assert hs.hmms["p-aa+x"].states[0] is hs.hmms["b-aa+x"].states[0]
+        assert hs.hmms["t-aa+x"].states[0] is hs.hmms["k-aa+x"].states[0]
+
+        # tree file round-trips
+        qd, trees = load_trees(str(tmp_path / "trees"))
+        assert "L_Stop_V" in qd
+        assert len(trees) == 1
+
+        # AU synthesizes an unseen triphone using the loaded trees
+        unseen = tmp_path / "all_tri"
+        unseen.write_text("g-aa+x\n")
+        ed2 = Editor(hs)
+        ed2.qdict = qd
+        ed2.questions = list(qd.values())
+        ed2.trees = trees
+        ed2.cmd_au(str(unseen))
+        assert "g-aa+x" in hs.hmms
+        # 'g' matches neither question -> follows 'no' branches; state tied
+        # to one of the two leaf macros
+        assert any(
+            hs.hmms["g-aa+x"].states[0] is hs.hmms[nm].states[0] for nm in names
+        )
+
+    def test_tb_threshold_stops_splitting(self):
+        names = ["p-aa+x", "b-aa+x"]
+        hs = mono_set(names=tuple(names))
+        ed = Editor(hs)
+        script = (
+            'QS "L1" { p-* }\n'
+            "TB 1e9 ST_ {(*-aa+*).state[2]}\n"  # impossible threshold
+        )
+        run_script(script, ed)
+        assert hs.hmms["p-aa+x"].states[0] is hs.hmms["b-aa+x"].states[0]
+
+    def test_mmf_roundtrip_after_surgery(self, tmp_path):
+        hs = mono_set()
+        ed = Editor(hs)
+        run_script("MU 2 {*.state[2-4].mix}\nTI T_all {*.transP}\n", ed)
+        p = str(tmp_path / "out.mmf")
+        save_mmf(hs, p)
+        h2 = load_mmf(p)
+        assert h2.hmms["aa"].transp is h2.hmms["iy"].transp
+        assert len(h2.hmms["aa"].states[0].streams[0].mixes) == 2
+        compile_hmmset(h2)

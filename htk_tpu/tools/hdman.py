@@ -1,0 +1,136 @@
+"""HDMan — pronunciation dictionary manager.
+
+Mirrors `HTKTools/HDMan.c`: merges source dictionaries and applies an
+edit script. Implemented commands:
+
+  AS a b ..     append silence model(s) to every pronunciation
+  RS system     remove stress marks (system = cmu: strip trailing digits)
+  MP x a b ..   merge phone sequence a b .. into x
+  DP a b ..     delete the named phones from pronunciations
+  RP x a b ..   replace any of phones a b .. by x
+  SP x          define the phone used by AS etc. [accepted]
+  IR / TC       (not yet implemented, warned)
+
+Usage: HDMan [options] newDict srcDict1 [srcDict2 ...]
+
+  -g script  edit script            -w wordlist  only keep listed words
+  -l fnlog   write log (accepted)   -n phlist    write used-phone list
+  Standard: -A -C -D -S -T -V
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+from ..io.dictionary import Pron, Vocab, read_dict, write_dict
+from ..utils.cli import Option, parse_args, tool_main
+from ..utils.errors import HError, HRError
+
+USAGE = "Usage: HDMan [options] newDict srcDict1 [..]"
+
+OPTS = {
+    "g": Option("g", 1, "edit script"),
+    "w": Option("w", 1, "word list"),
+    "n": Option("n", 1, "output phone list"),
+    "l": Option("l", 1, "log file"),
+    "i": Option("i", 0, "include word output symbols"),
+}
+
+
+def apply_script(v: Vocab, text: str, trace: int = 0) -> None:
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        parts = line.split()
+        op = parts[0].upper()
+        args = parts[1:]
+        if op == "AS":
+            for w in v.words.values():
+                for p in w.prons:
+                    p.phones = p.phones + args
+        elif op == "RS":
+            sysname = args[0] if args else "cmu"
+            for w in v.words.values():
+                for p in w.prons:
+                    p.phones = [re.sub(r"\d+$", "", ph) for ph in p.phones]
+        elif op == "MP":
+            new, seq = args[0], args[1:]
+            n = len(seq)
+            for w in v.words.values():
+                for p in w.prons:
+                    out = []
+                    i = 0
+                    while i < len(p.phones):
+                        if p.phones[i : i + n] == seq:
+                            out.append(new)
+                            i += n
+                        else:
+                            out.append(p.phones[i])
+                            i += 1
+                    p.phones = out
+        elif op == "DP":
+            dels = set(args)
+            for w in v.words.values():
+                for p in w.prons:
+                    p.phones = [ph for ph in p.phones if ph not in dels]
+        elif op == "RP":
+            new, olds = args[0], set(args[1:])
+            for w in v.words.values():
+                for p in w.prons:
+                    p.phones = [new if ph in olds else ph for ph in p.phones]
+        elif op == "SP":
+            pass  # silence phone name — AS args already explicit here
+        else:
+            HRError(14050, "HDMan: unsupported command %s ignored", op)
+
+
+def run(argv: List[str]) -> int:
+    ta = parse_args("HDMan", argv, OPTS, min_args=2, usage=USAGE)
+    out_path = ta.args[0]
+    srcs = ta.args[1:] + ta.script
+
+    merged = Vocab()
+    for s in srcs:
+        v = read_dict(s)
+        for name, w in v.words.items():
+            for p in w.prons:
+                # first dictionary wins for duplicate pronunciations (HTK
+                # merges in order)
+                exists = any(
+                    q.phones == p.phones for q in merged.words.get(
+                        name, type(w)(name=name)).prons
+                ) if name in merged.words else False
+                if not exists:
+                    merged.add_pron(name, p.phones, p.prob, p.out_sym)
+
+    if ta.has("w"):
+        keep = {
+            ln.split()[0]
+            for ln in open(ta.get("w")).read().splitlines()
+            if ln.strip()
+        }
+        missing = keep - set(merged.words)
+        for m in sorted(missing):
+            HRError(14051, "HDMan: word %s not found in sources", m)
+        merged.words = {k: v for k, v in merged.words.items() if k in keep}
+
+    if ta.has("g"):
+        apply_script(merged, open(ta.get("g")).read(), ta.trace)
+
+    write_dict(merged, out_path)
+    if ta.has("n"):
+        phones = sorted({ph for w in merged.words.values()
+                         for p in w.prons for ph in p.phones})
+        with open(ta.get("n"), "w") as f:
+            f.write("\n".join(phones) + "\n")
+    if ta.trace:
+        print(f"HDMan: wrote {len(merged.words)} words to {out_path}")
+    return 0
+
+
+main = tool_main(run)
+
+if __name__ == "__main__":
+    raise SystemExit(main())

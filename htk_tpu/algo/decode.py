@@ -199,7 +199,6 @@ def decode(
 
     words_rev.reverse()
     words, nodes, times, scores = [], [], [], []
-    prev_score = 0.0
     for node, t0, t1 in words_rev:
         out = net.node_out[node]
         sym = net.node_words[node] if out is None else out
@@ -211,3 +210,119 @@ def decode(
     return DecodeResult(
         words=words, word_nodes=nodes, times=times, score=score, scores=scores
     )
+
+
+def generate_lattice(
+    net: DecodeNetwork,
+    comp: CompiledHMMSet,
+    feats: np.ndarray,
+    lm_scale: float = 1.0,
+    word_pen: float = 0.0,
+    lattice_beam: float = 200.0,
+    frame_period_s: float = 0.01,
+    precision: str = "highest",
+):
+    """Decode and emit a word lattice (HVite -z).
+
+    Matches HVite's lattice semantics: one lattice node per (word node,
+    end time) word-link record, each with its single best predecessor
+    (HRec.c LatFromPaths — HVite lattices keep only the best predecessor
+    per record). Records scoring worse than `lattice_beam` below the best
+    record at the same frame are dropped.
+    """
+    from ..io.slf import Lattice, LArc, LNode, NULL_WORD
+
+    T = feats.shape[0]
+    logb, _ = all_state_outp(
+        jnp.asarray(feats, jnp.float32),
+        jnp.asarray(comp.means), jnp.asarray(comp.variances),
+        jnp.asarray(comp.gconsts), jnp.asarray(comp.state_mix),
+        jnp.asarray(comp.state_logw), precision=precision,
+    )
+    outp_states = logb[:, jnp.asarray(net.comp_state)]
+    node_of_state = jnp.asarray(net.node_of_chain[net.chain_of])
+    entry_bonus = jnp.asarray(net.chain_pron_prob[net.chain_of])
+    trans_s = jnp.asarray(net.trans * lm_scale)
+    start_entry = jnp.asarray(net.start_entry * lm_scale)
+
+    (v, wn, wt), (WEs, pwns, pwts) = decode_scan(
+        outp_states, jnp.asarray(net.band), jnp.asarray(net.a0),
+        jnp.asarray(net.aE), node_of_state, entry_bonus, trans_s, start_entry,
+        float(word_pen), net.n_nodes,
+    )
+    WEs = np.asarray(WEs)  # scan step t holds ends at time t-1
+    pwns = np.asarray(pwns)
+    pwts = np.asarray(pwts)
+
+    # final-frame records
+    v = np.asarray(v)
+    wn = np.asarray(wn)
+    wt = np.asarray(wt)
+    nos = np.asarray(node_of_state)
+    e_state = v + np.asarray(net.aE)
+    Nn = net.n_nodes
+    WE_fin = np.full(Nn, LZERO, np.float64)
+    pwn_fin = np.full(Nn, -1, np.int64)
+    pwt_fin = np.full(Nn, -1, np.int64)
+    for s in range(len(e_state)):
+        i = nos[s]
+        if e_state[s] > WE_fin[i]:
+            WE_fin[i] = e_state[s]
+            pwn_fin[i] = wn[s]
+            pwt_fin[i] = wt[s]
+
+    # records table: rec[(node, t)] = (score, pred_node, pred_t)
+    rec = {}
+    for t in range(T - 1):
+        row = WEs[t + 1]  # ends at time t
+        best = row.max()
+        if best <= LSMALL:
+            continue
+        for i in range(Nn):
+            if row[i] > LSMALL and row[i] >= best - lattice_beam:
+                rec[(i, t)] = (float(row[i]), int(pwns[t + 1, i]),
+                               int(pwts[t + 1, i]))
+    bestf = WE_fin.max()
+    for i in range(Nn):
+        if WE_fin[i] > LSMALL and WE_fin[i] >= bestf - lattice_beam:
+            rec[(i, T - 1)] = (float(WE_fin[i]), int(pwn_fin[i]), int(pwt_fin[i]))
+    if not rec:
+        return None
+
+    # keep only records reachable backwards from surviving end records
+    lat = Lattice(lmscale=lm_scale, wdpenalty=word_pen)
+    start_id = 0
+    lat.nodes.append(LNode(id=0, time=0.0, word=NULL_WORD))
+    end_id = 1
+    lat.nodes.append(LNode(id=1, time=T * frame_period_s, word=NULL_WORD))
+    node_id = {}
+    for (i, t) in sorted(rec, key=lambda k: (k[1], k[0])):
+        nid = len(lat.nodes)
+        node_id[(i, t)] = nid
+        lat.nodes.append(
+            LNode(id=nid, time=(t + 1) * frame_period_s,
+                  word=net.node_words[i])
+        )
+    aid = 0
+    end_exit = np.asarray(net.end_exit, np.float64)
+    trans_np = np.asarray(net.trans, np.float64)
+    for (i, t), (score_it, pn, pt) in rec.items():
+        nid = node_id[(i, t)]
+        if pn < 0 or (pn, pt) not in node_id:
+            # from utterance start
+            lm = float(np.asarray(net.start_entry)[i])
+            ac = score_it - lm * lm_scale
+            lat.arcs.append(LArc(id=aid, start=start_id, end=nid,
+                                 aclike=ac, lmlike=lm))
+        else:
+            lm = float(trans_np[pn, i])
+            prev_score = rec[(pn, pt)][0]
+            ac = score_it - prev_score - lm * lm_scale - word_pen
+            lat.arcs.append(LArc(id=aid, start=node_id[(pn, pt)], end=nid,
+                                 aclike=ac, lmlike=lm))
+        aid += 1
+        if t == T - 1 and end_exit[i] > LSMALL:
+            lat.arcs.append(LArc(id=aid, start=nid, end=end_id,
+                                 aclike=0.0, lmlike=float(end_exit[i])))
+            aid += 1
+    return lat

@@ -140,6 +140,7 @@ def fb_utterance(
     tr_seg,  # (Q, Q) int32 flat cells, -1 = cross/invalid
     entry_seg,  # (Q,) int32
     exit_seg,  # (Q,) int32
+    weight=1.0,  # () scalar: accumulator weight (MMI arc posteriors)
     *,
     means,
     variances,
@@ -218,12 +219,13 @@ def fb_utterance(
 
     n_frames = t_real.astype(jnp.float32)
     ok = (logp > LZERO / 2).astype(jnp.float32)  # drop failed utterances
+    w = ok * weight
     accs = Accumulators(
-        occ=occ * ok,
-        sum_x=sum_x * ok,
-        sum_xx=sum_xx * ok,
-        wt_occ=wt_occ * ok,
-        tr=tr * ok,
+        occ=occ * w,
+        sum_x=sum_x * w,
+        sum_xx=sum_xx * w,
+        wt_occ=wt_occ * w,
+        tr=tr * w,
         total_logp=logp * ok,
         total_frames=n_frames * ok,
         n_utts=ok,
@@ -231,15 +233,53 @@ def fb_utterance(
     return logp, accs
 
 
+def loglik_utterance(
+    feats, t_real, comp_state, q_mask, logA, a0, aE,
+    *, means, variances, gconsts, state_mix, state_logw,
+    precision: str = "highest",
+):
+    """Forward-pass log-likelihood only (no accumulation) — the cheap
+    first pass of MMI arc scoring."""
+    Wt, c = pack_gaussians(means, variances, gconsts)
+    mix_lp = mix_scores(feats, Wt, c, precision=precision)
+    st_mix = state_mix[comp_state]
+    st_logw = state_logw[comp_state]
+    gathered = mix_lp[:, jnp.maximum(st_mix, 0)]
+    weighted = jnp.where(st_mix[None] >= 0, gathered + st_logw[None], LZERO)
+    outp = ladd_reduce(weighted, axis=-1)
+    outp = jnp.where(q_mask[None, :], outp, LZERO)
+    alphas = forward_scan(outp, logA, a0, t_real)
+    alpha_last = alphas[jnp.maximum(t_real - 1, 0)]
+    return ladd_reduce(alpha_last + aE, axis=0)
+
+
+def loglik_batch(
+    feats, t_real, comp_state, q_mask, logA, a0, aE,
+    *, means, variances, gconsts, state_mix, state_logw,
+    precision: str = "highest",
+):
+    fn = functools.partial(
+        loglik_utterance,
+        means=means, variances=variances, gconsts=gconsts,
+        state_mix=state_mix, state_logw=state_logw, precision=precision,
+    )
+    return jax.vmap(fn)(feats, t_real, comp_state, q_mask, logA, a0, aE)
+
+
 def fb_batch(
     feats, t_real, comp_state, q_mask, logA, a0, aE, tr_seg, entry_seg, exit_seg,
+    weights=None,
     *, means, variances, gconsts, state_mix, state_logw, n_states, tr_flat,
     precision: str = "highest",
 ):
     """vmapped forward-backward over a padded utterance batch.
 
-    Returns (per-utterance logP (B,), summed Accumulators).
+    `weights` (B,) optionally scales each utterance's accumulators (the
+    MMI lattice-arc posterior weighting). Returns (per-utterance logP
+    (B,), summed Accumulators).
     """
+    if weights is None:
+        weights = jnp.ones(feats.shape[0], feats.dtype)
     fn = functools.partial(
         fb_utterance,
         means=means,
@@ -252,7 +292,8 @@ def fb_batch(
         precision=precision,
     )
     logps, accs = jax.vmap(fn)(
-        feats, t_real, comp_state, q_mask, logA, a0, aE, tr_seg, entry_seg, exit_seg
+        feats, t_real, comp_state, q_mask, logA, a0, aE, tr_seg, entry_seg,
+        exit_seg, weights,
     )
     summed = jax.tree.map(lambda a: jnp.sum(a, axis=0), accs)
     return logps, summed

@@ -1,0 +1,177 @@
+"""Word-lattice operations: best path, posteriors, pruning.
+
+Mirrors `HTKLib/HLat.c` (LatFindBest/LatPrune + the forward-backward that
+HFBLat runs at lattice level): plain DAG dynamic programming over arcs in
+topological order. Host-side — lattices are thousands of arcs at most;
+the heavy per-arc acoustics run on device elsewhere.
+
+Arc score = aclike + lmscale * lmlike + wdpenalty (penalty applied to
+arcs that terminate a word instance, i.e. whose end node carries a word).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..io.slf import Lattice, LArc, LNode, NULL_WORD
+from ..utils.errors import HError
+from ..utils.logmath import LZERO
+
+NEG = -1.0e30
+
+
+def topo_order(lat: Lattice) -> List[int]:
+    """Topological node order (Kahn); errors on cycles (8253)."""
+    n_in: Dict[int, int] = {n.id: 0 for n in lat.nodes}
+    out: Dict[int, List[LArc]] = {n.id: [] for n in lat.nodes}
+    for a in lat.arcs:
+        n_in[a.end] += 1
+        out[a.start].append(a)
+    queue = [nid for nid, c in n_in.items() if c == 0]
+    order = []
+    while queue:
+        nid = queue.pop()
+        order.append(nid)
+        for a in out[nid]:
+            n_in[a.end] -= 1
+            if n_in[a.end] == 0:
+                queue.append(a.end)
+    if len(order) != len(lat.nodes):
+        HError(8253, "topo_order: lattice contains a cycle")
+    return order
+
+
+def _arc_score(lat: Lattice, a: LArc, words_of: Dict[int, Optional[str]],
+               lmscale: float, wdpenalty: float, acscale: float = 1.0) -> float:
+    s = acscale * a.aclike + lmscale * a.lmlike
+    w = a.word if a.word is not None else words_of.get(a.end)
+    if w and w != NULL_WORD:
+        s += wdpenalty
+    return s
+
+
+def best_path(lat: Lattice, lmscale: Optional[float] = None,
+              wdpenalty: Optional[float] = None):
+    """1-best path; returns (score, [(word, time, arc)] in order)."""
+    lmscale = lat.lmscale if lmscale is None else lmscale
+    wdpenalty = lat.wdpenalty if wdpenalty is None else wdpenalty
+    words_of = {n.id: n.word for n in lat.nodes}
+    order = topo_order(lat)
+    start = lat.start_node()
+    end = lat.end_node()
+    score: Dict[int, float] = {n.id: NEG for n in lat.nodes}
+    back: Dict[int, Optional[LArc]] = {n.id: None for n in lat.nodes}
+    score[start] = 0.0
+    in_arcs: Dict[int, List[LArc]] = {n.id: [] for n in lat.nodes}
+    for a in lat.arcs:
+        in_arcs[a.end].append(a)
+    for nid in order:
+        for a in in_arcs[nid]:
+            s = score[a.start] + _arc_score(lat, a, words_of, lmscale, wdpenalty)
+            if s > score[nid]:
+                score[nid] = s
+                back[nid] = a
+    if score[end] <= NEG / 2:
+        return NEG, []
+    path = []
+    nid = end
+    while back[nid] is not None:
+        a = back[nid]
+        w = a.word if a.word is not None else words_of.get(a.end)
+        t = next(n.time for n in lat.nodes if n.id == a.end)
+        if w and w != NULL_WORD:
+            path.append((w, t, a))
+        nid = a.start
+    path.reverse()
+    return score[end], path
+
+
+def arc_posteriors(lat: Lattice, lmscale: Optional[float] = None,
+                   wdpenalty: Optional[float] = None, acscale: float = 1.0):
+    """Log posterior per arc via DAG forward-backward (logsumexp semiring).
+
+    Returns (total_logp, {arc_id: log gamma_a}).
+    """
+    lmscale = lat.lmscale if lmscale is None else lmscale
+    wdpenalty = lat.wdpenalty if wdpenalty is None else wdpenalty
+    words_of = {n.id: n.word for n in lat.nodes}
+    order = topo_order(lat)
+    start = lat.start_node()
+    end = lat.end_node()
+    in_arcs: Dict[int, List[LArc]] = {n.id: [] for n in lat.nodes}
+    out_arcs: Dict[int, List[LArc]] = {n.id: [] for n in lat.nodes}
+    for a in lat.arcs:
+        in_arcs[a.end].append(a)
+        out_arcs[a.start].append(a)
+
+    def lsum(vals):
+        vals = [v for v in vals if v > NEG / 2]
+        if not vals:
+            return NEG
+        hi = max(vals)
+        return hi + math.log(sum(math.exp(v - hi) for v in vals))
+
+    alpha: Dict[int, float] = {n.id: NEG for n in lat.nodes}
+    alpha[start] = 0.0
+    for nid in order:
+        if in_arcs[nid]:
+            alpha[nid] = lsum(
+                [alpha[a.start]
+                 + _arc_score(lat, a, words_of, lmscale, wdpenalty, acscale)
+                 for a in in_arcs[nid]]
+            )
+    beta: Dict[int, float] = {n.id: NEG for n in lat.nodes}
+    beta[end] = 0.0
+    for nid in reversed(order):
+        if out_arcs[nid]:
+            beta[nid] = lsum(
+                [beta[a.end]
+                 + _arc_score(lat, a, words_of, lmscale, wdpenalty, acscale)
+                 for a in out_arcs[nid]]
+            )
+    total = alpha[end]
+    post = {}
+    for a in lat.arcs:
+        s = _arc_score(lat, a, words_of, lmscale, wdpenalty, acscale)
+        post[a.id] = alpha[a.start] + s + beta[a.end] - total
+    return total, post
+
+
+def prune(lat: Lattice, beam: float, lmscale: Optional[float] = None,
+          wdpenalty: Optional[float] = None) -> Lattice:
+    """Posterior-beam pruning (HLat.c LatPrune role)."""
+    total, post = arc_posteriors(lat, lmscale, wdpenalty)
+    keep_arcs = [a for a in lat.arcs if post[a.id] >= -beam]
+    used = {a.start for a in keep_arcs} | {a.end for a in keep_arcs}
+    out = Lattice(
+        nodes=[n for n in lat.nodes if n.id in used],
+        arcs=keep_arcs,
+        utterance=lat.utterance,
+        lmscale=lat.lmscale,
+        wdpenalty=lat.wdpenalty,
+    )
+    return out
+
+
+def apply_lm(lat: Lattice, lm, context: int = 2) -> Lattice:
+    """Replace arc LM scores with a new n-gram LM (HLRescore -n role).
+
+    Bigram only in this round: each word arc's lmlike becomes
+    ln P(word(end) | word(prev)) where prev is the nearest word on the
+    best-known left context — exact for lattices whose nodes carry a
+    single word (HVite output), since the predecessor node determines
+    the context. [LC] Trigram expansion is a later round.
+    """
+    words_of = {n.id: n.word for n in lat.nodes}
+    for a in lat.arcs:
+        w2 = a.word if a.word is not None else words_of.get(a.end)
+        if not w2 or w2 == NULL_WORD:
+            continue
+        w1 = words_of.get(a.start)
+        if w1 is None or w1 == NULL_WORD:
+            w1 = "!ENTER"
+        a.lmlike = lm.logp_bi(w1, w2)
+    return lat

@@ -1,0 +1,254 @@
+"""HMMIRest — MMI discriminative training (lattice-based EBW).
+
+Mirrors `HTKTools/HMMIRest.c` (SURVEY.md §3.5): numerator (reference) and
+denominator (recognition-lattice) occupancies accumulate separately, then
+Extended Baum-Welch updates the Gaussians.
+
+TPU-shaped lattice forward-backward (HArc/HFBLat role): every word arc of
+the denominator lattice becomes a mini-utterance (its pronunciation's
+phone chain over its time span); arcs batch through the same FB scans as
+HERest, a host-side DAG forward-backward turns per-arc log-likelihoods
+into arc posteriors, and a second weighted FB pass accumulates
+gamma-scaled statistics. Exact for HVite-style time-marked lattices.
+
+Deviation from HTK: lattices here are *word* lattices (HVite -z output)
+plus a dictionary (-d), instead of HTK's phone-marked lattices; the
+phone-level information HTK pre-marks is recovered by per-arc alignment
+on the fly. [LC]
+
+Usage: HMMIRest [options] hmmList trainFiles...
+
+  -H mmf   load HMM macro file (repeatable)   -M dir  output directory
+  -q dir   numerator lattice dir (else -I MLF transcriptions are used)
+  -r dir   denominator lattice dir (required)
+  -d dict  dictionary for word->phone expansion
+  -I mlf   numerator transcriptions (phone level, as HERest)
+  -s f     LM scale for lattice posteriors (default 1.0)
+  -u tmvw  update flags (accepted; EBW updates m,v,w)
+  Config (HMMIREST module): E (default 2.0), ISMOOTHTAU (default 0),
+  MINVAR
+  Standard: -A -C -D -S -T -V
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..algo.composite import build_composite
+from ..algo.ebw import EBWConfig, ebw_update
+from ..algo.fb import zero_accs
+from ..algo.latops import arc_posteriors
+from ..algo.trainer import Trainer, UttData, pad_batch, prepare_utterance
+from ..io.dictionary import read_dict
+from ..io.mlf import MLF, find_labels
+from ..io.mmf import load_hmm_list, load_mmf, save_mmf
+from ..io.slf import NULL_WORD, read_slf
+from ..models.hmmset import compile_hmmset, write_back
+from ..utils.cli import Option, parse_args, tool_main
+from ..utils.errors import HError, HRError
+from ._common import force_platform_from_env, open_speech_file
+
+USAGE = "Usage: HMMIRest [options] hmmList trainFiles..."
+
+OPTS = {
+    "H": Option("H", 1, "load MMF", repeatable=True),
+    "M": Option("M", 1, "output directory"),
+    "q": Option("q", 1, "numerator lattice dir"),
+    "r": Option("r", 1, "denominator lattice dir"),
+    "d": Option("d", 1, "dictionary"),
+    "I": Option("I", 1, "numerator MLF", repeatable=True),
+    "L": Option("L", 1, "label dir"),
+    "X": Option("X", 1, "label ext"),
+    "s": Option("s", 1, "LM scale", typ=float),
+    "u": Option("u", 1, "update flags"),
+}
+
+
+def lattice_arc_utts(lat, vocab, comp, feats, period, stem):
+    """Word arcs -> (utterance list, arc ids) for batched FB."""
+    words_of = {n.id: n.word for n in lat.nodes}
+    times_of = {n.id: n.time for n in lat.nodes}
+    utts = []
+    arc_ids = []
+    T = feats.shape[0]
+    for a in lat.arcs:
+        w = a.word if a.word is not None else words_of.get(a.end)
+        if not w or w == NULL_WORD:
+            continue
+        t0 = int(round(times_of[a.start] * 1e7 / period))
+        t1 = int(round(times_of[a.end] * 1e7 / period))
+        t0 = max(0, min(t0, T - 1))
+        t1 = max(t0 + 1, min(t1, T))
+        wd = vocab.get(w)
+        if wd is None:
+            HRError(8621, "HMMIRest: word %s not in dictionary", w)
+            continue
+        phones = wd.prons[0].phones
+        try:
+            ids = [comp.model_id(p) for p in phones]
+        except Exception:
+            continue
+        hmm = build_composite(comp, ids)
+        if t1 - t0 < hmm.n_states // max(len(phones), 1):
+            t1 = min(T, t0 + max(hmm.n_states, 1))
+        utts.append(UttData(name=f"{stem}:{a.id}", feats=feats[t0:t1], hmm=hmm))
+        arc_ids.append(a.id)
+    return utts, arc_ids
+
+
+def accumulate_lattice(lat, vocab, comp, trainer, feats, period, stem,
+                       lm_scale, total):
+    """Arc-posterior-weighted accumulation for one lattice."""
+    import jax.numpy as jnp
+    from ..algo.fb import fb_batch, loglik_batch
+    from ..algo.trainer import make_batches
+
+    utts, arc_ids = lattice_arc_utts(lat, vocab, comp, feats, period, stem)
+    if not utts:
+        return total, 0.0
+    name_to_arc = dict(zip([u.name for u in utts], arc_ids))
+
+    # pass 1: per-arc log-likelihood
+    arc_ll = {}
+    params = trainer.params()
+    for batch in make_batches(utts, 16):
+        arrs = pad_batch(batch, comp.n_states)
+        lls = loglik_batch(
+            jnp.asarray(arrs["feats"]), jnp.asarray(arrs["t_real"]),
+            jnp.asarray(arrs["comp_state"]), jnp.asarray(arrs["q_mask"]),
+            jnp.asarray(arrs["logA"]), jnp.asarray(arrs["a0"]),
+            jnp.asarray(arrs["aE"]),
+            means=params[0], variances=params[1], gconsts=params[2],
+            state_mix=params[3], state_logw=params[4],
+        )
+        for u, ll in zip(batch, np.asarray(lls)[: len(batch)]):
+            arc_ll[name_to_arc[u.name]] = float(ll)
+
+    # lattice-level FB with recomputed acoustics
+    for a in lat.arcs:
+        if a.id in arc_ll:
+            a.aclike = arc_ll[a.id]
+    logp, post = arc_posteriors(lat, lmscale=lm_scale, wdpenalty=0.0)
+
+    # pass 2: gamma-weighted accumulation
+    for batch in make_batches(utts, 16):
+        arrs = pad_batch(batch, comp.n_states)
+        weights = np.zeros(arrs["feats"].shape[0], np.float32)
+        for i, u in enumerate(batch):
+            g = post.get(name_to_arc[u.name], -1e30)
+            weights[i] = float(np.exp(min(g, 0.0))) if g > -30 else 0.0
+        logps, accs = fb_batch(
+            jnp.asarray(arrs["feats"]), jnp.asarray(arrs["t_real"]),
+            jnp.asarray(arrs["comp_state"]), jnp.asarray(arrs["q_mask"]),
+            jnp.asarray(arrs["logA"]), jnp.asarray(arrs["a0"]),
+            jnp.asarray(arrs["aE"]), jnp.asarray(arrs["tr_seg"]),
+            jnp.asarray(arrs["entry_seg"]), jnp.asarray(arrs["exit_seg"]),
+            jnp.asarray(weights),
+            means=params[0], variances=params[1], gconsts=params[2],
+            state_mix=params[3], state_logw=params[4],
+            n_states=comp.n_states, tr_flat=trainer.tr_flat,
+        )
+        import jax
+
+        total = jax.tree.map(lambda a, b: a + b, total, accs)
+    return total, logp
+
+
+def run(argv: List[str]) -> int:
+    force_platform_from_env()
+    ta = parse_args("HMMIRest", argv, OPTS, min_args=1, usage=USAGE)
+    cfg = ta.config
+    hmm_list_file = ta.args[0]
+    files = ta.script + ta.args[1:]
+    if not files:
+        HError(1030, "HMMIRest: no training files\n%s", USAGE)
+    mmfs = ta.get_all("H")
+    if not mmfs:
+        HError(1030, "HMMIRest: at least one -H mmf required")
+    if not ta.has("r"):
+        HError(1030, "HMMIRest: denominator lattice dir (-r) required")
+
+    hset = load_mmf(mmfs)
+    load_hmm_list(hmm_list_file)
+    comp = compile_hmmset(hset)
+    vocab = read_dict(ta.get("d")) if ta.has("d") else None
+    mlfs = [MLF.load(p) for p in ta.get_all("I")]
+    lm_scale = float(ta.get("s", 1.0) or 1.0)
+
+    ecfg = EBWConfig(
+        e=cfg.flt_("E", 2.0, module="HMMIREST"),
+        tau_i=cfg.flt_("ISMOOTHTAU", 0.0, module="HMMIREST"),
+        min_var=cfg.flt_("MINVAR", 1e-6, module="HMMIREST"),
+    )
+
+    trainer = Trainer(comp)
+    num_total = zero_accs(comp.n_mix, comp.dim, comp.n_states, comp.max_mix,
+                          trainer.tr_flat)
+    den_total = zero_accs(comp.n_mix, comp.dim, comp.n_states, comp.max_mix,
+                          trainer.tr_flat)
+
+    import jax
+
+    period = int(cfg.flt_("TARGETRATE", 100000.0, module="HPARM"))
+    for fn in files:
+        data, _p, _k, e = open_speech_file(fn, cfg)
+        stem = os.path.splitext(os.path.basename(e.logical))[0]
+
+        # numerator
+        if ta.has("q"):
+            num_lat = read_slf(os.path.join(ta.get("q"), f"{stem}.lat"))
+            if vocab is None:
+                HError(1030, "HMMIRest: -q lattices need a dictionary (-d)")
+            num_total, _ = accumulate_lattice(
+                num_lat, vocab, comp, trainer, data, period, stem, lm_scale,
+                num_total,
+            )
+        else:
+            tr = find_labels(e.logical, mlfs, ta.get("L"), ta.get("X", "lab"))
+            names = [l.name for l in tr.labels]
+            utt = prepare_utterance(comp, stem, data, names)
+            accs = trainer.accumulate([utt])
+            num_total = jax.tree.map(lambda a, b: a + b, num_total, accs)
+
+        # denominator
+        den_path = os.path.join(ta.get("r"), f"{stem}.lat")
+        if not os.path.exists(den_path):
+            HRError(12030, "HMMIRest: no denominator lattice for %s", stem)
+            continue
+        den_lat = read_slf(den_path)
+        if vocab is None:
+            HError(1030, "HMMIRest: word lattices need a dictionary (-d)")
+        den_total, den_lp = accumulate_lattice(
+            den_lat, vocab, comp, trainer, data, period, stem, lm_scale,
+            den_total,
+        )
+        if ta.trace >= 2:
+            print(f"  {stem}: den logP {den_lp:.2f}")
+
+    num_lp = float(np.asarray(num_total.total_logp))
+    den_occ = float(np.asarray(den_total.occ).sum())
+    num_occ = float(np.asarray(num_total.occ).sum())
+    if ta.trace:
+        print(f"HMMIRest: num occ {num_occ:.1f}, den occ {den_occ:.1f}, "
+              f"num logP {num_lp:.2f}")
+
+    var_floor = hset.macros["v"].get("varFloor1")
+    m, v, w = ebw_update(comp, num_total, den_total, ecfg, var_floor)
+    write_back(comp, means=m, variances=v, weights=w)
+
+    out_dir = ta.get("M", ".")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, os.path.basename(mmfs[0]))
+    save_mmf(hset, out)
+    if ta.trace:
+        print(f"HMMIRest: saved {out}")
+    return 0
+
+
+main = tool_main(run)
+
+if __name__ == "__main__":
+    raise SystemExit(main())

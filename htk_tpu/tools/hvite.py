@@ -63,6 +63,8 @@ OPTS = {
     "b": Option("b", 1, "boundary word"),
     "o": Option("o", 1, "output label format flags"),
     "n": Option("n", 2, "n-best (accepted)", typ=int),
+    "z": Option("z", 1, "output lattices with this extension"),
+    "q": Option("q", 1, "lattice output format flags (accepted)"),
 }
 
 FRAME_100NS = 100000  # 10ms frames in 100ns units (from TARGETRATE)
@@ -111,9 +113,24 @@ def run(argv: List[str]) -> int:
                 f"HVite: network {net.n_nodes} nodes, {net.n_chains} chains, "
                 f"{net.n_states} states"
             )
+        lat_ext = ta.get("z")
+        lat_beam = cfg.flt_("LATTICEBEAM", 200.0, module="HREC") or 200.0
         for fn in files:
             data, _p, _k, e = open_speech_file(fn, cfg)
             res = decode(net, comp, data, lm_scale, word_pen)
+            if lat_ext:
+                from ..algo.decode import generate_lattice
+                from ..io.slf import write_slf
+
+                lat = generate_lattice(
+                    net, comp, data, lm_scale, word_pen, lattice_beam=lat_beam,
+                    frame_period_s=period / 1e7,
+                )
+                if lat is not None:
+                    stem = os.path.splitext(os.path.basename(e.logical))[0]
+                    lat.utterance = stem
+                    lat_path = os.path.join(out_dir or ".", f"{stem}.{lat_ext}")
+                    write_slf(lat, lat_path)
             tr = Transcription(alternatives=[[]])
             if res is None:
                 HRError(8522, "HVite: no tokens survived for %s", e.logical)

@@ -1,0 +1,204 @@
+"""Speaker adaptation: MLLR mean, CMLLR (constrained), MAP.
+
+Mirrors `HTKLib/HAdapt.c` / `HTKLib/HMap.c` (SURVEY.md §2.1):
+
+- **MLLR mean**: mu' = A mu + b = W xi, xi = [1; mu]. W solves row-wise
+  W_i = G_i^{-1} k_i with
+    G_i = sum_m (gamma_m / sigma^2_mi) xi_m xi_m^T
+    k_i = sum_m (sumx_mi / sigma^2_mi) xi_m
+  — needs only the per-Gaussian occupancy and first-order accumulators
+  that standard Baum-Welch already produces (fb.Accumulators).
+
+- **CMLLR**: feature transform x' = A x + b maximising the constrained
+  likelihood; estimated row-by-row with the cofactor iteration
+  (HAdapt.c's closed-form row update with the log|A| term). Needs
+  second-order data statistics, accumulated on device by cmllr_stats().
+
+- **MAP**: mu_map = (tau*mu0 + sumx) / (tau + occ) (HMap.c), wired into
+  reestimation via map_tau.
+
+Transforms store/load as TMF files using HTK's macro syntax (~a blocks);
+the body layout follows HTK's MLLRMEAN/CMLLR xform kinds in simplified
+form [LC — byte-level parity with HTK TMFs unverified, reference absent].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..models.hmmset import CompiledHMMSet
+from ..utils.errors import HError
+from .fb import Accumulators
+
+
+@dataclass
+class Transform:
+    kind: str  # "MLLRMEAN" | "CMLLR"
+    A: np.ndarray  # (D, D)
+    b: np.ndarray  # (D,)
+
+    def apply_to_means(self, means: np.ndarray) -> np.ndarray:
+        if self.kind != "MLLRMEAN":
+            HError(7450, "apply_to_means: transform kind %s", self.kind)
+        return means @ self.A.T + self.b[None, :]
+
+    def apply_to_features(self, feats: np.ndarray) -> np.ndarray:
+        if self.kind != "CMLLR":
+            HError(7450, "apply_to_features: transform kind %s", self.kind)
+        return feats @ self.A.T + self.b[None, :]
+
+
+def estimate_mllr_mean(comp: CompiledHMMSet, accs: Accumulators,
+                       min_occ: float = 1e-2) -> Transform:
+    """Global MLLR mean transform from standard FB accumulators."""
+    occ = np.asarray(accs.occ, np.float64)
+    sum_x = np.asarray(accs.sum_x, np.float64)
+    mu = comp.means.astype(np.float64)
+    var = comp.variances.astype(np.float64)
+    M, D = mu.shape
+    if occ.sum() < min_occ:
+        HError(7440, "estimate_mllr_mean: no adaptation data")
+
+    xi = np.concatenate([np.ones((M, 1)), mu], axis=1)  # (M, D+1)
+    W = np.zeros((D, D + 1))
+    for i in range(D):
+        w_m = occ / var[:, i]  # (M,)
+        G = (xi * w_m[:, None]).T @ xi  # (D+1, D+1)
+        k = (sum_x[:, i] / var[:, i]) @ xi  # (D+1,)
+        G += np.eye(D + 1) * 1e-6  # ridge for unseen dims
+        W[i] = np.linalg.solve(G, k)
+    return Transform(kind="MLLRMEAN", A=W[:, 1:].copy(), b=W[:, 0].copy())
+
+
+# -- CMLLR ------------------------------------------------------------------
+
+
+@dataclass
+class CMLLRStats:
+    """Row statistics for CMLLR: G (D, D+1, D+1), k (D, D+1), beta."""
+
+    G: np.ndarray
+    k: np.ndarray
+    beta: float
+
+
+def cmllr_stats_from_gammas(
+    feats: np.ndarray,  # (T, D)
+    gamma: np.ndarray,  # (T, M) per-Gaussian posteriors
+    means: np.ndarray,
+    variances: np.ndarray,
+) -> CMLLRStats:
+    """Accumulate CMLLR row stats for one utterance (host or device-fed).
+
+      G_i = sum_t c_i(t) xi(t) xi(t)^T,  c_i(t) = sum_m gamma_m(t)/var_mi
+      k_i = sum_t [sum_m gamma_m(t) mu_mi / var_mi] xi(t)
+    """
+    T, D = feats.shape
+    xi = np.concatenate([np.ones((T, 1)), feats], axis=1)  # (T, D+1)
+    inv_var = 1.0 / variances.astype(np.float64)  # (M, D)
+    c = gamma @ inv_var  # (T, D)
+    mv = gamma @ (means.astype(np.float64) * inv_var)  # (T, D)
+    G = np.einsum("ti,ta,tb->iab", c, xi, xi, optimize=True)
+    k = np.einsum("ti,ta->ia", mv, xi, optimize=True)
+    return CMLLRStats(G=G, k=k, beta=float(gamma.sum()))
+
+
+def estimate_cmllr(stats: CMLLRStats, n_iter: int = 20) -> Transform:
+    """Row-by-row CMLLR estimation with cofactor quadratic (HAdapt.c)."""
+    D = stats.k.shape[0]
+    W = np.concatenate([np.zeros((D, 1)), np.eye(D)], axis=1)  # init identity
+    Ginv = [np.linalg.inv(stats.G[i] + np.eye(D + 1) * 1e-6) for i in range(D)]
+    beta = stats.beta
+    for _ in range(n_iter):
+        for i in range(D):
+            A = W[:, 1:]
+            cof = np.linalg.inv(A).T * np.linalg.det(A)  # cofactor matrix
+            p = np.concatenate([[0.0], cof[i]])  # extended cofactor row
+            pG = p @ Ginv[i]
+            kG = stats.k[i] @ Ginv[i]
+            a_q = pG @ p
+            b_q = pG @ stats.k[i]
+            # solve alpha: beta/alpha... maximise Q => alpha^2 a + alpha b - beta = 0
+            disc = b_q * b_q + 4.0 * a_q * beta
+            if a_q <= 0 or disc < 0:
+                continue
+            alpha1 = (-b_q + np.sqrt(disc)) / (2 * a_q)
+            alpha2 = (-b_q - np.sqrt(disc)) / (2 * a_q)
+
+            def obj(alpha):
+                w = (alpha * p + stats.k[i]) @ Ginv[i]
+                det_term = w @ p
+                if det_term <= 0:
+                    return -np.inf
+                return beta * np.log(abs(det_term)) - 0.5 * w @ stats.G[i] @ w + w @ stats.k[i]
+
+            alpha = alpha1 if obj(alpha1) >= obj(alpha2) else alpha2
+            W[i] = (alpha * p + stats.k[i]) @ Ginv[i]
+    return Transform(kind="CMLLR", A=W[:, 1:].copy(), b=W[:, 0].copy())
+
+
+def map_update(
+    comp: CompiledHMMSet, accs: Accumulators, tau: float,
+    min_occ: float = 1e-3,
+) -> np.ndarray:
+    """MAP mean update (HMap.c): mu = (tau*mu0 + sumx)/(tau + occ)."""
+    occ = np.asarray(accs.occ, np.float64)
+    sum_x = np.asarray(accs.sum_x, np.float64)
+    mu0 = comp.means.astype(np.float64)
+    mu = (tau * mu0 + sum_x) / (tau + occ[:, None])
+    mu = np.where(occ[:, None] > min_occ, mu, mu0)
+    return mu.astype(np.float32)
+
+
+# -- TMF I/O ----------------------------------------------------------------
+
+
+def save_tmf(path: str, name: str, xf: Transform) -> None:
+    D = xf.A.shape[0]
+    with open(path, "w") as f:
+        f.write(f'~a "{name}"\n')
+        f.write(f"<ADAPTKIND> {xf.kind}\n")
+        f.write(f"<VECSIZE> {D}\n")
+        f.write(f"<BIAS> {D}\n")
+        f.write(" " + " ".join("%.6e" % v for v in xf.b) + "\n")
+        f.write(f"<XFORM> {D} {D}\n")
+        for row in xf.A:
+            f.write(" " + " ".join("%.6e" % v for v in row) + "\n")
+
+
+def load_tmf(path: str) -> Tuple[str, Transform]:
+    toks = open(path).read().split()
+    name = "unnamed"
+    kind = "MLLRMEAN"
+    i = 0
+    b = None
+    A = None
+    D = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "~a":
+            name = toks[i + 1].strip('"')
+            i += 2
+        elif t == "<ADAPTKIND>":
+            kind = toks[i + 1]
+            i += 2
+        elif t == "<VECSIZE>":
+            D = int(toks[i + 1])
+            i += 2
+        elif t == "<BIAS>":
+            n = int(toks[i + 1])
+            b = np.array([float(x) for x in toks[i + 2 : i + 2 + n]])
+            i += 2 + n
+        elif t == "<XFORM>":
+            r, c = int(toks[i + 1]), int(toks[i + 2])
+            vals = [float(x) for x in toks[i + 3 : i + 3 + r * c]]
+            A = np.array(vals).reshape(r, c)
+            i += 3 + r * c
+        else:
+            i += 1
+    if A is None or b is None:
+        HError(7460, "load_tmf: malformed transform file %s", path)
+    return name, Transform(kind=kind, A=A, b=b)

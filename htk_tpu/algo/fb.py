@@ -233,6 +233,41 @@ def fb_utterance(
     return logp, accs
 
 
+def mix_posteriors_utterance(
+    feats, t_real, comp_state, q_mask, logA, a0, aE,
+    *, means, variances, gconsts, state_mix, state_logw,
+    precision: str = "highest",
+):
+    """Per-frame physical-Gaussian posteriors gamma (T, M) for one
+    utterance — the adaptation-statistics front half of fb_utterance."""
+    T, D = feats.shape
+    M = means.shape[0]
+    maxmix = state_mix.shape[1]
+    Q = comp_state.shape[0]
+    Wt, c = pack_gaussians(means, variances, gconsts)
+    mix_lp = mix_scores(feats, Wt, c, precision=precision)
+    st_mix = state_mix[comp_state]
+    st_logw = state_logw[comp_state]
+    gathered = mix_lp[:, jnp.maximum(st_mix, 0)]
+    weighted = jnp.where(st_mix[None] >= 0, gathered + st_logw[None], LZERO)
+    outp = ladd_reduce(weighted, axis=-1)
+    outp = jnp.where(q_mask[None, :], outp, LZERO)
+    betas = backward_scan(outp, logA, aE, t_real)
+    alphas = forward_scan(outp, logA, a0, t_real)
+    alpha_last = alphas[jnp.maximum(t_real - 1, 0)]
+    logp = ladd_reduce(alpha_last + aE, axis=0)
+    t_mask = (jnp.arange(T) < t_real).astype(feats.dtype)
+    gamma = alphas + betas - logp
+    l_log = gamma[:, :, None] + st_logw[None] + gathered - outp[:, :, None]
+    l_log = jnp.where(st_mix[None] >= 0, l_log, LZERO)
+    L = exp_or_zero(l_log) * t_mask[:, None, None]  # (T, Q, maxmix)
+    flat_mix = jnp.where(st_mix >= 0, st_mix, M).reshape(-1)
+    # scatter (T, Q*maxmix) -> (T, M)
+    Lf = L.reshape(T, Q * maxmix)
+    gamma_m = jax.ops.segment_sum(Lf.T, flat_mix, M + 1)[:M].T  # (T, M)
+    return logp, gamma_m
+
+
 def loglik_utterance(
     feats, t_real, comp_state, q_mask, logA, a0, aE,
     *, means, variances, gconsts, state_mix, state_logw,

@@ -56,6 +56,10 @@ OPTS = {
     "s": Option("s", 1, "stats file"),
     "d": Option("d", 1, "hmm definition directory"),
     "b": Option("b", 1, "batch size", typ=int),
+    "K": Option("K", 1, "output transform dir (estimate adaptation)"),
+    "J": Option("J", 1, "input transform dir"),
+    "a": Option("a", 0, "apply input transforms"),
+    "h": Option("h", 1, "speaker mask (accepted; global transform)"),
 }
 
 
@@ -106,6 +110,9 @@ def run(argv: List[str]) -> int:
     batch_size = int(ta.get("b", 8) or 8)
 
     if p_mode == 0:
+        if ta.has("K"):
+            HError(1030, "HERest: -K transform estimation needs utterance "
+                         "mode, not -p 0 accumulator combining")
         if not extra:
             HError(1030, "HERest: -p 0 needs accumulator files")
         accs = sum_accs([load_accs(p) for p in extra])
@@ -148,9 +155,65 @@ def run(argv: List[str]) -> int:
             f"{tl / max(tf, 1.0):.5f} ({nu} utterances, {int(tf)} frames)"
         )
 
-    m, v, w, t = reestimate(comp, accs, flags, var_floor=var_floor,
-                            min_var=min_var)
-    write_back(comp, means=m, variances=v, weights=w, transps=t)
+    if ta.has("K"):
+        # transform estimation mode (HERest adaptation): estimate a global
+        # transform from the accumulators and save a TMF; models unchanged.
+        from ..algo.adapt import (cmllr_stats_from_gammas, estimate_cmllr,
+                                  estimate_mllr_mean, save_tmf)
+
+        kind = (cfg.str_("TRANSKIND", "MLLRMEAN", module="HADAPT")
+                or "MLLRMEAN").upper()
+        out_xf_dir = ta.get("K")
+        os.makedirs(out_xf_dir, exist_ok=True)
+        if kind == "MLLRMEAN":
+            xf = estimate_mllr_mean(comp, accs)
+        elif kind == "CMLLR":
+            import jax.numpy as jnp
+            from ..algo.fb import mix_posteriors_utterance
+            from ..algo.trainer import pad_batch
+
+            stats = None
+            params = trainer.params()
+            for u in utts:
+                arrs = pad_batch([u], comp.n_states)
+                _lp, gam = mix_posteriors_utterance(
+                    jnp.asarray(arrs["feats"][0]), jnp.asarray(arrs["t_real"][0]),
+                    jnp.asarray(arrs["comp_state"][0]), jnp.asarray(arrs["q_mask"][0]),
+                    jnp.asarray(arrs["logA"][0]), jnp.asarray(arrs["a0"][0]),
+                    jnp.asarray(arrs["aE"][0]),
+                    means=params[0], variances=params[1], gconsts=params[2],
+                    state_mix=params[3], state_logw=params[4],
+                )
+                T = u.feats.shape[0]
+                s = cmllr_stats_from_gammas(
+                    u.feats.astype(np.float64), np.asarray(gam)[:T],
+                    comp.means, comp.variances,
+                )
+                if stats is None:
+                    stats = s
+                else:
+                    stats.G += s.G
+                    stats.k += s.k
+                    stats.beta += s.beta
+            xf = estimate_cmllr(stats)
+        else:
+            HError(7450, "HERest: unsupported TRANSKIND %s", kind)
+        tmf_path = os.path.join(out_xf_dir, "global.tmf")
+        save_tmf(tmf_path, "global", xf)
+        if ta.trace:
+            print(f"HERest: estimated {kind} transform -> {tmf_path}")
+        return 0
+
+    map_tau = cfg.flt_("MAPTAU", 0.0, module="HMAP") or 0.0
+    if map_tau > 0:
+        from ..algo.adapt import map_update
+
+        m = map_update(comp, accs, map_tau)
+        write_back(comp, means=m)
+    else:
+        m, v, w, t = reestimate(comp, accs, flags, var_floor=var_floor,
+                                min_var=min_var)
+        write_back(comp, means=m, variances=v, weights=w, transps=t)
 
     if ta.has("s"):
         write_stats_file(ta.get("s"), hset, comp, accs)

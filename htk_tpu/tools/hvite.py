@@ -65,6 +65,9 @@ OPTS = {
     "n": Option("n", 2, "n-best (accepted)", typ=int),
     "z": Option("z", 1, "output lattices with this extension"),
     "q": Option("q", 1, "lattice output format flags (accepted)"),
+    "J": Option("J", 1, "input transform dir", repeatable=True),
+    "k": Option("k", 0, "use input transforms"),
+    "h": Option("h", 1, "speaker mask (accepted; global transform)"),
 }
 
 FRAME_100NS = 100000  # 10ms frames in 100ns units (from TARGETRATE)
@@ -90,6 +93,28 @@ def run(argv: List[str]) -> int:
         HError(1030, "HVite: at least one -H mmf required")
     hset = load_mmf(mmfs)
     comp = compile_hmmset(hset)
+
+    # input adaptation transforms (-J dir): global TMF applied to the
+    # model means (MLLRMEAN) or to incoming features (CMLLR)
+    feat_xf = None
+    for xf_dir in ta.get_all("J"):
+        import glob as _glob
+
+        for tmf in sorted(_glob.glob(os.path.join(xf_dir, "*.tmf"))):
+            from ..algo.adapt import load_tmf
+
+            _name, xf = load_tmf(tmf)
+            if xf.kind == "MLLRMEAN":
+                new_means = xf.apply_to_means(comp.means)
+                from ..models.hmmset import write_back
+
+                write_back(comp, means=new_means)
+                if ta.trace:
+                    print(f"HVite: applied MLLR mean transform {tmf}")
+            elif xf.kind == "CMLLR":
+                feat_xf = xf
+                if ta.trace:
+                    print(f"HVite: using CMLLR feature transform {tmf}")
     vocab = read_dict(dict_file)
     load_hmm_list(hmm_list_file)  # validated for parity; comp holds models
 
@@ -117,6 +142,8 @@ def run(argv: List[str]) -> int:
         lat_beam = cfg.flt_("LATTICEBEAM", 200.0, module="HREC") or 200.0
         for fn in files:
             data, _p, _k, e = open_speech_file(fn, cfg)
+            if feat_xf is not None:
+                data = feat_xf.apply_to_features(data).astype(data.dtype)
             res = decode(net, comp, data, lm_scale, word_pen)
             if lat_ext:
                 from ..algo.decode import generate_lattice
@@ -150,6 +177,8 @@ def run(argv: List[str]) -> int:
         bound = ta.get("b")
         for fn in files:
             data, _p, _k, e = open_speech_file(fn, cfg)
+            if feat_xf is not None:
+                data = feat_xf.apply_to_features(data).astype(data.dtype)
             wtr = find_labels(e.logical, mlfs, label_dir, label_ext)
             words = [l.name for l in wtr.labels]
             if bound:

@@ -1,0 +1,117 @@
+"""Adaptation tests: MLLR mean recovery, CMLLR, MAP, TMF round-trip."""
+
+import numpy as np
+import pytest
+
+from htk_tpu.algo.adapt import (Transform, cmllr_stats_from_gammas,
+                                estimate_cmllr, estimate_mllr_mean, load_tmf,
+                                map_update, save_tmf)
+from htk_tpu.algo.fb import Accumulators
+from htk_tpu.algo.trainer import Trainer, prepare_utterance
+
+from test_fb import small_set
+
+
+def accs_for_shift(comp, shift, occ_per_mix=50.0):
+    """Synthetic accumulators as if all data were means+shift."""
+    M, D = comp.n_mix, comp.dim
+    S, mm = comp.state_mix.shape
+    occ = np.full(M, occ_per_mix, np.float32)
+    target = comp.means + shift
+    return Accumulators(
+        occ=occ,
+        sum_x=(occ[:, None] * target).astype(np.float32),
+        sum_xx=(occ[:, None] * (target**2 + comp.variances)).astype(np.float32),
+        wt_occ=np.full((S, mm), occ_per_mix, np.float32),
+        tr=np.zeros(comp.log_transp.size, np.float32),
+        total_logp=np.float32(0.0),
+        total_frames=np.float32(occ_per_mix * M),
+        n_utts=np.float32(1.0),
+    )
+
+
+class TestMLLR:
+    def test_recovers_bias_shift(self):
+        comp = small_set(nmix=1, seed=10)
+        shift = np.array([1.0, -2.0, 0.5], np.float32)
+        accs = accs_for_shift(comp, shift)
+        xf = estimate_mllr_mean(comp, accs)
+        # transform should map old means onto shifted ones
+        got = xf.apply_to_means(comp.means)
+        np.testing.assert_allclose(got, comp.means + shift, atol=1e-3)
+
+    def test_recovers_linear_transform(self):
+        comp = small_set(nmix=2, seed=11)
+        A = np.array([[1.1, 0.1, 0.0], [0.0, 0.9, -0.1], [0.05, 0.0, 1.05]])
+        b = np.array([0.3, -0.2, 0.1])
+        target = comp.means @ A.T + b
+        M = comp.n_mix
+        occ = np.full(M, 30.0, np.float32)
+        S, mm = comp.state_mix.shape
+        accs = Accumulators(
+            occ=occ,
+            sum_x=(occ[:, None] * target).astype(np.float32),
+            sum_xx=(occ[:, None] * (target**2 + comp.variances)).astype(np.float32),
+            wt_occ=np.full((S, mm), 30.0, np.float32),
+            tr=np.zeros(comp.log_transp.size, np.float32),
+            total_logp=np.float32(0), total_frames=np.float32(0),
+            n_utts=np.float32(1),
+        )
+        xf = estimate_mllr_mean(comp, accs)
+        np.testing.assert_allclose(xf.A, A, atol=5e-2)
+        np.testing.assert_allclose(xf.b, b, atol=5e-2)
+
+    def test_tmf_roundtrip(self, tmp_path):
+        xf = Transform(kind="MLLRMEAN",
+                       A=np.eye(3, dtype=np.float64) * 1.1,
+                       b=np.array([0.1, 0.2, 0.3]))
+        p = str(tmp_path / "g.tmf")
+        save_tmf(p, "global", xf)
+        name, xf2 = load_tmf(p)
+        assert name == "global"
+        assert xf2.kind == "MLLRMEAN"
+        np.testing.assert_allclose(xf2.A, xf.A, rtol=1e-5)
+        np.testing.assert_allclose(xf2.b, xf.b, rtol=1e-5)
+
+
+class TestCMLLR:
+    def test_recovers_feature_shift(self):
+        """Model-dispersed data shifted by a known offset: CMLLR finds
+        A ~ I and b ~ -offset. (Needs more Gaussians than the D*(D+1)
+        transform parameters, and noise matched to the model variances —
+        under-dispersed data makes CMLLR legitimately scale A up, since
+        the log|A| term implements variance adaptation.)"""
+        comp = small_set(nmix=3, seed=12)  # 12 Gaussians > 12 params
+        rng = np.random.default_rng(0)
+        offset = np.array([0.8, -0.5, 0.3])
+        T = 1200
+        M = comp.n_mix
+        gamma = np.zeros((T, M))
+        feats = np.zeros((T, comp.dim))
+        for t in range(T):
+            m = t % M
+            gamma[t, m] = 1.0
+            feats[t] = (
+                comp.means[m] + offset
+                + np.sqrt(comp.variances[m]) * rng.normal(size=comp.dim)
+            )
+        stats = cmllr_stats_from_gammas(feats, gamma, comp.means, comp.variances)
+        xf = estimate_cmllr(stats, n_iter=50)
+        np.testing.assert_allclose(xf.A, np.eye(3), atol=0.15)
+        np.testing.assert_allclose(xf.b, -offset, atol=0.25)
+
+
+class TestMAP:
+    def test_map_interpolates(self):
+        comp = small_set(nmix=1, seed=13)
+        shift = 2.0
+        accs = accs_for_shift(comp, shift, occ_per_mix=10.0)
+        m_small_tau = map_update(comp, accs, tau=1.0)
+        m_big_tau = map_update(comp, accs, tau=1000.0)
+        # small tau ~ ML (full shift); big tau ~ prior (no shift)
+        assert np.abs(m_small_tau - (comp.means + shift)).mean() < 0.3
+        assert np.abs(m_big_tau - comp.means).mean() < 0.1
+        # exact formula check
+        occ = 10.0
+        want = (5.0 * comp.means + occ * (comp.means + shift)) / (5.0 + occ)
+        np.testing.assert_allclose(map_update(comp, accs, 5.0), want, atol=1e-4)

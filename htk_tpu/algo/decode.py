@@ -133,16 +133,24 @@ def decode(
     lm_scale: float = 1.0,
     word_pen: float = 0.0,
     precision: str = "highest",
+    state_scores: Optional[np.ndarray] = None,
 ) -> Optional[DecodeResult]:
-    """Decode one utterance; returns None if no complete path survives."""
+    """Decode one utterance; returns None if no complete path survives.
+
+    `state_scores` (T, S_phys) optionally replaces the GMM observation
+    model — the hybrid-decoding hook (ANN log-posterior/prior scores).
+    """
     T = feats.shape[0]
-    # physical-state likelihoods once, then gather per network state
-    logb, _ = all_state_outp(
-        jnp.asarray(feats, jnp.float32),
-        jnp.asarray(comp.means), jnp.asarray(comp.variances),
-        jnp.asarray(comp.gconsts), jnp.asarray(comp.state_mix),
-        jnp.asarray(comp.state_logw), precision=precision,
-    )  # (T, S_phys)
+    if state_scores is not None:
+        logb = jnp.asarray(state_scores, jnp.float32)
+    else:
+        # physical-state likelihoods once, then gather per network state
+        logb, _ = all_state_outp(
+            jnp.asarray(feats, jnp.float32),
+            jnp.asarray(comp.means), jnp.asarray(comp.variances),
+            jnp.asarray(comp.gconsts), jnp.asarray(comp.state_mix),
+            jnp.asarray(comp.state_logw), precision=precision,
+        )  # (T, S_phys)
     outp_states = logb[:, jnp.asarray(net.comp_state)]  # (T, Ns)
 
     node_of_state = jnp.asarray(net.node_of_chain[net.chain_of])

@@ -68,6 +68,7 @@ OPTS = {
     "J": Option("J", 1, "input transform dir", repeatable=True),
     "k": Option("k", 0, "use input transforms"),
     "h": Option("h", 1, "speaker mask (accepted; global transform)"),
+    "N": Option("N", 1, "ANN file for hybrid decoding"),
 }
 
 FRAME_100NS = 100000  # 10ms frames in 100ns units (from TARGETRATE)
@@ -140,11 +141,24 @@ def run(argv: List[str]) -> int:
             )
         lat_ext = ta.get("z")
         lat_beam = cfg.flt_("LATTICEBEAM", 200.0, module="HREC") or 200.0
+        ann = None
+        if ta.has("N"):
+            from ..models.ann import load_ann
+
+            ann = load_ann(ta.get("N"))
+            if ta.trace:
+                print(f"HVite: hybrid decoding with ANN {ta.get('N')}")
         for fn in files:
             data, _p, _k, e = open_speech_file(fn, cfg)
             if feat_xf is not None:
                 data = feat_xf.apply_to_features(data).astype(data.dtype)
-            res = decode(net, comp, data, lm_scale, word_pen)
+            state_scores = None
+            if ann is not None:
+                from ..algo.nnet import hybrid_outp
+
+                state_scores = np.asarray(hybrid_outp(ann, data))
+            res = decode(net, comp, data, lm_scale, word_pen,
+                         state_scores=state_scores)
             if lat_ext:
                 from ..algo.decode import generate_lattice
                 from ..io.slf import write_slf

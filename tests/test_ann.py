@@ -1,0 +1,69 @@
+"""ANN stack tests: forward/splice, training convergence, file round-trip."""
+
+import numpy as np
+import pytest
+
+from htk_tpu.algo.nnet import SGDConfig, hybrid_outp, make_cache, train_ann
+from htk_tpu.models.ann import (ANNDef, Layer, ann_params, forward, init_ann,
+                                load_ann, save_ann, splice)
+
+
+class TestForward:
+    def test_splice(self):
+        import jax.numpy as jnp
+
+        x = jnp.arange(12.0).reshape(4, 3)
+        s = splice(x, 1)
+        assert s.shape == (4, 9)
+        # first frame: left context clamps to frame 0
+        np.testing.assert_allclose(np.asarray(s[0]), [0, 1, 2, 0, 1, 2, 3, 4, 5])
+
+    def test_forward_shapes(self):
+        ann = init_ann("t", in_dim=6, hidden=[16], out_dim=5, context=2)
+        x = np.random.default_rng(0).normal(size=(10, 6)).astype(np.float32)
+        out = hybrid_outp(ann, x, prior_scale=0.0)
+        assert out.shape == (10, 5)
+        # log posteriors normalise
+        np.testing.assert_allclose(np.exp(np.asarray(out)).sum(1), 1.0, rtol=1e-4)
+
+
+class TestTraining:
+    def test_learns_separable_targets(self):
+        rng = np.random.default_rng(1)
+        # 3 classes at distinct centroids
+        feats, targets = [], []
+        for k in range(3):
+            f = (rng.normal(size=(100, 4)) + 4 * k).astype(np.float32)
+            feats.append(f)
+            targets.append(np.full(100, k, np.int32))
+        ann = init_ann("t", in_dim=4, hidden=[16], out_dim=3, context=0,
+                       activation="RELU", seed=0)
+        x, y = make_cache(feats, targets, context=0)
+        cfg = SGDConfig(lr=0.05, n_epochs=12, batch_size=32, seed=0)
+        train_ann(ann, x, y, cfg)
+        out = np.asarray(hybrid_outp(ann, np.concatenate(feats), prior_scale=0.0))
+        acc = (out.argmax(1) == y).mean()
+        assert acc > 0.95
+        assert ann.target_priors is not None
+        np.testing.assert_allclose(ann.target_priors.sum(), 1.0, rtol=1e-5)
+
+    def test_file_roundtrip(self, tmp_path):
+        ann = init_ann("net", in_dim=5, hidden=[8, 8], out_dim=4, context=1)
+        ann.target_priors = np.array([0.1, 0.2, 0.3, 0.4], np.float32)
+        ann.target_names = ["a", "b", "c", "d"]
+        p = str(tmp_path / "ann")
+        save_ann(ann, p)
+        a2 = load_ann(p)
+        assert a2.context == 1
+        assert len(a2.layers) == 3
+        assert a2.layers[-1].activation == "SOFTMAX"
+        np.testing.assert_allclose(a2.layers[0].weight, ann.layers[0].weight,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(a2.target_priors, ann.target_priors,
+                                   rtol=1e-5)
+        assert a2.target_names == ["a", "b", "c", "d"]
+        # outputs identical after round-trip
+        x = np.random.default_rng(2).normal(size=(6, 5)).astype(np.float32)
+        o1 = np.asarray(hybrid_outp(ann, x))
+        o2 = np.asarray(hybrid_outp(a2, x))
+        np.testing.assert_allclose(o1, o2, atol=1e-5)

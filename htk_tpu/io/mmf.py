@@ -474,12 +474,40 @@ class _Parser:
                 HError(7050, "MMF parse: unsupported macro type ~%s", mac)
 
 
+_BMMF_MAGIC = b"#!HTK-TPU-BMMF!#"
+
+
 def load_mmf(paths, hset: Optional[HMMSet] = None) -> HMMSet:
-    """Load one or more MMF files into an HMMSet (HModel.c : LoadHMMSet)."""
+    """Load one or more MMF files into an HMMSet (HModel.c : LoadHMMSet).
+
+    Binary MMFs (written with -B) are auto-detected by magic. [LC] The
+    binary layout is this framework's own (pickled structure preserving
+    macro sharing), not HTK's ':'-code binary — flagged in the header so
+    a mismatch fails loudly rather than misparsing.
+    """
     if isinstance(paths, str):
         paths = [paths]
     hset = hset or HMMSet()
     for p in paths:
+        try:
+            head = open(p, "rb").read(len(_BMMF_MAGIC))
+        except OSError as e:
+            HError(7010, "load_mmf: cannot open %s (%s)", p, e)
+        if head == _BMMF_MAGIC:
+            import pickle
+
+            with open(p, "rb") as f:
+                f.read(len(_BMMF_MAGIC))
+                other: HMMSet = pickle.load(f)
+            hset.vec_size = hset.vec_size or other.vec_size
+            hset.parm_kind = hset.parm_kind or other.parm_kind
+            hset.cov_kind = other.cov_kind
+            hset.dur_kind = other.dur_kind
+            hset.stream_widths = hset.stream_widths or other.stream_widths
+            hset.hmms.update(other.hmms)
+            for mac, table in other.macros.items():
+                hset.macros.setdefault(mac, {}).update(table)
+            continue
         try:
             text = open(p, "r").read()
         except OSError as e:
@@ -655,7 +683,18 @@ class _Writer:
             self.write_hmm(h)
 
 
-def save_mmf(hset: HMMSet, path: str) -> None:
-    """Write the complete HMMSet as one MMF (HModel.c : SaveHMMSet)."""
+def save_mmf(hset: HMMSet, path: str, binary: bool = False) -> None:
+    """Write the complete HMMSet as one MMF (HModel.c : SaveHMMSet).
+
+    binary=True (the tools' -B flag) writes the fast binary form — see
+    load_mmf for the format caveat.
+    """
+    if binary:
+        import pickle
+
+        with open(path, "wb") as f:
+            f.write(_BMMF_MAGIC)
+            pickle.dump(hset, f, protocol=4)
+        return
     with open(path, "w") as f:
         _Writer(hset, f).write_all()

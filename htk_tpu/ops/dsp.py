@@ -243,6 +243,79 @@ def lifter_vector(num_ceps: int, L: int) -> np.ndarray:
     return (1.0 + (L / 2.0) * np.sin(math.pi * j / L)).astype(np.float32)
 
 
+def equal_loudness(cfg: FrontendConfig) -> np.ndarray:
+    """Equal-loudness weights at the mel channel centres (HSigP InitPLP)."""
+    fft_n = cfg.fft_n
+    nby2 = fft_n // 2
+    fres = 1.0e7 / (cfg.samp_period * fft_n * 700.0)
+    max_chan = cfg.num_chans + 1
+    mlo = _mel(cfg.lo_freq) if cfg.lo_freq >= 0 else 0.0
+    mhi = (_mel(cfg.hi_freq) if cfg.hi_freq > 0
+           else 1127.0 * math.log(1.0 + nby2 * fres))
+    eql = np.zeros(cfg.num_chans)
+    for chan in range(1, cfg.num_chans + 1):
+        cf_mel = (chan / max_chan) * (mhi - mlo) + mlo
+        f_hz = 700.0 * (math.exp(cf_mel / 1127.0) - 1.0)
+        fsq = f_hz * f_hz
+        fsub = fsq / (fsq + 1.6e5)
+        eql[chan - 1] = fsub * fsub * ((fsq + 1.44e6) / (fsq + 9.61e6))
+    return eql.astype(np.float32)
+
+
+def plp_idft_matrix(num_chans: int, lpc_order: int) -> np.ndarray:
+    """(num_chans+2, lpc_order+1) IDFT for auditory-spectrum -> autocorr.
+
+    HSigP InitPLP's cosine table over the symmetrised 2*(numChans+1)-point
+    spectrum (edge channels duplicated).
+    """
+    n_auto = lpc_order + 1
+    pts = num_chans + 2  # with duplicated edges
+    twoN = 2.0 * (num_chans + 1)
+    M = np.zeros((pts, n_auto))
+    for i in range(n_auto):
+        for j in range(pts):
+            w = 1.0 if j in (0, pts - 1) else 2.0
+            M[j, i] = w * math.cos(math.pi * i * j / (num_chans + 1))
+    return (M / twoN).astype(np.float32)
+
+
+def _durbin(autoc: jnp.ndarray, order: int):
+    """Levinson-Durbin over a batch: autoc (T, order+1) -> (lpc (T, order), E).
+
+    HSigP.c Durbin(), vectorised over frames with a Python loop over the
+    (small, static) order.
+    """
+    T = autoc.shape[0]
+    E = autoc[:, 0]
+    a = jnp.zeros((T, order + 1), autoc.dtype)  # a[:, 1..order]
+    for i in range(1, order + 1):
+        acc = autoc[:, i]
+        for j in range(1, i):
+            acc = acc - a[:, j] * autoc[:, i - j]
+        k = acc / jnp.maximum(E, 1e-20)
+        new_a = a.at[:, i].set(k)
+        for j in range(1, i):
+            new_a = new_a.at[:, j].set(a[:, j] - k * a[:, i - j])
+        a = new_a
+        E = E * (1.0 - k * k)
+    return a[:, 1:], E
+
+
+def _lpc_to_cepstra(lpc: jnp.ndarray, n_ceps: int, gain: jnp.ndarray):
+    """LPC -> cepstra (HSigP.c LPC2Cepstrum):
+
+      c[n] = -(a[n] + (1/n) sum_{i=1..n-1} (n-i) a[i] c[n-i]),  a[n>p] = 0
+    """
+    T, p = lpc.shape
+    c = jnp.zeros((T, n_ceps + 1), lpc.dtype)
+    for n in range(1, n_ceps + 1):
+        acc = lpc[:, n - 1] if n <= p else jnp.zeros(T, lpc.dtype)
+        for i in range(1, min(n, p + 1)):
+            acc = acc + ((n - i) / n) * lpc[:, i - 1] * c[:, n - i]
+        c = c.at[:, n].set(-acc)
+    return c[:, 1:]
+
+
 def regression_matrix(n_frames: int, win: int, simple_diffs: bool = False) -> np.ndarray:
     """(T, T) matrix R with deltas = R @ x (HParm.c : Regress()).
 
@@ -317,6 +390,8 @@ class _Tables:
     dct: np.ndarray
     lifter: np.ndarray
     hamming: np.ndarray
+    eql: np.ndarray
+    plp_idft: np.ndarray
 
 
 @functools.lru_cache(maxsize=64)
@@ -329,6 +404,8 @@ def _tables(cfg: FrontendConfig) -> _Tables:
         dct=dct_matrix(cfg.num_chans, cfg.num_ceps),
         lifter=lifter_vector(cfg.num_ceps, cfg.cep_lifter),
         hamming=ham,
+        eql=equal_loudness(cfg),
+        plp_idft=plp_idft_matrix(cfg.num_chans, cfg.lpc_order),
     )
 
 
@@ -355,10 +432,12 @@ def _statics_from_frames(frames: jnp.ndarray, cfg: FrontendConfig, tbl: _Tables)
     win_e = jnp.sum(x * x, axis=1)
     log_e = jnp.log(jnp.maximum(raw_e if cfg.raw_energy else win_e, 1e-20))
 
+    base = cfg.base_str
     fft_n = cfg.fft_n
     spec = jnp.fft.rfft(x, n=fft_n, axis=1)
     mag = jnp.abs(spec).astype(jnp.float32)  # (T, fft_n//2+1)
-    if cfg.use_power:
+    # PLP always uses the power spectrum (HParm.c forces usePower for PLP)
+    if cfg.use_power or base == "PLP":
         mag = mag * mag
 
     # precision="highest" keeps these parity-critical matmuls in true f32
@@ -367,7 +446,7 @@ def _statics_from_frames(frames: jnp.ndarray, cfg: FrontendConfig, tbl: _Tables)
     fbank = jnp.matmul(mag, jnp.asarray(tbl.mel_w), precision="highest")
     log_fbank = jnp.log(jnp.maximum(fbank, 1.0))  # melFloor = 1.0
 
-    base = cfg.base_str
+    gain = None  # LPC/PLP model gain, used for _0
     cols = []
     if base == "MELSPEC":
         cols.append(fbank)
@@ -377,12 +456,43 @@ def _statics_from_frames(frames: jnp.ndarray, cfg: FrontendConfig, tbl: _Tables)
         ceps = jnp.matmul(log_fbank, jnp.asarray(tbl.dct), precision="highest")
         ceps = ceps * jnp.asarray(tbl.lifter)
         cols.append(ceps)
+    elif base == "PLP":
+        # HSigP.c FBank2PLP: equal loudness -> cube-root compression ->
+        # IDFT to autocorrelation -> Durbin -> LPC cepstra -> lifter
+        aspec = fbank * jnp.asarray(tbl.eql)[None, :]
+        aspec = jnp.power(jnp.maximum(aspec, 1e-10), cfg.comp_factor)
+        padded = jnp.concatenate([aspec[:, :1], aspec, aspec[:, -1:]], axis=1)
+        autoc = jnp.matmul(padded, jnp.asarray(tbl.plp_idft),
+                           precision="highest")  # (T, p+1)
+        lpc, E = _durbin(autoc, cfg.lpc_order)
+        ceps = _lpc_to_cepstra(lpc, cfg.num_ceps, E)
+        ceps = ceps * jnp.asarray(tbl.lifter)
+        cols.append(ceps)
+        gain = jnp.log(jnp.maximum(E, 1e-20))
+    elif base in ("LPC", "LPCEPSTRA"):
+        # time-domain autocorrelation of the windowed frame (Wave2LPC)
+        p = cfg.lpc_order
+        autoc = jnp.stack(
+            [jnp.sum(x[:, : x.shape[1] - k] * x[:, k:], axis=1)
+             for k in range(p + 1)], axis=1,
+        )
+        lpc, E = _durbin(autoc, p)
+        if base == "LPC":
+            cols.append(lpc)
+        else:
+            ceps = _lpc_to_cepstra(lpc, cfg.num_ceps, E)
+            ceps = ceps * jnp.asarray(tbl.lifter)
+            cols.append(ceps)
+        gain = jnp.log(jnp.maximum(E, 1e-20))
     else:
         HError(6320, "Frontend: TARGETKIND base %s not yet device-supported", base)
 
     if pk.has_qual(cfg.target_kind, pk.HASZEROC):
-        mfnorm = math.sqrt(2.0 / cfg.num_chans)
-        c0 = jnp.sum(log_fbank, axis=1, keepdims=True) * mfnorm
+        if gain is not None:
+            c0 = gain[:, None]
+        else:
+            mfnorm = math.sqrt(2.0 / cfg.num_chans)
+            c0 = jnp.sum(log_fbank, axis=1, keepdims=True) * mfnorm
         cols.append(c0)
     if pk.has_qual(cfg.target_kind, pk.HASENERGY):
         cols.append(log_e[:, None])

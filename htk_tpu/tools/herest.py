@@ -220,7 +220,7 @@ def run(argv: List[str]) -> int:
 
     os.makedirs(out_dir, exist_ok=True)
     out_mmf = os.path.join(out_dir, os.path.basename(mmfs[0]))
-    save_mmf(hset, out_mmf)
+    save_mmf(hset, out_mmf, binary=ta.binary)
     if ta.trace:
         print(f"HERest: saved {out_mmf}")
     return 0

@@ -449,7 +449,7 @@ def run(argv: List[str]) -> int:
     out_dir = ta.get("M", ".")
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, os.path.basename(mmfs[0]))
-    save_mmf(hset, out)
+    save_mmf(hset, out, binary=ta.binary)
     if ta.has("w"):
         with open(ta.get("w"), "w") as f:
             for nm in hset.hmms:

@@ -242,7 +242,7 @@ def run(argv: List[str]) -> int:
     out_dir = ta.get("M", ".")
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, os.path.basename(mmfs[0]))
-    save_mmf(hset, out)
+    save_mmf(hset, out, binary=ta.binary)
     if ta.trace:
         print(f"HMMIRest: saved {out}")
     return 0

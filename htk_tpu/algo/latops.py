@@ -156,6 +156,78 @@ def prune(lat: Lattice, beam: float, lmscale: Optional[float] = None,
     return out
 
 
+def best_path_trigram(lat: Lattice, lm, lmscale: float = 1.0,
+                      wdpenalty: float = 0.0,
+                      sent_start: str = "!ENTER"):
+    """Exact trigram best path over a word-on-nodes lattice.
+
+    DP over *arcs* (an arc fixes the last two word contexts when words
+    sit on nodes), the second pass of the HDecode two-pass architecture:
+    wide-beam bigram search produces the lattice, this walks it with the
+    full trigram. Returns (score, [(word, time)]).
+    """
+    words_of = {n.id: n.word for n in lat.nodes}
+    times_of = {n.id: n.time for n in lat.nodes}
+    order = topo_order(lat)
+    pos = {nid: i for i, nid in enumerate(order)}
+    start = lat.start_node()
+    end = lat.end_node()
+
+    def word_at(nid):
+        w = words_of.get(nid)
+        return None if (w is None or w == NULL_WORD) else w
+
+    in_arcs: Dict[int, List[LArc]] = {n.id: [] for n in lat.nodes}
+    for a in lat.arcs:
+        in_arcs[a.end].append(a)
+
+    # arc-state DP: score[arc.id], back[arc.id]
+    score: Dict[int, float] = {}
+    back: Dict[int, Optional[int]] = {}
+    ctx1: Dict[int, str] = {}  # last word after traversing this arc
+    ctx2: Dict[int, str] = {}  # word before that
+    arcs_by_end_pos = sorted(lat.arcs, key=lambda a: pos[a.end])
+    for a in arcs_by_end_pos:
+        w = word_at(a.end)
+        preds = in_arcs[a.start]
+        cands = []
+        if a.start == start or not preds:
+            c2, c1 = sent_start, sent_start
+            lmp = lm.logp_tri(c2, c1, w) if w else 0.0
+            s = a.aclike + lmscale * lmp + (wdpenalty if w else 0.0)
+            cands.append((s, None, c1 if not w else w, c1))
+        for p in preds:
+            if p.id not in score:
+                continue
+            c1, c2 = ctx1[p.id], ctx2[p.id]
+            lmp = lm.logp_tri(c2, c1, w) if w else 0.0
+            s = score[p.id] + a.aclike + lmscale * lmp + (wdpenalty if w else 0.0)
+            cands.append((s, p.id, w if w else c1, c1 if w else c2))
+        if not cands:
+            continue
+        s, b, n1, n2 = max(cands, key=lambda t: t[0])
+        score[a.id] = s
+        back[a.id] = b
+        ctx1[a.id] = n1
+        ctx2[a.id] = n2
+
+    finals = [a for a in lat.arcs if a.end == end and a.id in score]
+    if not finals:
+        return NEG, []
+    best = max(finals, key=lambda a: score[a.id])
+    path = []
+    aid = best.id
+    arcs_by_id = {a.id: a for a in lat.arcs}
+    while aid is not None:
+        a = arcs_by_id[aid]
+        w = word_at(a.end)
+        if w:
+            path.append((w, times_of[a.end]))
+        aid = back[aid]
+    path.reverse()
+    return score[best.id], path
+
+
 def apply_lm(lat: Lattice, lm, context: int = 2) -> Lattice:
     """Replace arc LM scores with a new n-gram LM (HLRescore -n role).
 

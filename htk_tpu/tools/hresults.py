@@ -122,7 +122,11 @@ def run(argv: List[str]) -> int:
     # rec files may be label files or MLFs
     rec_entries: List[Tuple[str, List[str]]] = []
     for rf in rec_files:
-        if open(rf).readline().strip() == "#!MLF!#":
+        try:
+            first = open(rf).readline().strip()
+        except OSError as e:
+            HError(3310, "HResults: cannot open %s (%s)", rf, e)
+        if first == "#!MLF!#":
             m = MLF.load(rf)
             for pattern, tr in m.entries:
                 rec_entries.append((pattern, [l.name for l in tr.labels]))

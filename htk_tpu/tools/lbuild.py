@@ -1,0 +1,171 @@
+"""LBuild — n-gram language model construction.
+
+Mirrors `HLMTools/LBuild` (+ LGBase/LPCalc roles): counts n-grams from
+word-level text/MLF data and builds a back-off LM in ARPA format with
+Good-Turing or absolute discounting.
+
+Usage: LBuild [options] wordMap outLM trainFiles...
+
+  -n N     LM order (1-3, default 2)
+  -c N     count cutoff threshold (default 1)
+  -d s     discount scheme: GT (Good-Turing) | ABS (absolute, default)
+  -a f     absolute discount constant (default 0.5)
+  -u f     unigram floor count (default 1)
+  Standard: -A -C -D -S -T -V
+
+The word map argument accepts either an HLM word-map file or a plain word
+list; words outside it still count (closed-vocab filtering is LSubset's
+job, kept simple here).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import List
+
+from ..io.lm import LN10, NGramLM, write_arpa
+from ..io.mlf import MLF
+from ..utils.cli import Option, parse_args, tool_main
+from ..utils.errors import HError
+
+USAGE = "Usage: LBuild [options] wordMap outLM trainFiles..."
+
+OPTS = {
+    "n": Option("n", 1, "LM order", typ=int),
+    "c": Option("c", 1, "count cutoff", typ=int),
+    "d": Option("d", 1, "discount scheme"),
+    "a": Option("a", 1, "absolute discount", typ=float),
+    "u": Option("u", 1, "unigram floor", typ=float),
+}
+
+ENTER, EXIT = "<s>", "</s>"
+
+
+def read_sentences(path: str) -> List[List[str]]:
+    first = open(path).readline().strip()
+    if first == "#!MLF!#":
+        m = MLF.load(path)
+        return [[l.name for l in tr.labels] for _pat, tr in m.entries]
+    sents = []
+    for ln in open(path):
+        ws = ln.split()
+        if ws:
+            sents.append(ws)
+    return sents
+
+
+def good_turing_discount(counts: Counter, max_r: int = 7):
+    """Katz-style GT discount coefficients d_r for r < max_r (LPCalc)."""
+    n_r = Counter(counts.values())
+    d = {}
+    for r in range(1, max_r):
+        n1, nr, nr1 = n_r.get(1, 0), n_r.get(r, 0), n_r.get(r + 1, 0)
+        nk = n_r.get(max_r, 0)
+        if nr == 0 or n1 == 0:
+            d[r] = 1.0
+            continue
+        # Katz: d_r = (r*_r/r - k)/(1-k), r* = (r+1) n_{r+1}/n_r
+        k = (max_r * nk) / n1 if n1 else 0.0
+        rstar = (r + 1) * nr1 / nr
+        denom = 1.0 - k
+        d[r] = max(((rstar / r) - k) / denom, 1e-3) if denom > 0 else 1.0
+    return d
+
+
+def build_lm(sents, order=2, cutoff=1, scheme="ABS", disc=0.5, ufloor=1.0):
+    uni = Counter()
+    bi = Counter()
+    tri = Counter()
+    for s in sents:
+        seq = [ENTER] + s + [EXIT]
+        for w in seq:
+            uni[w] += 1
+        for a, b in zip(seq, seq[1:]):
+            bi[(a, b)] += 1
+        if order >= 3:
+            for a, b, c in zip(seq, seq[1:], seq[2:]):
+                tri[(a, b, c)] += 1
+
+    lm = NGramLM(order=order)
+    tot = sum(max(c, ufloor) for c in uni.values())
+    uni_p = {w: max(c, ufloor) / tot for w, c in uni.items()}
+
+    gt_bi = good_turing_discount(bi) if scheme == "GT" else None
+
+    def disc_count(c, gt):
+        if scheme == "GT":
+            return c * gt.get(c, 1.0) if c < 7 else float(c)
+        return max(c - disc, 0.0)
+
+    if order >= 2:
+        for w1 in uni:
+            c1 = uni[w1]
+            pairs = [(w2, c) for (a, w2), c in bi.items()
+                     if a == w1 and c >= cutoff]
+            mass = 0.0
+            for w2, c in pairs:
+                mass += disc_count(c, gt_bi) / c1
+            seen = {w2 for w2, _ in pairs}
+            unseen = sum(p for w, p in uni_p.items() if w not in seen)
+            alpha = max((1.0 - mass), 1e-10) / max(unseen, 1e-10)
+            lm.unigrams[w1] = (math.log(uni_p[w1]), math.log(max(alpha, 1e-10)))
+            for w2, c in pairs:
+                p = disc_count(c, gt_bi) / c1
+                lm.bigrams[(w1, w2)] = (math.log(max(p, 1e-10)), 0.0)
+    for w in uni:
+        if w not in lm.unigrams:
+            lm.unigrams[w] = (math.log(uni_p[w]), 0.0)
+
+    if order >= 3:
+        gt_tri = good_turing_discount(tri) if scheme == "GT" else None
+        for (w1, w2), c12 in bi.items():
+            trips = [(w3, c) for (a, b, w3), c in tri.items()
+                     if a == w1 and b == w2 and c >= cutoff]
+            if not trips:
+                continue
+            mass = 0.0
+            for w3, c in trips:
+                mass += disc_count(c, gt_tri) / c12
+            seen = {w3 for w3, _ in trips}
+            unseen = sum(
+                math.exp(lm.logp_bi(w2, w)) for w in uni if w not in seen
+            )
+            alpha = max(1.0 - mass, 1e-10) / max(unseen, 1e-10)
+            p_bi, _ = lm.bigrams.get((w1, w2), (None, None))
+            if p_bi is not None:
+                lm.bigrams[(w1, w2)] = (p_bi, math.log(max(alpha, 1e-10)))
+            for w3, c in trips:
+                p = disc_count(c, gt_tri) / c12
+                lm.trigrams[(w1, w2, w3)] = math.log(max(p, 1e-10))
+    return lm
+
+
+def run(argv: List[str]) -> int:
+    ta = parse_args("LBuild", argv, OPTS, min_args=2, usage=USAGE)
+    out_lm = ta.args[1]
+    files = ta.args[2:] + ta.script
+    if not files:
+        HError(1030, "LBuild: no training text\n%s", USAGE)
+    sents = []
+    for f in files:
+        sents.extend(read_sentences(f))
+    lm = build_lm(
+        sents,
+        order=int(ta.get("n", 2) or 2),
+        cutoff=int(ta.get("c", 1) or 1),
+        scheme=(ta.get("d", "ABS") or "ABS").upper(),
+        disc=float(ta.get("a", 0.5) or 0.5),
+        ufloor=float(ta.get("u", 1.0) or 1.0),
+    )
+    write_arpa(lm, out_lm)
+    if ta.trace:
+        print(f"LBuild: {len(sents)} sentences -> {len(lm.unigrams)} 1-grams, "
+              f"{len(lm.bigrams)} 2-grams, {len(lm.trigrams)} 3-grams")
+    return 0
+
+
+main = tool_main(run)
+
+if __name__ == "__main__":
+    raise SystemExit(main())

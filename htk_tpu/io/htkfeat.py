@@ -27,6 +27,7 @@ mismatch as a warning, and our own write/read round-trips are exact.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
@@ -108,6 +109,57 @@ def write_htk_file(
         out += np.array([_crc16(payload)], dtype=f"{bo}u2").tobytes()
     with open(path, "wb") as f:
         f.write(out)
+
+
+def read_htk_file_fast(path: str) -> Optional[HTKFeatureFile]:
+    """Single-file native loader — returns None when unavailable.
+
+    Per-file the numpy reader is already memcpy-bound, so this is NOT
+    routed automatically; the native win is the batch loader
+    (htk_tpu.native.load_corpus_batch), which amortises the Python->C
+    boundary over a whole corpus (used by the training data pipeline).
+    """
+    from ..native import get_htkio
+
+    lib = get_htkio()
+    if lib is None:
+        return None
+    import ctypes
+
+    try:
+        size = max(np.int64(np.fromfile(path, dtype=">i4", count=1)[0]), 1)
+    except Exception:
+        return None
+    with open(path, "rb") as f:
+        hdr = f.read(12)
+    if len(hdr) < 12:
+        return None
+    kind = int(np.frombuffer(hdr[10:12], dtype=">i2")[0])
+    samp_size = int(np.frombuffer(hdr[8:10], dtype=">i2")[0])
+    base = pk.base_kind(kind)
+    if base in (
+        pk.BASE_KINDS.index("WAVEFORM"),
+        pk.BASE_KINDS.index("IREFC"),
+        pk.BASE_KINDS.index("DISCRETE"),
+    ) or pk.has_qual(kind, pk.HASCRCC):
+        return None  # int kinds / CRC-checked files use the numpy path
+    width = samp_size // (2 if pk.has_qual(kind, pk.HASCOMPX) else 4)
+    if width <= 0:
+        return None
+    out = np.empty((int(size), width), np.float32)
+    period = ctypes.c_int32()
+    kind_c = ctypes.c_int32()
+    n = lib.htkio_load(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(size), width, ctypes.byref(period), ctypes.byref(kind_c),
+    )
+    if n < 0:
+        return None
+    return HTKFeatureFile(
+        data=np.ascontiguousarray(out[: int(n)]),
+        samp_period=int(period.value),
+        parm_kind=int(kind_c.value),
+    )
 
 
 def read_htk_file(path: str, natural_order: bool = False) -> HTKFeatureFile:

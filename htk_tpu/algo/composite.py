@@ -155,23 +155,24 @@ def build_composite(comp: CompiledHMMSet, model_ids: Sequence[int]) -> Composite
             break
 
     # accumulator scatter maps: composite cells -> flat physical transP cell
-    def flat(tid: int, i: int, j: int) -> int:
-        return (tid * nmax + i) * nmax + j
-
+    # (vectorised: these maps are rebuilt per utterance per pass, so host
+    # cost here directly bounds training throughput)
     tr_seg = np.full((Q, Q), -1, np.int32)
     entry_seg = np.full(Q, -1, np.int32)
     exit_seg = np.full(Q, -1, np.int32)
     for k, mid in enumerate(model_ids):
         e = sizes[k]
+        if e == 0:
+            continue
         n = e + 2
         tid = int(comp.model_transp[mid])
         o = offsets[k]
-        for li in range(e):
-            for lj in range(e):
-                tr_seg[o + li, o + lj] = flat(tid, 1 + li, 1 + lj)
-            exit_seg[o + li] = flat(tid, 1 + li, n - 1)
-        for lj in range(e):
-            entry_seg[o + lj] = flat(tid, 0, 1 + lj)
+        li = np.arange(1, e + 1, dtype=np.int64)
+        tr_seg[o : o + e, o : o + e] = (
+            (tid * nmax + li[:, None]) * nmax + li[None, :]
+        ).astype(np.int32)
+        exit_seg[o : o + e] = ((tid * nmax + li) * nmax + (n - 1)).astype(np.int32)
+        entry_seg[o : o + e] = (tid * nmax * nmax + li).astype(np.int32)
 
     return CompositeHMM(
         comp_state=comp_state,

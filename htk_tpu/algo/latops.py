@@ -156,6 +156,66 @@ def prune(lat: Lattice, beam: float, lmscale: Optional[float] = None,
     return out
 
 
+def nbest_paths(lat: Lattice, n: int, lmscale: Optional[float] = None,
+                wdpenalty: Optional[float] = None):
+    """Top-n distinct paths through a lattice (HVite -n via lattice).
+
+    DAG N-best DP: each node keeps its top-n (score, pred, pred_rank, arc)
+    entries in topological order. Returns a list of
+    (score, [(word, time)]) best-first. Paths with identical word
+    sequences are deduplicated (HTK reports distinct sentences).
+    """
+    lmscale = lat.lmscale if lmscale is None else lmscale
+    wdpenalty = lat.wdpenalty if wdpenalty is None else wdpenalty
+    words_of = {nd.id: nd.word for nd in lat.nodes}
+    times_of = {nd.id: nd.time for nd in lat.nodes}
+    order = topo_order(lat)
+    start = lat.start_node()
+    end = lat.end_node()
+    in_arcs: Dict[int, List[LArc]] = {nd.id: [] for nd in lat.nodes}
+    for a in lat.arcs:
+        in_arcs[a.end].append(a)
+
+    # entries[node] = list of (score, pred_node, pred_rank, arc)
+    entries: Dict[int, List[Tuple[float, int, int, Optional[LArc]]]] = {
+        nd.id: [] for nd in lat.nodes
+    }
+    entries[start] = [(0.0, -1, -1, None)]
+    for nid in order:
+        if nid == start:
+            continue
+        cands = []
+        for a in in_arcs[nid]:
+            s_arc = _arc_score(lat, a, words_of, lmscale, wdpenalty)
+            for rank, (s, _p, _r, _a) in enumerate(entries[a.start]):
+                cands.append((s + s_arc, a.start, rank, a))
+        cands.sort(key=lambda t: -t[0])
+        entries[nid] = cands[: n * 4]  # slack before dedup
+
+    out = []
+    seen = set()
+    for s, p, r, a in entries[end]:
+        # backtrack this entry
+        words = []
+        cur_arc, pn, pr = a, p, r
+        while cur_arc is not None:
+            w = cur_arc.word if cur_arc.word is not None else words_of.get(
+                cur_arc.end)
+            if w and w != NULL_WORD:
+                words.append((w, times_of[cur_arc.end]))
+            s2, p2, r2, a2 = entries[pn][pr]
+            cur_arc, pn, pr = a2, p2, r2
+        words.reverse()
+        key = tuple(w for w, _t in words)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append((s, words))
+        if len(out) >= n:
+            break
+    return out
+
+
 def best_path_trigram(lat: Lattice, lm, lmscale: float = 1.0,
                       wdpenalty: float = 0.0,
                       sent_start: str = "!ENTER"):

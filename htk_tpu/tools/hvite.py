@@ -159,6 +159,10 @@ def run(argv: List[str]) -> int:
                 state_scores = np.asarray(hybrid_outp(ann, data))
             res = decode(net, comp, data, lm_scale, word_pen,
                          state_scores=state_scores)
+            nbest = 0
+            if ta.has("n"):
+                v = ta.get("n")
+                nbest = int(v[1] if isinstance(v, tuple) else v)
             if lat_ext:
                 from ..algo.decode import generate_lattice
                 from ..io.slf import write_slf
@@ -175,6 +179,37 @@ def run(argv: List[str]) -> int:
             tr = Transcription(alternatives=[[]])
             if res is None:
                 HRError(8522, "HVite: no tokens survived for %s", e.logical)
+            elif nbest > 1:
+                # N-best sentences from the lattice (HVite -n)
+                from ..algo.decode import generate_lattice
+                from ..algo.latops import nbest_paths
+
+                nlat = generate_lattice(
+                    net, comp, data, lm_scale, word_pen,
+                    frame_period_s=period / 1e7,
+                )
+                alts = nbest_paths(nlat, nbest, lmscale=1.0,
+                                   wdpenalty=0.0) if nlat else []
+                # map through dictionary output symbols ('' = suppressed)
+                def outsym(w):
+                    wd = vocab.get(w)
+                    if wd is None or wd.prons[0].out_sym is None:
+                        return w
+                    return wd.prons[0].out_sym
+
+                tr = Transcription(alternatives=[])
+                for s, path in alts:
+                    labs = [
+                        Label(name=outsym(w), end=int(t * 1e7))
+                        for w, t in path if outsym(w)
+                    ]
+                    tr.alternatives.append(labs)
+                if not tr.alternatives:
+                    tr.alternatives = [[]]
+                if ta.trace:
+                    for k, (s, path) in enumerate(alts):
+                        print(f"{e.logical} [{k + 1}]: "
+                              f"{' '.join(w for w, _t in path)} [{s:.2f}]")
             else:
                 for w, (t0, t1) in zip(res.words, res.times):
                     tr.alternatives[0].append(

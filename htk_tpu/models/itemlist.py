@@ -49,8 +49,36 @@ def _parse_names(tok: str) -> List[str]:
     return [tok.strip('"')]
 
 
+def _split_top_commas(body: str) -> List[str]:
+    """Split an item-list body on commas outside parentheses."""
+    parts = []
+    depth = 0
+    cur = []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def parse_item_list(spec: str, hset: HMMSet) -> List[Item]:
     spec = spec.strip()
+    if spec.startswith("{") and spec.endswith("}"):
+        # multiple comma-separated items at top level, e.g.
+        # {sil.state[3],sp.state[2]} (the tutorial sil-tying idiom)
+        parts = _split_top_commas(spec[1:-1])
+        if len(parts) > 1:
+            items: List[Item] = []
+            for p in parts:
+                items.extend(parse_item_list("{" + p.strip() + "}", hset))
+            return items
     m = _LIST_RE.match(spec)
     if not m:
         HError(7230, "PItemList: bad item list %s", spec)

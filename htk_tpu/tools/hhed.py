@@ -14,6 +14,8 @@ applied to a loaded HMMSet. Implemented commands:
   ST file                 save question set + trees
   LT file                 load question set + trees
   MU n itemlist           mixture-up splitting (n or +n)
+  AT i j p itemlist       add transition i->j with prob p (row renormalised)
+  RT i j itemlist         remove transition i->j
   SH                      show summary
 
 Usage: HHEd [options] edScript hmmList
@@ -243,6 +245,47 @@ class Editor:
         if self.trace:
             print(f"HHEd: MU {target} over {len(streams)} streams")
 
+    def cmd_at(self, i: int, j: int, prob: float, spec: str):
+        """AT i j prob {transP items}: add transition, renormalise row."""
+        items = parse_item_list(spec, self.hset)
+        for it in items:
+            if it.kind == "hmm":
+                it.kind = "transP"
+        seen = set()
+        for it in items:
+            tp = it.hmm.transp
+            if id(tp) in seen:
+                continue
+            seen.add(id(tp))
+            n = tp.shape[0]
+            if not (1 <= i <= n and 1 <= j <= n):
+                HError(2632, "AT: transition %d->%d outside 1..%d", i, j, n)
+            tp[i - 1, j - 1] = prob
+            row = tp[i - 1]
+            other = row.sum() - prob
+            if other > 0:
+                scale = (1.0 - prob) / other
+                tp[i - 1] = row * scale
+                tp[i - 1, j - 1] = prob
+        if self.trace:
+            print(f"HHEd: AT {i} {j} {prob} over {len(seen)} transP")
+
+    def cmd_rt(self, i: int, j: int, spec: str):
+        """RT i j {transP items}: remove transition, renormalise row."""
+        items = parse_item_list(spec, self.hset)
+        seen = set()
+        for it in items:
+            tp = it.hmm.transp
+            if id(tp) in seen:
+                continue
+            seen.add(id(tp))
+            tp[i - 1, j - 1] = 0.0
+            s = tp[i - 1].sum()
+            if s > 0:
+                tp[i - 1] /= s
+        if self.trace:
+            print(f"HHEd: RT {i} {j} over {len(seen)} transP")
+
     def cmd_st(self, path: str):
         save_trees(path, self.questions, self.trees)
         if self.trace:
@@ -425,6 +468,12 @@ def run_script(text: str, ed: Editor):
             ed.cmd_lt(r.next())
         elif op == "MU":
             ed.cmd_mu(r.next(), r.next())
+        elif op == "AT":
+            i, j, p = int(r.next()), int(r.next()), float(r.next())
+            ed.cmd_at(i, j, p, r.next())
+        elif op == "RT":
+            i, j = int(r.next()), int(r.next())
+            ed.cmd_rt(i, j, r.next())
         elif op == "SH":
             ed.cmd_sh()
         elif op == "CO":

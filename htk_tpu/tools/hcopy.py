@@ -8,7 +8,10 @@ form lists `src tgt` pairs per line.
 Usage: HCopy [options] src [ + src2 ...] tgt  or  -S scp (src tgt pairs)
 
 Supported options (HCopy.c):
-  -t      (trace)  via -T
+  -s t / -e t   copy only the window [t, e) (HTK 100 ns units)
+  -x label      extract the segment with this label (see -n)
+  -n i          occurrence index for -x (default 1)
+  -I mlf / -L dir / -X ext   label sources for -x
   Standard: -A -C -D -S -T -V
 Config: TARGETKIND, SOURCEFORMAT, SOURCERATE, SAVECOMPRESSED (_C),
 SAVEWITHCRC (_K), plus all HPARM frontend keys.
@@ -22,17 +25,31 @@ import numpy as np
 
 from ..io import parmkind as pk
 from ..io.htkfeat import write_htk_file
+from ..io.mlf import MLF, find_labels
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError
 from ._common import force_platform_from_env, open_speech_file
 
 USAGE = "Usage: HCopy [options] src [ + src2 ...] tgt\n       HCopy [options] -S scp"
 
+OPTS = {
+    "s": Option("s", 1, "start time (100ns)", typ=float),
+    "e": Option("e", 1, "end time (100ns)", typ=float),
+    "x": Option("x", 1, "extract segments with label"),
+    "n": Option("n", 1, "label occurrence index", typ=int),
+    "I": Option("I", 1, "label MLF", repeatable=True),
+    "L": Option("L", 1, "label dir"),
+    "X": Option("X", 1, "label extension"),
+    "i": Option("i", 1, "output MLF (accepted)"),
+    "l": Option("l", 1, "output label dir (accepted)"),
+}
+
 
 def run(argv: List[str]) -> int:
     force_platform_from_env()
-    ta = parse_args("HCopy", argv, {}, usage=USAGE)
+    ta = parse_args("HCopy", argv, OPTS, usage=USAGE)
     cfg = ta.config
+    mlfs = [MLF.load(p) for p in ta.get_all("I")]
 
     pairs = []
     if ta.script:
@@ -63,6 +80,24 @@ def run(argv: List[str]) -> int:
             feats, period, kind, e = open_speech_file(s, cfg)
             chunks.append(feats)
         data = np.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+
+        # windowing / label extraction (HCopy -s/-e/-x)
+        if ta.has("s") or ta.has("e"):
+            t0 = int(float(ta.get("s", 0.0) or 0.0) // period)
+            t1 = (int(float(ta.get("e")) // period) if ta.has("e")
+                  else data.shape[0])
+            data = data[t0 : max(t1, t0 + 1)]
+        if ta.has("x"):
+            want = ta.get("x")
+            occ = int(ta.get("n", 1) or 1)
+            tr = find_labels(e.logical, mlfs, ta.get("L"), ta.get("X", "lab"))
+            hits = [l for l in tr.labels if l.name == want
+                    and l.start is not None and l.end is not None]
+            if len(hits) < occ:
+                HError(1030, "HCopy: label %s occurrence %d not found in %s",
+                       want, occ, e.logical)
+            lab = hits[occ - 1]
+            data = data[int(lab.start // period) : int(lab.end // period)]
         out_kind = kind
         if save_comp:
             out_kind |= pk.HASCOMPX

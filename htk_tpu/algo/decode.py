@@ -193,6 +193,9 @@ def decode(
             jnp.asarray(comp.means), jnp.asarray(comp.variances),
             jnp.asarray(comp.gconsts), jnp.asarray(comp.state_mix),
             jnp.asarray(comp.state_logw), precision=precision,
+            slot_blocks=tuple(comp.slot_blocks) or None,
+            state_sw=(jnp.asarray(comp.state_sw)
+                      if comp.state_sw is not None else None),
         )  # (T, S_phys)
     outp_states = logb[:, jnp.asarray(net.comp_state)]  # (T, Ns)
 
@@ -284,6 +287,9 @@ def generate_lattice(
         jnp.asarray(comp.means), jnp.asarray(comp.variances),
         jnp.asarray(comp.gconsts), jnp.asarray(comp.state_mix),
         jnp.asarray(comp.state_logw), precision=precision,
+        slot_blocks=tuple(comp.slot_blocks) or None,
+        state_sw=(jnp.asarray(comp.state_sw)
+                  if comp.state_sw is not None else None),
     )
     outp_states = logb[:, jnp.asarray(net.comp_state)]
 

@@ -145,8 +145,10 @@ def fb_utterance(
     means,
     variances,
     gconsts,
-    state_mix,  # (S, maxmix)
+    state_mix,  # (S, n_slots)
     state_logw,
+    state_sw=None,  # (S, n_slots) stream-weight exponents (None = ones)
+    slot_blocks=None,  # per-stream slot ranges; None/1 block = single stream
     n_states: int,
     tr_flat: int,
     precision: str = "highest",
@@ -159,15 +161,28 @@ def fb_utterance(
     S = n_states
     maxmix = state_mix.shape[1]
     M = means.shape[0]
+    blocks = list(slot_blocks) if slot_blocks else [(0, maxmix)]
 
     # 1. observation likelihoods for the states this utterance touches
     Wt, c = pack_gaussians(means, variances, gconsts)
     mix_lp = mix_scores(feats, Wt, c, precision=precision)  # (T, M)
-    st_mix = state_mix[comp_state]  # (Q, maxmix)
+    st_mix = state_mix[comp_state]  # (Q, n_slots)
     st_logw = state_logw[comp_state]
-    gathered = mix_lp[:, jnp.maximum(st_mix, 0)]  # (T, Q, maxmix)
+    gathered = mix_lp[:, jnp.maximum(st_mix, 0)]  # (T, Q, n_slots)
     weighted = jnp.where(st_mix[None] >= 0, gathered + st_logw[None], LZERO)
-    outp = ladd_reduce(weighted, axis=-1)  # (T, Q) log b_j(o_t)
+    # per-stream log b_js (unweighted) and the stream-weighted state outp
+    b_stream = [ladd_reduce(weighted[:, :, j0:j1], axis=-1)
+                for (j0, j1) in blocks]  # each (T, Q)
+    if state_sw is None:
+        outp = b_stream[0]
+        for bs in b_stream[1:]:
+            outp = outp + bs
+    else:
+        st_sw = state_sw[comp_state]  # (Q, n_slots)
+        outp = None
+        for (j0, _j1), bs in zip(blocks, b_stream):
+            term = bs * st_sw[None, :, j0]
+            outp = term if outp is None else outp + term
     outp = jnp.where(q_mask[None, :], outp, LZERO)
 
     # 2. scans
@@ -178,11 +193,19 @@ def fb_utterance(
 
     t_mask = (jnp.arange(T) < t_real).astype(feats.dtype)
 
-    # 3. state/mixture occupancies
+    # 3. state/mixture occupancies: within each stream the slot posterior
+    # normalises by that stream's own b_js (HFB.c L_jsm semantics)
     gamma = alphas + betas - logp  # (T, Q) log domain
-    l_log = gamma[:, :, None] + st_logw[None] + gathered - outp[:, :, None]
+    if len(blocks) == 1:
+        bnorm = b_stream[0][:, :, None]
+    else:
+        bnorm = jnp.concatenate(
+            [jnp.broadcast_to(bs[:, :, None], (T, Q, j1 - j0))
+             for (j0, j1), bs in zip(blocks, b_stream)], axis=2,
+        )
+    l_log = gamma[:, :, None] + st_logw[None] + gathered - bnorm
     l_log = jnp.where(st_mix[None] >= 0, l_log, LZERO)
-    L = exp_or_zero(l_log) * t_mask[:, None, None]  # (T, Q, maxmix)
+    L = exp_or_zero(l_log) * t_mask[:, None, None]  # (T, Q, n_slots)
 
     occ_qm = jnp.sum(L, axis=0)  # (Q, maxmix)
     Lf = L.reshape(T, Q * maxmix)
@@ -233,9 +256,27 @@ def fb_utterance(
     return logp, accs
 
 
+
+def _stream_outp(weighted, blocks, st_sw):
+    """(T, Q, n_slots) weighted slot scores -> (b_stream list, outp)."""
+    b_stream = [ladd_reduce(weighted[:, :, j0:j1], axis=-1)
+                for (j0, j1) in blocks]
+    if st_sw is None:
+        outp = b_stream[0]
+        for bs in b_stream[1:]:
+            outp = outp + bs
+    else:
+        outp = None
+        for (j0, _j1), bs in zip(blocks, b_stream):
+            term = bs * st_sw[None, :, j0]
+            outp = term if outp is None else outp + term
+    return b_stream, outp
+
+
 def mix_posteriors_utterance(
     feats, t_real, comp_state, q_mask, logA, a0, aE,
     *, means, variances, gconsts, state_mix, state_logw,
+    state_sw=None, slot_blocks=None,
     precision: str = "highest",
 ):
     """Per-frame physical-Gaussian posteriors gamma (T, M) for one
@@ -244,13 +285,15 @@ def mix_posteriors_utterance(
     M = means.shape[0]
     maxmix = state_mix.shape[1]
     Q = comp_state.shape[0]
+    blocks = list(slot_blocks) if slot_blocks else [(0, maxmix)]
     Wt, c = pack_gaussians(means, variances, gconsts)
     mix_lp = mix_scores(feats, Wt, c, precision=precision)
     st_mix = state_mix[comp_state]
     st_logw = state_logw[comp_state]
+    st_sw = state_sw[comp_state] if state_sw is not None else None
     gathered = mix_lp[:, jnp.maximum(st_mix, 0)]
     weighted = jnp.where(st_mix[None] >= 0, gathered + st_logw[None], LZERO)
-    outp = ladd_reduce(weighted, axis=-1)
+    b_stream, outp = _stream_outp(weighted, blocks, st_sw)
     outp = jnp.where(q_mask[None, :], outp, LZERO)
     betas = backward_scan(outp, logA, aE, t_real)
     alphas = forward_scan(outp, logA, a0, t_real)
@@ -258,9 +301,15 @@ def mix_posteriors_utterance(
     logp = ladd_reduce(alpha_last + aE, axis=0)
     t_mask = (jnp.arange(T) < t_real).astype(feats.dtype)
     gamma = alphas + betas - logp
-    l_log = gamma[:, :, None] + st_logw[None] + gathered - outp[:, :, None]
+    if len(blocks) == 1:
+        bnorm = b_stream[0][:, :, None]
+    else:
+        bnorm = jnp.concatenate(
+            [jnp.broadcast_to(bs[:, :, None], (T, Q, j1 - j0))
+             for (j0, j1), bs in zip(blocks, b_stream)], axis=2)
+    l_log = gamma[:, :, None] + st_logw[None] + gathered - bnorm
     l_log = jnp.where(st_mix[None] >= 0, l_log, LZERO)
-    L = exp_or_zero(l_log) * t_mask[:, None, None]  # (T, Q, maxmix)
+    L = exp_or_zero(l_log) * t_mask[:, None, None]  # (T, Q, n_slots)
     flat_mix = jnp.where(st_mix >= 0, st_mix, M).reshape(-1)
     # scatter (T, Q*maxmix) -> (T, M)
     Lf = L.reshape(T, Q * maxmix)
@@ -271,17 +320,20 @@ def mix_posteriors_utterance(
 def loglik_utterance(
     feats, t_real, comp_state, q_mask, logA, a0, aE,
     *, means, variances, gconsts, state_mix, state_logw,
+    state_sw=None, slot_blocks=None,
     precision: str = "highest",
 ):
     """Forward-pass log-likelihood only (no accumulation) — the cheap
     first pass of MMI arc scoring."""
+    blocks = list(slot_blocks) if slot_blocks else [(0, state_mix.shape[1])]
     Wt, c = pack_gaussians(means, variances, gconsts)
     mix_lp = mix_scores(feats, Wt, c, precision=precision)
     st_mix = state_mix[comp_state]
     st_logw = state_logw[comp_state]
+    st_sw = state_sw[comp_state] if state_sw is not None else None
     gathered = mix_lp[:, jnp.maximum(st_mix, 0)]
     weighted = jnp.where(st_mix[None] >= 0, gathered + st_logw[None], LZERO)
-    outp = ladd_reduce(weighted, axis=-1)
+    _bs, outp = _stream_outp(weighted, blocks, st_sw)
     outp = jnp.where(q_mask[None, :], outp, LZERO)
     alphas = forward_scan(outp, logA, a0, t_real)
     alpha_last = alphas[jnp.maximum(t_real - 1, 0)]
@@ -291,12 +343,14 @@ def loglik_utterance(
 def loglik_batch(
     feats, t_real, comp_state, q_mask, logA, a0, aE,
     *, means, variances, gconsts, state_mix, state_logw,
+    state_sw=None, slot_blocks=None,
     precision: str = "highest",
 ):
     fn = functools.partial(
         loglik_utterance,
         means=means, variances=variances, gconsts=gconsts,
-        state_mix=state_mix, state_logw=state_logw, precision=precision,
+        state_mix=state_mix, state_logw=state_logw,
+        state_sw=state_sw, slot_blocks=slot_blocks, precision=precision,
     )
     return jax.vmap(fn)(feats, t_real, comp_state, q_mask, logA, a0, aE)
 
@@ -305,6 +359,7 @@ def fb_batch(
     feats, t_real, comp_state, q_mask, logA, a0, aE, tr_seg, entry_seg, exit_seg,
     weights=None,
     *, means, variances, gconsts, state_mix, state_logw, n_states, tr_flat,
+    state_sw=None, slot_blocks=None,
     precision: str = "highest",
 ):
     """vmapped forward-backward over a padded utterance batch.
@@ -322,6 +377,8 @@ def fb_batch(
         gconsts=gconsts,
         state_mix=state_mix,
         state_logw=state_logw,
+        state_sw=state_sw,
+        slot_blocks=slot_blocks,
         n_states=n_states,
         tr_flat=tr_flat,
         precision=precision,

@@ -88,14 +88,21 @@ def reestimate(
 
     new_weights = None
     if flags.weights:
-        state_occ = wt_occ.sum(axis=1, keepdims=True)  # (S, 1)
-        w = wt_occ / np.maximum(state_occ, 1e-30)
-        w = np.where(w < MINMIX, 0.0, w)
-        wsum = w.sum(axis=1, keepdims=True)
-        w = np.where(wsum > 0, w / np.maximum(wsum, 1e-30), w)
-        # states with no occupancy keep old weights
+        # normalise weights within each stream's slot block (single-stream
+        # sets have one block covering all slots)
+        blocks = comp.slot_blocks or [(0, wt_occ.shape[1])]
         old_w = np.where(comp.state_mix >= 0, np.exp(comp.state_logw), 0.0)
-        new_weights = np.where(state_occ > MINOCC, w, old_w)
+        new_weights = old_w.copy()
+        for (j0, j1) in blocks:
+            blk = wt_occ[:, j0:j1]
+            state_occ = blk.sum(axis=1, keepdims=True)
+            w = blk / np.maximum(state_occ, 1e-30)
+            w = np.where(w < MINMIX, 0.0, w)
+            wsum = w.sum(axis=1, keepdims=True)
+            w = np.where(wsum > 0, w / np.maximum(wsum, 1e-30), w)
+            new_weights[:, j0:j1] = np.where(
+                state_occ > MINOCC, w, old_w[:, j0:j1]
+            )
 
     new_transps = None
     if flags.transitions:

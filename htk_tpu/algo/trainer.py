@@ -119,6 +119,11 @@ class Trainer:
             [comp.state_logw, np.full((1, comp.max_mix), LZERO, np.float32)],
             axis=0,
         )
+        sw = (comp.state_sw if comp.state_sw is not None
+              else np.ones_like(comp.state_logw))
+        self.state_sw_pad = np.concatenate(
+            [sw, np.ones((1, comp.max_mix), np.float32)], axis=0
+        )
         self._step_cache = None
 
     def _step_fn(self):
@@ -134,13 +139,15 @@ class Trainer:
 
         @functools.partial(jax.jit, static_argnames=())
         def step(params, batch):
-            means, variances, gconsts, state_mix, state_logw = params
+            means, variances, gconsts, state_mix, state_logw, state_sw = params
             return fb_batch(
                 batch["feats"], batch["t_real"], batch["comp_state"],
                 batch["q_mask"], batch["logA"], batch["a0"], batch["aE"],
                 batch["tr_seg"], batch["entry_seg"], batch["exit_seg"],
                 means=means, variances=variances, gconsts=gconsts,
                 state_mix=state_mix, state_logw=state_logw,
+                state_sw=state_sw, slot_blocks=tuple(self.comp.slot_blocks)
+                or None,
                 n_states=self.comp.n_states, tr_flat=self.tr_flat,
                 precision=self.precision,
             )
@@ -152,7 +159,7 @@ class Trainer:
         return (
             jnp.asarray(c.means), jnp.asarray(c.variances),
             jnp.asarray(c.gconsts), jnp.asarray(self.state_mix_pad),
-            jnp.asarray(self.state_logw_pad),
+            jnp.asarray(self.state_logw_pad), jnp.asarray(self.state_sw_pad),
         )
 
     def accumulate(self, utts: Sequence[UttData], batch_size: int = 8,

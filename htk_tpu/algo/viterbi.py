@@ -45,7 +45,7 @@ def viterbi_scan(outp: jnp.ndarray, logA: jnp.ndarray, a0: jnp.ndarray,
 
 
 def state_outp_for(comp_set_arrays, feats: jnp.ndarray, comp_state, q_mask,
-                   precision: str = "highest"):
+                   precision: str = "highest", slot_blocks=None, state_sw=None):
     means, variances, gconsts, state_mix, state_logw = comp_set_arrays
     Wt, c = pack_gaussians(means, variances, gconsts)
     mlp = mix_scores(feats, Wt, c, precision=precision)
@@ -53,7 +53,14 @@ def state_outp_for(comp_set_arrays, feats: jnp.ndarray, comp_state, q_mask,
     st_logw = state_logw[comp_state]
     gathered = mlp[:, jnp.maximum(st_mix, 0)]
     weighted = jnp.where(st_mix[None] >= 0, gathered + st_logw[None], LZERO)
-    outp = ladd_reduce(weighted, axis=-1)
+    blocks = list(slot_blocks) if slot_blocks else [(0, state_mix.shape[1])]
+    st_sw = state_sw[comp_state] if state_sw is not None else None
+    outp = None
+    for (j0, j1) in blocks:
+        bs = ladd_reduce(weighted[:, :, j0:j1], axis=-1)
+        if st_sw is not None:
+            bs = bs * st_sw[None, :, j0]
+        outp = bs if outp is None else outp + bs
     return jnp.where(q_mask[None, :], outp, LZERO)
 
 
@@ -79,7 +86,10 @@ def align(
     Q = hmm.n_states
     outp = state_outp_for(
         arrays, jnp.asarray(feats, jnp.float32), jnp.asarray(hmm.comp_state),
-        jnp.ones(Q, bool), precision
+        jnp.ones(Q, bool), precision,
+        slot_blocks=tuple(comp.slot_blocks) or None,
+        state_sw=(jnp.asarray(comp.state_sw)
+                  if comp.state_sw is not None else None),
     )
     score, deltas, bps = viterbi_scan(
         outp, jnp.asarray(hmm.logA), jnp.asarray(hmm.a0),

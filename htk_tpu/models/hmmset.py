@@ -19,6 +19,7 @@ load/save via io.mmf.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -35,13 +36,18 @@ MINMIX = 1e-5
 class CompiledHMMSet:
     """Device-ready arrays for a single-stream diagonal-covariance HMMSet."""
 
-    # Gaussian block (M physical mixture components)
+    # Gaussian block (M physical mixture components, all streams packed).
+    # Multi-stream packing: a stream-s Gaussian occupies only its stream's
+    # column slice; other columns hold mean 0 / variance PAD_VAR so its
+    # quadratic contribution outside the slice vanishes and OutP stays a
+    # single matmul over the full feature vector.
     means: np.ndarray  # (M, D) f32
     variances: np.ndarray  # (M, D) f32
-    gconsts: np.ndarray  # (M,) f32
-    # State block (S physical emitting states)
-    state_mix: np.ndarray  # (S, maxmix) int32 index into Gaussian block
-    state_logw: np.ndarray  # (S, maxmix) f32 log mixture weights (LZERO pad)
+    gconsts: np.ndarray  # (M,) f32 (computed over the stream's slice only)
+    # State block (S physical emitting states); slots are grouped in
+    # per-stream blocks (slot_blocks) along the maxmix axis
+    state_mix: np.ndarray  # (S, n_slots) int32 index into Gaussian block
+    state_logw: np.ndarray  # (S, n_slots) f32 log mixture weights (LZERO pad)
     # Transition block (Tn physical transition matrices)
     log_transp: np.ndarray  # (Tn, Nmax, Nmax) f32 log probs (LZERO pad)
     # Model block (H logical HMMs)
@@ -50,6 +56,13 @@ class CompiledHMMSet:
     model_transp: np.ndarray  # (H,) int32 index into transition block
     names: List[str] = field(default_factory=list)
     name_to_id: Dict[str, int] = field(default_factory=dict)
+
+    # multi-stream structure (single-stream sets: one block covering all)
+    n_streams: int = 1
+    stream_slices: List = field(default_factory=list)  # [(d0, d1)] per stream
+    slot_blocks: List = field(default_factory=list)  # [(j0, j1)] per stream
+    mix_stream: Optional[np.ndarray] = None  # (M,) int32 stream of each Gaussian
+    state_sw: Optional[np.ndarray] = None  # (S, n_slots) stream-weight exponents
 
     # back-references for writing updates into the parsed MMF
     _mix_objs: List[MixPDF] = field(default_factory=list)
@@ -88,13 +101,31 @@ class CompiledHMMSet:
         return i
 
 
+PAD_VAR = 1.0e30  # variance outside a Gaussian's stream slice (1/var ~ 0)
+
+
 def compile_hmmset(hset: HMMSet) -> CompiledHMMSet:
-    """Flatten a parsed HMMSet into SoA arrays (identity-based tying)."""
-    if len(hset.swidth) != 1:
-        HError(7060, "compile_hmmset: only single-stream sets supported on device")
+    """Flatten a parsed HMMSet into SoA arrays (identity-based tying).
+
+    Multi-stream sets pack every stream's Gaussians into the one Gaussian
+    block: a stream-s component's mean/variance live in its stream's
+    column slice (mean 0 / variance PAD_VAR elsewhere), its gConst is
+    computed over that slice only, and each state's mixture slots are
+    laid out in per-stream blocks (slot_blocks) with stream-weight
+    exponents in state_sw. b_j(o) = sum_s sw_js * logsumexp over block s.
+    """
+    n_streams = len(hset.swidth)
+    widths = list(hset.swidth)
+    D = hset.vec_size or sum(widths)
+    if sum(widths) != D:
+        HError(7060, "compile_hmmset: stream widths %s != vecsize %d",
+               widths, D)
+    offs = np.concatenate([[0], np.cumsum(widths)]).astype(int)
+    stream_slices = [(int(offs[s]), int(offs[s + 1])) for s in range(n_streams)]
 
     mix_ids: Dict[int, int] = {}
     mixes: List[MixPDF] = []
+    mix_stream_l: List[int] = []
     state_ids: Dict[int, int] = {}
     states: List[StateInfo] = []
     transp_ids: Dict[int, int] = {}
@@ -108,50 +139,74 @@ def compile_hmmset(hset: HMMSet) -> CompiledHMMSet:
             if id(si) not in state_ids:
                 state_ids[id(si)] = len(states)
                 states.append(si)
-                for mp in si.streams[0].mixes:
-                    if mp is not None and id(mp) not in mix_ids:
-                        if mp.cov_kind != "DIAGC":
-                            HError(
-                                7060,
-                                "compile_hmmset: covariance kind %s not device-supported",
-                                mp.cov_kind,
-                            )
-                        mix_ids[id(mp)] = len(mixes)
-                        mixes.append(mp)
+                for s in range(n_streams):
+                    for mp in si.streams[s].mixes:
+                        if mp is not None and id(mp) not in mix_ids:
+                            if mp.cov_kind != "DIAGC":
+                                HError(
+                                    7060,
+                                    "compile_hmmset: covariance kind %s not "
+                                    "device-supported", mp.cov_kind,
+                                )
+                            mix_ids[id(mp)] = len(mixes)
+                            mixes.append(mp)
+                            mix_stream_l.append(s)
         if id(h.transp) not in transp_ids:
             transp_ids[id(h.transp)] = len(transps)
             transps.append(h.transp)
 
     M = len(mixes)
     S = len(states)
-    D = hset.vec_size or len(mixes[0].mean)
-    maxmix = max(
-        sum(1 for w, m in zip(si.streams[0].weights, si.streams[0].mixes)
-            if m is not None and w >= MINMIX)
-        for si in states
-    )
-    maxmix = max(maxmix, 1)
+
+    def live_mixes(se):
+        return sum(1 for w, m in zip(se.weights, se.mixes)
+                   if m is not None and w >= MINMIX)
+
+    maxmix_s = [
+        max(max(live_mixes(si.streams[s]) for si in states), 1)
+        for s in range(n_streams)
+    ]
+    slot_offs = np.concatenate([[0], np.cumsum(maxmix_s)]).astype(int)
+    slot_blocks = [(int(slot_offs[s]), int(slot_offs[s + 1]))
+                   for s in range(n_streams)]
+    n_slots = int(slot_offs[-1])
 
     means = np.zeros((M, D), np.float32)
-    variances = np.ones((M, D), np.float32)
+    variances = np.full((M, D), PAD_VAR, np.float32)
     gconsts = np.zeros((M,), np.float32)
     for i, mp in enumerate(mixes):
-        means[i] = mp.mean
-        variances[i] = mp.var
-        if mp.gconst is None:
-            mp.fix_gconst()
-        gconsts[i] = mp.gconst
+        s = mix_stream_l[i]
+        d0, d1 = stream_slices[s]
+        if len(mp.mean) != d1 - d0:
+            HError(7023, "compile_hmmset: stream %d Gaussian width %d != %d",
+                   s + 1, len(mp.mean), d1 - d0)
+        means[i, d0:d1] = mp.mean
+        variances[i, d0:d1] = mp.var
+        # gConst over the stream's own dims (HModel.c per-stream gConst)
+        gconsts[i] = float(
+            (d1 - d0) * math.log(2 * math.pi)
+            + np.sum(np.log(np.maximum(mp.var.astype(np.float64), 1e-38)))
+        )
+        mp.gconst = gconsts[i]
 
-    state_mix = np.full((S, maxmix), -1, np.int32)
-    state_logw = np.full((S, maxmix), LZERO, np.float32)
+    state_mix = np.full((S, n_slots), -1, np.int32)
+    state_logw = np.full((S, n_slots), LZERO, np.float32)
+    state_sw = np.zeros((S, n_slots), np.float32)
     for si_idx, si in enumerate(states):
-        j = 0
-        for w, mp in zip(si.streams[0].weights, si.streams[0].mixes):
-            if mp is None or w < MINMIX:
-                continue
-            state_mix[si_idx, j] = mix_ids[id(mp)]
-            state_logw[si_idx, j] = np.log(w)
-            j += 1
+        for s in range(n_streams):
+            j0, _j1 = slot_blocks[s]
+            j = j0
+            sw = 1.0
+            if si.stream_weights is not None and len(si.stream_weights) >= s + 1:
+                sw = float(si.stream_weights[s])
+            for w, mp in zip(si.streams[s].weights, si.streams[s].mixes):
+                if mp is None or w < MINMIX:
+                    continue
+                state_mix[si_idx, j] = mix_ids[id(mp)]
+                state_logw[si_idx, j] = np.log(w)
+                j += 1
+            state_sw[si_idx, slot_blocks[s][0] : slot_blocks[s][1]] = sw
+    maxmix = n_slots
 
     Tn = len(transps)
     log_transp = np.full((Tn, nmax, nmax), LZERO, np.float32)
@@ -173,6 +228,11 @@ def compile_hmmset(hset: HMMSet) -> CompiledHMMSet:
         model_transp[hi] = transp_ids[id(h.transp)]
 
     return CompiledHMMSet(
+        n_streams=n_streams,
+        stream_slices=stream_slices,
+        slot_blocks=slot_blocks,
+        mix_stream=np.asarray(mix_stream_l, np.int32),
+        state_sw=state_sw,
         means=means,
         variances=variances,
         gconsts=gconsts,
@@ -206,26 +266,36 @@ def write_back(
     saving via io.mmf.save_mmf.
     """
     if means is not None or variances is not None:
+        import math as _math
+
+        ms = (comp.mix_stream if comp.mix_stream is not None
+              else np.zeros(len(comp._mix_objs), np.int32))
         for i, mp in enumerate(comp._mix_objs):
+            d0, d1 = comp.stream_slices[int(ms[i])] if comp.stream_slices \
+                else (0, comp.dim)
             if means is not None:
-                mp.mean = np.asarray(means[i], np.float32).copy()
+                mp.mean = np.asarray(means[i, d0:d1], np.float32).copy()
+                comp.means[i, d0:d1] = mp.mean
             if variances is not None:
-                mp.var = np.asarray(variances[i], np.float32).copy()
-            mp.fix_gconst()
-        if means is not None:
-            comp.means = np.asarray(means, np.float32)
-        if variances is not None:
-            comp.variances = np.asarray(variances, np.float32)
+                mp.var = np.asarray(variances[i, d0:d1], np.float32).copy()
+                comp.variances[i, d0:d1] = mp.var
+            # per-stream gConst over the stream's own dims
+            mp.gconst = float(
+                (d1 - d0) * _math.log(2 * _math.pi)
+                + np.sum(np.log(np.maximum(mp.var.astype(np.float64), 1e-38)))
+            )
         comp.gconsts = np.array([m.gconst for m in comp._mix_objs], np.float32)
     if weights is not None:
+        blocks = comp.slot_blocks or [(0, comp.max_mix)]
         for si_idx, si in enumerate(comp._state_objs):
-            se = si.streams[0]
-            j = 0
-            for k, (w, mp) in enumerate(zip(se.weights, se.mixes)):
-                if mp is None or w < MINMIX:
-                    continue
-                se.weights[k] = float(weights[si_idx, j])
-                j += 1
+            for s, (j0, _j1) in enumerate(blocks):
+                se = si.streams[s]
+                j = j0
+                for k, (w, mp) in enumerate(zip(se.weights, se.mixes)):
+                    if mp is None or w < MINMIX:
+                        continue
+                    se.weights[k] = float(weights[si_idx, j])
+                    j += 1
         with np.errstate(divide="ignore"):
             comp.state_logw = np.where(
                 comp.state_mix >= 0,

@@ -30,21 +30,31 @@ def make_proto(
     parm_kind: str = "MFCC_E_D_A",
     nmix: int = 1,
     name: str = "proto",
+    stream_widths: Optional[List[int]] = None,
 ) -> HMMSet:
-    """A fresh single-stream diagonal-covariance prototype HMMSet."""
+    """A fresh diagonal-covariance prototype HMMSet.
+
+    `stream_widths` partitions the feature vector into multiple streams
+    (must sum to dim); default is one stream covering it all.
+    """
+    widths = stream_widths or [dim]
+    assert sum(widths) == dim, "stream widths must sum to dim"
     hset = HMMSet(vec_size=dim, parm_kind=pk.str2parmkind(parm_kind))
-    hset.stream_widths = [dim]
+    hset.stream_widths = list(widths)
     h = HMMDef(name=name, nstates=nstates)
     for _ in range(nstates - 2):
-        se = StreamElem()
-        for m in range(nmix):
-            mp = MixPDF(
-                mean=np.zeros(dim, np.float32), var=np.ones(dim, np.float32)
-            )
-            mp.fix_gconst()
-            se.mixes.append(mp)
-            se.weights.append(1.0 / nmix)
-        h.states.append(StateInfo(streams=[se]))
+        streams = []
+        for w in widths:
+            se = StreamElem()
+            for m in range(nmix):
+                mp = MixPDF(
+                    mean=np.zeros(w, np.float32), var=np.ones(w, np.float32)
+                )
+                mp.fix_gconst()
+                se.mixes.append(mp)
+                se.weights.append(1.0 / nmix)
+            streams.append(se)
+        h.states.append(StateInfo(streams=streams))
     h.transp = left_to_right_transp(nstates)
     hset.hmms[name] = h
     hset.macros["h"][name] = h
@@ -68,18 +78,22 @@ def clone_proto(hset: HMMSet, proto_name: str, names: List[str]) -> HMMSet:
     for nm in names:
         h = HMMDef(name=nm, nstates=proto.nstates)
         for si in proto.states:
-            se_src = si.streams[0]
-            se = StreamElem()
-            for w, mp in zip(se_src.weights, se_src.mixes):
-                nmp = MixPDF(
-                    mean=np.array(mp.mean, np.float32).copy(),
-                    var=np.array(mp.var, np.float32).copy(),
-                    cov_kind=mp.cov_kind,
-                )
-                nmp.fix_gconst()
-                se.mixes.append(nmp)
-                se.weights.append(w)
-            h.states.append(StateInfo(streams=[se]))
+            streams = []
+            for se_src in si.streams:
+                se = StreamElem()
+                for w, mp in zip(se_src.weights, se_src.mixes):
+                    nmp = MixPDF(
+                        mean=np.array(mp.mean, np.float32).copy(),
+                        var=np.array(mp.var, np.float32).copy(),
+                        cov_kind=mp.cov_kind,
+                    )
+                    nmp.fix_gconst()
+                    se.mixes.append(nmp)
+                    se.weights.append(w)
+                streams.append(se)
+            sw = (np.array(si.stream_weights, np.float32).copy()
+                  if si.stream_weights is not None else None)
+            h.states.append(StateInfo(streams=streams, stream_weights=sw))
         h.transp = np.array(proto.transp, np.float32).copy()
         out.hmms[nm] = h
         out.macros["h"][nm] = h

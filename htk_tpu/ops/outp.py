@@ -51,19 +51,34 @@ def mix_scores(x: jnp.ndarray, Wt: jnp.ndarray, c: jnp.ndarray,
 
 
 def state_outp(
-    mix_lp: jnp.ndarray, state_mix: jnp.ndarray, state_logw: jnp.ndarray
+    mix_lp: jnp.ndarray, state_mix: jnp.ndarray, state_logw: jnp.ndarray,
+    slot_blocks=None, state_sw=None,
 ) -> jnp.ndarray:
     """(T, M) Gaussian log-probs -> (T, S) state log-likelihoods b_j(x).
 
     Gathers each state's mixture rows and logsumexps with weights (HTK
     LAdd semantics: contributions below minLogExp of the max drop out).
     Padded mixture slots carry LZERO weights so they never contribute.
+
+    Multi-stream sets pass `slot_blocks` ([(j0, j1)] per stream) and
+    `state_sw` (per-slot stream-weight exponents):
+    b_j = sum_s sw_js * logsumexp over block s (HModel.c SOutP product).
     """
-    safe_idx = jnp.maximum(state_mix, 0)  # (S, maxmix)
-    gathered = mix_lp[:, safe_idx]  # (T, S, maxmix)
+    safe_idx = jnp.maximum(state_mix, 0)  # (S, n_slots)
+    gathered = mix_lp[:, safe_idx]  # (T, S, n_slots)
     weighted = gathered + state_logw[None, :, :]
     weighted = jnp.where(state_mix[None, :, :] >= 0, weighted, LZERO)
-    return ladd_reduce(weighted, axis=-1)  # (T, S)
+    if slot_blocks is None or len(slot_blocks) <= 1:
+        out = ladd_reduce(weighted, axis=-1)  # (T, S)
+        if state_sw is not None and len(slot_blocks or []) == 1:
+            out = out * state_sw[None, :, 0]
+        return out
+    total = None
+    for s, (j0, j1) in enumerate(slot_blocks):
+        bs = ladd_reduce(weighted[:, :, j0:j1], axis=-1)  # (T, S)
+        bs = bs * state_sw[None, :, j0]  # stream-weight exponent
+        total = bs if total is None else total + bs
+    return total
 
 
 def all_state_outp(
@@ -74,8 +89,10 @@ def all_state_outp(
     state_mix: jnp.ndarray,
     state_logw: jnp.ndarray,
     precision: str = "highest",
+    slot_blocks=None,
+    state_sw=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Frames (T, D) -> (state log-likes (T, S), Gaussian log-likes (T, M))."""
     Wt, c = pack_gaussians(means, variances, gconsts)
     mlp = mix_scores(x, Wt, c, precision=precision)
-    return state_outp(mlp, state_mix, state_logw), mlp
+    return state_outp(mlp, state_mix, state_logw, slot_blocks, state_sw), mlp

@@ -48,13 +48,15 @@ class ShardedTrainer(Trainer):
         axis = self.axis
 
         def local(params, batch):
-            means, variances, gconsts, state_mix, state_logw = params
+            means, variances, gconsts, state_mix, state_logw, state_sw = params
             logps, accs = fb_batch(
                 batch["feats"], batch["t_real"], batch["comp_state"],
                 batch["q_mask"], batch["logA"], batch["a0"], batch["aE"],
                 batch["tr_seg"], batch["entry_seg"], batch["exit_seg"],
                 means=means, variances=variances, gconsts=gconsts,
                 state_mix=state_mix, state_logw=state_logw,
+                state_sw=state_sw, slot_blocks=tuple(self.comp.slot_blocks)
+                or None,
                 n_states=self.comp.n_states, tr_flat=self.tr_flat,
                 precision=self.precision,
             )

@@ -183,6 +183,8 @@ def run(argv: List[str]) -> int:
                     jnp.asarray(arrs["aE"][0]),
                     means=params[0], variances=params[1], gconsts=params[2],
                     state_mix=params[3], state_logw=params[4],
+                    state_sw=params[5],
+                    slot_blocks=tuple(comp.slot_blocks) or None,
                 )
                 T = u.feats.shape[0]
                 s = cmllr_stats_from_gammas(

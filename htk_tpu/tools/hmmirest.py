@@ -123,6 +123,7 @@ def accumulate_lattice(lat, vocab, comp, trainer, feats, period, stem,
             jnp.asarray(arrs["aE"]),
             means=params[0], variances=params[1], gconsts=params[2],
             state_mix=params[3], state_logw=params[4],
+            state_sw=params[5], slot_blocks=tuple(comp.slot_blocks) or None,
         )
         for u, ll in zip(batch, np.asarray(lls)[: len(batch)]):
             arc_ll[name_to_arc[u.name]] = float(ll)
@@ -149,6 +150,7 @@ def accumulate_lattice(lat, vocab, comp, trainer, feats, period, stem,
             jnp.asarray(weights),
             means=params[0], variances=params[1], gconsts=params[2],
             state_mix=params[3], state_logw=params[4],
+            state_sw=params[5], slot_blocks=tuple(comp.slot_blocks) or None,
             n_states=comp.n_states, tr_flat=trainer.tr_flat,
         )
         import jax

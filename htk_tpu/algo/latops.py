@@ -156,6 +156,85 @@ def prune(lat: Lattice, beam: float, lmscale: Optional[float] = None,
     return out
 
 
+def arc_mpe_weights(lat: Lattice, ref: List[Tuple[str, float, float]],
+                    lmscale: Optional[float] = None,
+                    wdpenalty: Optional[float] = None,
+                    null_words=()):
+    """MPE/MWE arc weights gamma_q * (c(q) - c_avg) (HFBLat.c role).
+
+    `ref` is the timed reference: [(word, t_start_s, t_end_s)]. Per-arc
+    raw accuracy follows Povey's overlap approximation at the word level
+    (MWE):  a(q) = max over ref words z of
+              -1 + 2*e(q,z)  if word(q) == word(z)   else  -1 + e(q,z)
+    with e the fractional time overlap of z covered by q. Expected
+    accuracies c(q) propagate through the DAG with posterior-weighted
+    forward/backward averages; c_avg is the lattice's expected accuracy.
+    Positive weights feed numerator accumulators, negative the denominator
+    (the standard MPE split).
+    """
+    lmscale = lat.lmscale if lmscale is None else lmscale
+    wdpenalty = lat.wdpenalty if wdpenalty is None else wdpenalty
+    words_of = {nd.id: nd.word for nd in lat.nodes}
+    times_of = {nd.id: nd.time for nd in lat.nodes}
+    total, post = arc_posteriors(lat, lmscale, wdpenalty)
+    order = topo_order(lat)
+    start = lat.start_node()
+    end = lat.end_node()
+    in_arcs: Dict[int, List[LArc]] = {nd.id: [] for nd in lat.nodes}
+    out_arcs: Dict[int, List[LArc]] = {nd.id: [] for nd in lat.nodes}
+    for a in lat.arcs:
+        in_arcs[a.end].append(a)
+        out_arcs[a.start].append(a)
+
+    def raw_acc(a: LArc) -> float:
+        w = a.word if a.word is not None else words_of.get(a.end)
+        if not w or w == NULL_WORD or w in null_words:
+            return 0.0  # silence/null arcs neither score nor cost (Povey)
+        t0, t1 = times_of[a.start], times_of[a.end]
+        best = -1.0
+        for rw, r0, r1 in ref:
+            dur = max(r1 - r0, 1e-6)
+            ov = max(0.0, min(t1, r1) - max(t0, r0)) / dur
+            v = (-1.0 + 2.0 * ov) if rw == w else (-1.0 + ov)
+            best = max(best, v)
+        return best
+
+    # forward expected accuracy: fa(node) = posterior-weighted average of
+    # fa(pred) + a(arc) over incoming arcs (weights = arc posteriors)
+    fa: Dict[int, float] = {start: 0.0}
+    for nid in order:
+        if nid == start or not in_arcs[nid]:
+            fa.setdefault(nid, 0.0)
+            continue
+        num = 0.0
+        den = 0.0
+        for a in in_arcs[nid]:
+            g = math.exp(min(post[a.id], 0.0))
+            num += g * (fa.get(a.start, 0.0) + raw_acc(a))
+            den += g
+        fa[nid] = num / max(den, 1e-10)
+    ba: Dict[int, float] = {end: 0.0}
+    for nid in reversed(order):
+        if nid == end or not out_arcs[nid]:
+            ba.setdefault(nid, 0.0)
+            continue
+        num = 0.0
+        den = 0.0
+        for a in out_arcs[nid]:
+            g = math.exp(min(post[a.id], 0.0))
+            num += g * (ba.get(a.end, 0.0) + raw_acc(a))
+            den += g
+        ba[nid] = num / max(den, 1e-10)
+
+    c_avg = fa.get(end, 0.0)
+    weights = {}
+    for a in lat.arcs:
+        g = math.exp(min(post[a.id], 0.0))
+        c_q = fa.get(a.start, 0.0) + raw_acc(a) + ba.get(a.end, 0.0)
+        weights[a.id] = g * (c_q - c_avg)
+    return weights, c_avg
+
+
 def nbest_paths(lat: Lattice, n: int, lmscale: Optional[float] = None,
                 wdpenalty: Optional[float] = None):
     """Top-n distinct paths through a lattice (HVite -n via lattice).

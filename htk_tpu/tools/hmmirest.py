@@ -99,19 +99,19 @@ def lattice_arc_utts(lat, vocab, comp, feats, period, stem):
     return utts, arc_ids
 
 
-def accumulate_lattice(lat, vocab, comp, trainer, feats, period, stem,
-                       lm_scale, total):
-    """Arc-posterior-weighted accumulation for one lattice."""
+def score_lattice_arcs(lat, vocab, comp, trainer, feats, period, stem):
+    """Pass 1: expand word arcs, rescore acoustics with current models.
+
+    Returns (utts, name_to_arc); arc aclike fields are updated in place.
+    """
     import jax.numpy as jnp
-    from ..algo.fb import fb_batch, loglik_batch
+    from ..algo.fb import loglik_batch
     from ..algo.trainer import make_batches
 
     utts, arc_ids = lattice_arc_utts(lat, vocab, comp, feats, period, stem)
     if not utts:
-        return total, 0.0
+        return [], {}
     name_to_arc = dict(zip([u.name for u in utts], arc_ids))
-
-    # pass 1: per-arc log-likelihood
     arc_ll = {}
     params = trainer.params()
     for batch in make_batches(utts, 16):
@@ -127,20 +127,30 @@ def accumulate_lattice(lat, vocab, comp, trainer, feats, period, stem,
         )
         for u, ll in zip(batch, np.asarray(lls)[: len(batch)]):
             arc_ll[name_to_arc[u.name]] = float(ll)
-
-    # lattice-level FB with recomputed acoustics
     for a in lat.arcs:
         if a.id in arc_ll:
             a.aclike = arc_ll[a.id]
-    logp, post = arc_posteriors(lat, lmscale=lm_scale, wdpenalty=0.0)
+    return utts, name_to_arc
 
-    # pass 2: gamma-weighted accumulation
+
+def accumulate_arcs(utts, name_to_arc, arc_weights, comp, trainer, total):
+    """Pass 2: weight-scaled FB accumulation over arc mini-utterances."""
+    import jax
+    import jax.numpy as jnp
+    from ..algo.fb import fb_batch
+    from ..algo.trainer import make_batches
+
+    params = trainer.params()
     for batch in make_batches(utts, 16):
         arrs = pad_batch(batch, comp.n_states)
         weights = np.zeros(arrs["feats"].shape[0], np.float32)
+        any_w = False
         for i, u in enumerate(batch):
-            g = post.get(name_to_arc[u.name], -1e30)
-            weights[i] = float(np.exp(min(g, 0.0))) if g > -30 else 0.0
+            w = float(arc_weights.get(name_to_arc[u.name], 0.0))
+            weights[i] = w
+            any_w = any_w or w > 0
+        if not any_w:
+            continue
         logps, accs = fb_batch(
             jnp.asarray(arrs["feats"]), jnp.asarray(arrs["t_real"]),
             jnp.asarray(arrs["comp_state"]), jnp.asarray(arrs["q_mask"]),
@@ -153,9 +163,22 @@ def accumulate_lattice(lat, vocab, comp, trainer, feats, period, stem,
             state_sw=params[5], slot_blocks=tuple(comp.slot_blocks) or None,
             n_states=comp.n_states, tr_flat=trainer.tr_flat,
         )
-        import jax
-
         total = jax.tree.map(lambda a, b: a + b, total, accs)
+    return total
+
+
+def accumulate_lattice(lat, vocab, comp, trainer, feats, period, stem,
+                       lm_scale, total):
+    """MMI denominator: arc-posterior-weighted accumulation (HFBLat role)."""
+    utts, name_to_arc = score_lattice_arcs(
+        lat, vocab, comp, trainer, feats, period, stem
+    )
+    if not utts:
+        return total, 0.0
+    logp, post = arc_posteriors(lat, lmscale=lm_scale, wdpenalty=0.0)
+    gammas = {aid: (float(np.exp(min(g, 0.0))) if g > -30 else 0.0)
+              for aid, g in post.items()}
+    total = accumulate_arcs(utts, name_to_arc, gammas, comp, trainer, total)
     return total, logp
 
 
@@ -194,16 +217,61 @@ def run(argv: List[str]) -> int:
 
     import jax
 
+    mode = (cfg.str_("DISCRMODE", "MMI", module="HMMIREST") or "MMI").upper()
     period = int(cfg.flt_("TARGETRATE", 100000.0, module="HPARM"))
+    total_acc_exp = 0.0
     for fn in files:
         data, _p, _k, e = open_speech_file(fn, cfg)
         stem = os.path.splitext(os.path.basename(e.logical))[0]
 
-        # numerator
+        den_path = os.path.join(ta.get("r"), f"{stem}.lat")
+        if not os.path.exists(den_path):
+            HRError(12030, "HMMIRest: no denominator lattice for %s", stem)
+            continue
+        den_lat = read_slf(den_path)
+        if vocab is None:
+            HError(1030, "HMMIRest: word lattices need a dictionary (-d)")
+
+        if mode in ("MPE", "MWE"):
+            # MPE/MWE: positive/negative accuracy-weighted arc occupancies
+            # from the same lattice (algo/latops.arc_mpe_weights); needs a
+            # *timed* word reference (e.g. HVite -a output).
+            from ..algo.latops import arc_mpe_weights
+
+            tr = find_labels(e.logical, mlfs, ta.get("L"), ta.get("X", "lab"))
+            ref = [
+                (l.name, (l.start or 0) / 1e7, (l.end or 0) / 1e7)
+                for l in tr.labels
+            ]
+            if not any(r[2] > r[1] for r in ref):
+                HError(12040, "HMMIRest MPE: reference MLF for %s has no "
+                              "times (align with HVite -a first)", stem)
+            utts, name_to_arc = score_lattice_arcs(
+                den_lat, vocab, comp, trainer, data, period, stem
+            )
+            if not utts:
+                continue
+            null_words = {
+                w.name for w in vocab.words.values()
+                if w.prons[0].out_sym == ""
+            }
+            weights, c_avg = arc_mpe_weights(den_lat, ref, lmscale=lm_scale,
+                                             wdpenalty=0.0,
+                                             null_words=null_words)
+            pos = {aid: w for aid, w in weights.items() if w > 0}
+            neg = {aid: -w for aid, w in weights.items() if w < 0}
+            num_total = accumulate_arcs(utts, name_to_arc, pos, comp,
+                                        trainer, num_total)
+            den_total = accumulate_arcs(utts, name_to_arc, neg, comp,
+                                        trainer, den_total)
+            total_acc_exp += c_avg
+            if ta.trace >= 2:
+                print(f"  {stem}: expected accuracy {c_avg:.3f}")
+            continue
+
+        # MMI numerator
         if ta.has("q"):
             num_lat = read_slf(os.path.join(ta.get("q"), f"{stem}.lat"))
-            if vocab is None:
-                HError(1030, "HMMIRest: -q lattices need a dictionary (-d)")
             num_total, _ = accumulate_lattice(
                 num_lat, vocab, comp, trainer, data, period, stem, lm_scale,
                 num_total,
@@ -215,14 +283,7 @@ def run(argv: List[str]) -> int:
             accs = trainer.accumulate([utt])
             num_total = jax.tree.map(lambda a, b: a + b, num_total, accs)
 
-        # denominator
-        den_path = os.path.join(ta.get("r"), f"{stem}.lat")
-        if not os.path.exists(den_path):
-            HRError(12030, "HMMIRest: no denominator lattice for %s", stem)
-            continue
-        den_lat = read_slf(den_path)
-        if vocab is None:
-            HError(1030, "HMMIRest: word lattices need a dictionary (-d)")
+        # MMI denominator
         den_total, den_lp = accumulate_lattice(
             den_lat, vocab, comp, trainer, data, period, stem, lm_scale,
             den_total,

@@ -127,3 +127,50 @@ class TestEBW:
         d1 = np.abs(m1 - target).mean()
         d2 = np.abs(m2 - target).mean()
         assert d2 < d1
+
+
+class TestMPE:
+    def test_mpe_weights_sign(self):
+        """Correct arc gets positive MPE weight, wrong arc negative."""
+        from htk_tpu.algo.latops import arc_mpe_weights
+        from htk_tpu.io.slf import Lattice, LArc, LNode, NULL_WORD
+
+        lat = Lattice()
+        lat.nodes = [
+            LNode(id=0, word=NULL_WORD, time=0.0),
+            LNode(id=1, word="right", time=1.0),
+            LNode(id=2, word="wrong", time=1.0),
+            LNode(id=3, word=NULL_WORD, time=1.0),
+        ]
+        lat.arcs = [
+            LArc(id=0, start=0, end=1, aclike=-10.0),
+            LArc(id=1, start=0, end=2, aclike=-10.5),  # near-competitive
+            LArc(id=2, start=1, end=3, aclike=0.0),
+            LArc(id=3, start=2, end=3, aclike=0.0),
+        ]
+        ref = [("right", 0.0, 1.0)]
+        weights, c_avg = arc_mpe_weights(lat, ref)
+        assert weights[0] > 0.01  # correct word arc pushed up
+        assert weights[1] < -0.01  # competitor pushed down
+        assert -1.0 < c_avg < 1.0
+        # weights roughly balance (sum-to-zero property of MPE)
+        assert abs(weights[0] + weights[1]) < 0.05
+
+    def test_mpe_zero_when_certain(self):
+        """A lattice with only the correct path yields ~zero weights."""
+        from htk_tpu.algo.latops import arc_mpe_weights
+        from htk_tpu.io.slf import Lattice, LArc, LNode, NULL_WORD
+
+        lat = Lattice()
+        lat.nodes = [
+            LNode(id=0, word=NULL_WORD, time=0.0),
+            LNode(id=1, word="right", time=1.0),
+            LNode(id=2, word=NULL_WORD, time=1.0),
+        ]
+        lat.arcs = [
+            LArc(id=0, start=0, end=1, aclike=-10.0),
+            LArc(id=1, start=1, end=2, aclike=0.0),
+        ]
+        weights, c_avg = arc_mpe_weights(lat, [("right", 0.0, 1.0)])
+        assert abs(weights[0]) < 1e-6
+        assert c_avg == pytest.approx(1.0)

@@ -68,10 +68,31 @@ class MixPDF:
 
 @dataclass
 class StreamElem:
-    """Mixture list for one stream (HModel.c StreamElem)."""
+    """Mixture list for one stream (HModel.c StreamElem).
+
+    Discrete streams store a DProb codeword table instead of Gaussians:
+    dprobs[k] is HTK's short-coded -2371.8*ln(p) value for codeword k+1
+    (32767 = floored zero).
+    """
 
     weights: List[float] = field(default_factory=list)
     mixes: List[Optional[MixPDF]] = field(default_factory=list)
+    dprobs: Optional[np.ndarray] = None  # (K,) int16-coded probs
+
+DPROB_SCALE = -2371.8
+
+
+def dprob_to_logp(d: np.ndarray) -> np.ndarray:
+    """Short-coded DProb -> natural log prob (HModel.c DProb2Short inv)."""
+    lp = np.asarray(d, np.float64) / DPROB_SCALE
+    return np.where(np.asarray(d) >= 32767, LZERO, lp).astype(np.float32)
+
+
+def logp_to_dprob(lp: np.ndarray) -> np.ndarray:
+    """Natural log prob -> short-coded DProb."""
+    d = np.round(np.asarray(lp, np.float64) * DPROB_SCALE)
+    return np.clip(np.where(np.asarray(lp) <= LZERO / 2, 32767, d),
+                   0, 32767).astype(np.int32)
 
 
 @dataclass
@@ -345,6 +366,22 @@ class _Parser:
                 self.next_int()
             se = StreamElem()
             m = nmix[s]
+            t = self.peek()
+            if t is not None and t.kind == _Tok.KW and t.val == "DPROB":
+                # discrete stream: m short-coded codeword probs with
+                # HTK's value*repeat run-length syntax
+                self.next()
+                vals: List[int] = []
+                while len(vals) < m:
+                    tok = self.next()
+                    if "*" in tok.val:
+                        v, r = tok.val.split("*")
+                        vals.extend([int(v)] * int(r))
+                    else:
+                        vals.append(int(tok.val))
+                se.dprobs = np.asarray(vals[:m], np.int32)
+                si.streams.append(se)
+                continue
             if m == 1:
                 t = self.peek()
                 if t.kind == _Tok.MACRO and t.val == "m":
@@ -600,7 +637,10 @@ class _Writer:
     def _write_state_body(self, si: StateInfo):
         hs = self.hset
         nstreams = len(hs.swidth)
-        nmix = [len(se.mixes) for se in si.streams]
+        nmix = [
+            (len(se.dprobs) if se.dprobs is not None else len(se.mixes))
+            for se in si.streams
+        ]
         if any(m > 1 for m in nmix):
             self.w("<NUMMIXES> " + " ".join(str(m) for m in nmix) + "\n")
         if si.stream_weights is not None:
@@ -612,6 +652,20 @@ class _Writer:
         for s, se in enumerate(si.streams):
             if nstreams > 1:
                 self.w(f"<STREAM> {s + 1}\n")
+            if se.dprobs is not None:
+                # run-length encode consecutive repeats (HTK x*n form)
+                out = []
+                vals = [int(v) for v in se.dprobs]
+                i = 0
+                while i < len(vals):
+                    j = i
+                    while j + 1 < len(vals) and vals[j + 1] == vals[i]:
+                        j += 1
+                    out.append(f"{vals[i]}*{j - i + 1}" if j > i
+                               else str(vals[i]))
+                    i = j + 1
+                self.w("<DPROB> " + " ".join(out) + "\n")
+                continue
             if len(se.mixes) == 1:
                 self.write_mixpdf(se.mixes[0])
             else:

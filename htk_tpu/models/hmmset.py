@@ -57,6 +57,11 @@ class CompiledHMMSet:
     names: List[str] = field(default_factory=list)
     name_to_id: Dict[str, int] = field(default_factory=dict)
 
+    # discrete sets: per-state codeword log-prob table instead of Gaussians
+    discrete: bool = False
+    dprob_table: Optional[np.ndarray] = None  # (S, K_total) f32 log probs
+    dprob_blocks: List = field(default_factory=list)  # [(k0, k1)] per stream
+
     # multi-stream structure (single-stream sets: one block covering all)
     n_streams: int = 1
     stream_slices: List = field(default_factory=list)  # [(d0, d1)] per stream
@@ -133,6 +138,11 @@ def compile_hmmset(hset: HMMSet) -> CompiledHMMSet:
 
     names = list(hset.hmms.keys())
     nmax = max(h.nstates for h in hset.hmms.values())
+
+    # discrete set? (DPROB tables instead of Gaussians)
+    first_state = next(iter(hset.hmms.values())).states[0]
+    if first_state.streams[0].dprobs is not None:
+        return _compile_discrete(hset, names, nmax, n_streams, stream_slices)
 
     for h in hset.hmms.values():
         for si in h.states:
@@ -249,6 +259,91 @@ def compile_hmmset(hset: HMMSet) -> CompiledHMMSet:
         _transp_objs=transps,
         _hset=hset,
     )
+
+
+def _compile_discrete(hset, names, nmax, n_streams, stream_slices):
+    """Discrete-HMM compile: per-state codeword log-prob table (HVQ path)."""
+    from ..io.mmf import dprob_to_logp
+
+    state_ids: Dict[int, int] = {}
+    states: List[StateInfo] = []
+    transp_ids: Dict[int, int] = {}
+    transps: List[np.ndarray] = []
+    for h in hset.hmms.values():
+        for si in h.states:
+            if id(si) not in state_ids:
+                state_ids[id(si)] = len(states)
+                states.append(si)
+        if id(h.transp) not in transp_ids:
+            transp_ids[id(h.transp)] = len(transps)
+            transps.append(h.transp)
+    S = len(states)
+    sizes = [len(states[0].streams[s].dprobs) for s in range(n_streams)]
+    k_offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+    dprob_blocks = [(int(k_offs[s]), int(k_offs[s + 1]))
+                    for s in range(n_streams)]
+    table = np.full((S, int(k_offs[-1])), LZERO, np.float32)
+    state_sw = np.ones((S, n_streams), np.float32)
+    for i, si in enumerate(states):
+        for s in range(n_streams):
+            k0, k1 = dprob_blocks[s]
+            table[i, k0:k1] = dprob_to_logp(si.streams[s].dprobs)
+            if si.stream_weights is not None and len(si.stream_weights) > s:
+                state_sw[i, s] = float(si.stream_weights[s])
+
+    Tn = len(transps)
+    log_transp = np.full((Tn, nmax, nmax), LZERO, np.float32)
+    for i, tp in enumerate(transps):
+        n = tp.shape[0]
+        with np.errstate(divide="ignore"):
+            log_transp[i, :n, :n] = np.where(
+                tp > 0, np.log(np.maximum(tp, 1e-38)), LZERO
+            )
+
+    H = len(names)
+    model_nstates = np.zeros((H,), np.int32)
+    model_states = np.full((H, nmax - 2), -1, np.int32)
+    model_transp = np.zeros((H,), np.int32)
+    for hi, name in enumerate(names):
+        h = hset.hmms[name]
+        model_nstates[hi] = h.nstates
+        for k, si in enumerate(h.states):
+            model_states[hi, k] = state_ids[id(si)]
+        model_transp[hi] = transp_ids[id(h.transp)]
+
+    return CompiledHMMSet(
+        discrete=True,
+        dprob_table=table,
+        dprob_blocks=dprob_blocks,
+        n_streams=n_streams,
+        stream_slices=stream_slices,
+        state_sw=state_sw,
+        means=np.zeros((0, hset.vec_size or 1), np.float32),
+        variances=np.zeros((0, hset.vec_size or 1), np.float32),
+        gconsts=np.zeros((0,), np.float32),
+        state_mix=np.full((S, 1), -1, np.int32),
+        state_logw=np.full((S, 1), LZERO, np.float32),
+        log_transp=log_transp,
+        model_nstates=model_nstates,
+        model_states=model_states,
+        model_transp=model_transp,
+        names=list(names),
+        name_to_id={n: i for i, n in enumerate(names)},
+        _state_objs=states,
+        _transp_objs=transps,
+        _hset=hset,
+    )
+
+
+def write_back_discrete(comp: CompiledHMMSet, table_logp: np.ndarray) -> HMMSet:
+    """Write an updated codeword log-prob table back into the HMMSet."""
+    from ..io.mmf import logp_to_dprob
+
+    for i, si in enumerate(comp._state_objs):
+        for s, (k0, k1) in enumerate(comp.dprob_blocks):
+            si.streams[s].dprobs = logp_to_dprob(table_logp[i, k0:k1])
+    comp.dprob_table = np.asarray(table_logp, np.float32)
+    return comp._hset
 
 
 def write_back(

@@ -61,6 +61,31 @@ def make_proto(
     return hset
 
 
+def make_discrete_proto(
+    nstates: int = 5,
+    codebook_sizes: List[int] = (256,),
+    name: str = "proto",
+) -> HMMSet:
+    """A discrete-HMM prototype: uniform codeword tables per stream."""
+    from ..io.mmf import logp_to_dprob
+
+    hset = HMMSet(vec_size=len(codebook_sizes),
+                  parm_kind=pk.str2parmkind("DISCRETE"))
+    hset.stream_widths = [1] * len(codebook_sizes)
+    h = HMMDef(name=name, nstates=nstates)
+    for _ in range(nstates - 2):
+        streams = []
+        for k in codebook_sizes:
+            se = StreamElem()
+            se.dprobs = logp_to_dprob(np.full(k, -np.log(k)))
+            streams.append(se)
+        h.states.append(StateInfo(streams=streams))
+    h.transp = left_to_right_transp(nstates)
+    hset.hmms[name] = h
+    hset.macros["h"][name] = h
+    return hset
+
+
 def clone_proto(hset: HMMSet, proto_name: str, names: List[str]) -> HMMSet:
     """Clone the proto into one fresh (untied) HMM per name (flat start).
 
@@ -81,6 +106,10 @@ def clone_proto(hset: HMMSet, proto_name: str, names: List[str]) -> HMMSet:
             streams = []
             for se_src in si.streams:
                 se = StreamElem()
+                if se_src.dprobs is not None:
+                    se.dprobs = np.array(se_src.dprobs).copy()
+                    streams.append(se)
+                    continue
                 for w, mp in zip(se_src.weights, se_src.mixes):
                     nmp = MixPDF(
                         mean=np.array(mp.mean, np.float32).copy(),

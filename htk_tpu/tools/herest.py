@@ -124,7 +124,8 @@ def run(argv: List[str]) -> int:
         if not files:
             HError(1030, "HERest: no training files\n%s", USAGE)
 
-        trainer = _make_trainer(comp, cfg)
+        trainer = (_make_discrete_trainer(comp) if comp.discrete
+                   else _make_trainer(comp, cfg))
         utts = []
         for fn in files:
             data, period, kind, e = open_speech_file(fn, cfg)
@@ -206,6 +207,23 @@ def run(argv: List[str]) -> int:
             print(f"HERest: estimated {kind} transform -> {tmf_path}")
         return 0
 
+    if comp.discrete:
+        from ..algo.fb_discrete import reestimate_discrete
+        from ..models.hmmset import write_back_discrete
+
+        table, new_tr = reestimate_discrete(comp, accs)
+        write_back_discrete(comp, table)
+        if flags.transitions:
+            from ..models.hmmset import write_back as _wb
+
+            _wb(comp, transps=new_tr)
+        os.makedirs(out_dir, exist_ok=True)
+        out_mmf = os.path.join(out_dir, os.path.basename(mmfs[0]))
+        save_mmf(hset, out_mmf, binary=ta.binary)
+        if ta.trace:
+            print(f"HERest: saved {out_mmf} (discrete)")
+        return 0
+
     map_tau = cfg.flt_("MAPTAU", 0.0, module="HMAP") or 0.0
     if map_tau > 0:
         from ..algo.adapt import map_update
@@ -226,6 +244,12 @@ def run(argv: List[str]) -> int:
     if ta.trace:
         print(f"HERest: saved {out_mmf}")
     return 0
+
+
+def _make_discrete_trainer(comp):
+    from ..algo.fb_discrete import DiscreteTrainer
+
+    return DiscreteTrainer(comp)
 
 
 def _make_trainer(comp, cfg) -> Trainer:

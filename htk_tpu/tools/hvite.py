@@ -157,6 +157,12 @@ def run(argv: List[str]) -> int:
                 from ..algo.nnet import hybrid_outp
 
                 state_scores = np.asarray(hybrid_outp(ann, data))
+            elif comp.discrete:
+                from ..algo.fb_discrete import discrete_state_scores
+
+                state_scores = discrete_state_scores(
+                    comp, np.asarray(data, np.int64)
+                )
             res = decode(net, comp, data, lm_scale, word_pen,
                          state_scores=state_scores)
             nbest = 0

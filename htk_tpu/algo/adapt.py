@@ -34,6 +34,47 @@ from ..utils.errors import HError
 from .fb import Accumulators
 
 
+def speaker_from_mask(mask: str, name: str) -> str:
+    """Extract the speaker id from a filename using an HTK -h mask.
+
+    HTK masks use `%` to capture one speaker-name character and `*` as a
+    wildcard, e.g. `*/%%%_*.mfc` captures the first 3 chars of the
+    basename. Matching follows HAdapt's MaskMatch semantics; returns the
+    captured characters, or the whole basename when the mask doesn't
+    match (with a warning at the caller).
+    """
+    import os as _os
+
+    cand = name
+    base = _os.path.basename(name)
+
+    def match(m: str, s: str):
+        # returns captured string or None; simple backtracking matcher
+        if not m:
+            return "" if not s else None
+        if m[0] == "*":
+            for k in range(len(s) + 1):
+                r = match(m[1:], s[k:])
+                if r is not None:
+                    return r
+            return None
+        if not s:
+            return None
+        if m[0] == "%":
+            r = match(m[1:], s[1:])
+            return None if r is None else s[0] + r
+        if m[0] == "?" or m[0] == s[0]:
+            r = match(m[1:], s[1:])
+            return r
+        return None
+
+    for target in (name, base):
+        got = match(mask, target)
+        if got:
+            return got
+    return _os.path.splitext(base)[0]
+
+
 @dataclass
 class Transform:
     kind: str  # "MLLRMEAN" | "CMLLR"

@@ -157,25 +157,31 @@ def run(argv: List[str]) -> int:
         )
 
     if ta.has("K"):
-        # transform estimation mode (HERest adaptation): estimate a global
-        # transform from the accumulators and save a TMF; models unchanged.
+        # transform estimation mode (HERest adaptation): estimate one
+        # transform per speaker (-h mask; one global speaker without it)
+        # and save TMFs; models unchanged.
         from ..algo.adapt import (cmllr_stats_from_gammas, estimate_cmllr,
-                                  estimate_mllr_mean, save_tmf)
+                                  estimate_mllr_mean, save_tmf,
+                                  speaker_from_mask)
 
         kind = (cfg.str_("TRANSKIND", "MLLRMEAN", module="HADAPT")
                 or "MLLRMEAN").upper()
         out_xf_dir = ta.get("K")
         os.makedirs(out_xf_dir, exist_ok=True)
-        if kind == "MLLRMEAN":
-            xf = estimate_mllr_mean(comp, accs)
-        elif kind == "CMLLR":
+        mask = ta.get("h")
+        groups = {}
+        for u in utts:
+            spk = speaker_from_mask(mask, u.name) if mask else "global"
+            groups.setdefault(spk, []).append(u)
+
+        def cmllr_from(uset):
             import jax.numpy as jnp
             from ..algo.fb import mix_posteriors_utterance
             from ..algo.trainer import pad_batch
 
             stats = None
             params = trainer.params()
-            for u in utts:
+            for u in uset:
                 arrs = pad_batch([u], comp.n_states)
                 _lp, gam = mix_posteriors_utterance(
                     jnp.asarray(arrs["feats"][0]), jnp.asarray(arrs["t_real"][0]),
@@ -198,13 +204,23 @@ def run(argv: List[str]) -> int:
                     stats.G += s.G
                     stats.k += s.k
                     stats.beta += s.beta
-            xf = estimate_cmllr(stats)
-        else:
-            HError(7450, "HERest: unsupported TRANSKIND %s", kind)
-        tmf_path = os.path.join(out_xf_dir, "global.tmf")
-        save_tmf(tmf_path, "global", xf)
-        if ta.trace:
-            print(f"HERest: estimated {kind} transform -> {tmf_path}")
+            return estimate_cmllr(stats)
+
+        for spk, uset in groups.items():
+            if kind == "MLLRMEAN":
+                spk_accs = (accs if len(groups) == 1
+                            else trainer.accumulate(uset,
+                                                    batch_size=batch_size))
+                xf = estimate_mllr_mean(comp, spk_accs)
+            elif kind == "CMLLR":
+                xf = cmllr_from(uset)
+            else:
+                HError(7450, "HERest: unsupported TRANSKIND %s", kind)
+            tmf_path = os.path.join(out_xf_dir, f"{spk}.tmf")
+            save_tmf(tmf_path, spk, xf)
+            if ta.trace:
+                print(f"HERest: estimated {kind} transform for {spk} "
+                      f"({len(uset)} utts) -> {tmf_path}")
         return 0
 
     if comp.discrete:

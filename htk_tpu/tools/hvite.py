@@ -95,27 +95,42 @@ def run(argv: List[str]) -> int:
     hset = load_mmf(mmfs)
     comp = compile_hmmset(hset)
 
-    # input adaptation transforms (-J dir): global TMF applied to the
-    # model means (MLLRMEAN) or to incoming features (CMLLR)
-    feat_xf = None
+    # input adaptation transforms (-J dir): per-speaker TMFs selected by
+    # the -h mask, or one global transform. MLLRMEAN transforms the model
+    # means; CMLLR transforms incoming features.
+    xforms = {}
     for xf_dir in ta.get_all("J"):
         import glob as _glob
 
         for tmf in sorted(_glob.glob(os.path.join(xf_dir, "*.tmf"))):
             from ..algo.adapt import load_tmf
 
-            _name, xf = load_tmf(tmf)
-            if xf.kind == "MLLRMEAN":
-                new_means = xf.apply_to_means(comp.means)
-                from ..models.hmmset import write_back
+            name, xf = load_tmf(tmf)
+            xforms[os.path.splitext(os.path.basename(tmf))[0]] = xf
+            if ta.trace:
+                print(f"HVite: loaded {xf.kind} transform {tmf}")
+    spk_mask = ta.get("h")
+    base_means = comp.means.copy() if xforms else None
 
-                write_back(comp, means=new_means)
-                if ta.trace:
-                    print(f"HVite: applied MLLR mean transform {tmf}")
-            elif xf.kind == "CMLLR":
-                feat_xf = xf
-                if ta.trace:
-                    print(f"HVite: using CMLLR feature transform {tmf}")
+    def adapt_for(logical, data):
+        """Pick this utterance's transform; returns (possibly new) data."""
+        if not xforms:
+            return data
+        from ..algo.adapt import speaker_from_mask
+        from ..models.hmmset import write_back
+
+        if spk_mask and len(xforms) > 1:
+            spk = speaker_from_mask(spk_mask, logical)
+            xf = xforms.get(spk) or xforms.get("global")
+            if xf is None:
+                HRError(7441, "HVite: no transform for speaker %s", spk)
+                return data
+        else:
+            xf = next(iter(xforms.values()))
+        if xf.kind == "MLLRMEAN":
+            write_back(comp, means=xf.apply_to_means(base_means))
+            return data
+        return xf.apply_to_features(data).astype(data.dtype)
     vocab = read_dict(dict_file)
     load_hmm_list(hmm_list_file)  # validated for parity; comp holds models
 
@@ -150,8 +165,7 @@ def run(argv: List[str]) -> int:
                 print(f"HVite: hybrid decoding with ANN {ta.get('N')}")
         for fn in files:
             data, _p, _k, e = open_speech_file(fn, cfg)
-            if feat_xf is not None:
-                data = feat_xf.apply_to_features(data).astype(data.dtype)
+            data = adapt_for(e.logical, data)
             state_scores = None
             if ann is not None:
                 from ..algo.nnet import hybrid_outp
@@ -232,8 +246,7 @@ def run(argv: List[str]) -> int:
         bound = ta.get("b")
         for fn in files:
             data, _p, _k, e = open_speech_file(fn, cfg)
-            if feat_xf is not None:
-                data = feat_xf.apply_to_features(data).astype(data.dtype)
+            data = adapt_for(e.logical, data)
             wtr = find_labels(e.logical, mlfs, label_dir, label_ext)
             words = [l.name for l in wtr.labels]
             if bound:

@@ -115,3 +115,14 @@ class TestMAP:
         occ = 10.0
         want = (5.0 * comp.means + occ * (comp.means + shift)) / (5.0 + occ)
         np.testing.assert_allclose(map_update(comp, accs, 5.0), want, atol=1e-4)
+
+
+class TestSpeakerMask:
+    def test_mask_capture(self):
+        from htk_tpu.algo.adapt import speaker_from_mask
+
+        assert speaker_from_mask("%%_*", "sA_u3.mfc") == "sA"
+        assert speaker_from_mask("*/%%%_*.mfc", "data/abc_001.mfc") == "abc"
+        assert speaker_from_mask("%%%*", "spk1utt.mfc") == "spk"
+        # non-matching mask falls back to the stem
+        assert speaker_from_mask("zz%%", "sA_u3.mfc") == "sA_u3"

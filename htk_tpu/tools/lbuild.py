@@ -6,7 +6,7 @@ Good-Turing or absolute discounting.
 
 Usage: LBuild [options] wordMap outLM trainFiles...
 
-  -n N     LM order (1-3, default 2)
+  -n N     LM order (1-4, default 2)
   -c N     count cutoff threshold (default 1)
   -d s     discount scheme: GT (Good-Turing) | ABS (absolute, default)
   -a f     absolute discount constant (default 0.5)
@@ -77,6 +77,7 @@ def build_lm(sents, order=2, cutoff=1, scheme="ABS", disc=0.5, ufloor=1.0):
     uni = Counter()
     bi = Counter()
     tri = Counter()
+    four = Counter()
     for s in sents:
         seq = [ENTER] + s + [EXIT]
         for w in seq:
@@ -86,6 +87,9 @@ def build_lm(sents, order=2, cutoff=1, scheme="ABS", disc=0.5, ufloor=1.0):
         if order >= 3:
             for a, b, c in zip(seq, seq[1:], seq[2:]):
                 tri[(a, b, c)] += 1
+        if order >= 4:
+            for a, b, c, d in zip(seq, seq[1:], seq[2:], seq[3:]):
+                four[(a, b, c, d)] += 1
 
     lm = NGramLM(order=order)
     tot = sum(max(c, ufloor) for c in uni.values())
@@ -138,6 +142,27 @@ def build_lm(sents, order=2, cutoff=1, scheme="ABS", disc=0.5, ufloor=1.0):
             for w3, c in trips:
                 p = disc_count(c, gt_tri) / c12
                 lm.trigrams[(w1, w2, w3)] = math.log(max(p, 1e-10))
+
+    if order >= 4:
+        gt_4 = good_turing_discount(four) if scheme == "GT" else None
+        for (w1, w2, w3), c123 in tri.items():
+            quads = [(w4, c) for (a, b, d, w4), c in four.items()
+                     if a == w1 and b == w2 and d == w3 and c >= cutoff]
+            if not quads:
+                continue
+            mass = 0.0
+            for w4, c in quads:
+                mass += disc_count(c, gt_4) / c123
+            seen = {w4 for w4, _ in quads}
+            unseen = sum(
+                math.exp(lm.logp_tri(w2, w3, w)) for w in uni if w not in seen
+            )
+            alpha = max(1.0 - mass, 1e-10) / max(unseen, 1e-10)
+            if (w1, w2, w3) in lm.trigrams:
+                lm.tri_bo[(w1, w2, w3)] = math.log(max(alpha, 1e-10))
+            for w4, c in quads:
+                p = disc_count(c, gt_4) / c123
+                lm.fourgrams[(w1, w2, w3, w4)] = math.log(max(p, 1e-10))
     return lm
 
 

@@ -53,7 +53,9 @@ def run(argv: List[str]) -> int:
                     n_oov += 1
                     if skip_oov:
                         continue
-                if order >= 3 and i >= 2:
+                if order >= 4 and i >= 3:
+                    lp += lm.logp_4(seq[i - 3], seq[i - 2], seq[i - 1], w)
+                elif order >= 3 and i >= 2:
                     lp += lm.logp_tri(seq[i - 2], seq[i - 1], w)
                 else:
                     lp += lm.logp_bi(seq[i - 1], w)

@@ -130,3 +130,80 @@ class TestHLEd:
         )
         out = ed.apply(tr)
         assert [l.name for l in out.labels] == ["x", "q"]
+
+
+class TestWaveFormats:
+    def test_aiff_roundtrip(self, tmp_path):
+        import struct
+        import numpy as np
+        from htk_tpu.io.wavefile import read_wave
+
+        s = np.arange(-50, 50, dtype=">i2")
+        # 80-bit extended float for 16000.0: exp=16383+13, mant=16000<<50
+        rate = 16000
+        exp = 16383 + 13
+        mant = rate << 50
+        comm = struct.pack(">HIH", 1, 100, 16) + struct.pack(">HQ", exp, mant)
+        ssnd = struct.pack(">II", 0, 0) + s.tobytes()
+        body = (b"COMM" + struct.pack(">I", len(comm)) + comm
+                + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+        raw = b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFF" + body
+        p = str(tmp_path / "a.aiff")
+        open(p, "wb").write(raw)
+        w = read_wave(p, fmt="AIFF")
+        assert w.samp_period == 625
+        np.testing.assert_array_equal(w.samples, np.arange(-50, 50))
+
+    def test_sunau_linear16(self, tmp_path):
+        import struct
+        import numpy as np
+        from htk_tpu.io.wavefile import read_wave
+
+        s = np.arange(0, 30, dtype=">i2")
+        hdr = b".snd" + struct.pack(">IIIII", 24, len(s) * 2, 3, 8000, 1)
+        p = str(tmp_path / "a.au")
+        open(p, "wb").write(hdr + s.tobytes())
+        w = read_wave(p, fmt="SUNAU8")
+        assert w.samp_period == 1250
+        np.testing.assert_array_equal(w.samples, np.arange(0, 30))
+
+    def test_sunau_ulaw_silence(self, tmp_path):
+        import struct
+        import numpy as np
+        from htk_tpu.io.wavefile import read_wave
+
+        # mu-law 0xFF encodes 0
+        hdr = b".snd" + struct.pack(">IIIII", 24, 8, 1, 8000, 1)
+        p = str(tmp_path / "u.au")
+        open(p, "wb").write(hdr + b"\xff" * 8)
+        w = read_wave(p, fmt="AU")
+        assert np.all(np.abs(w.samples) <= 8)
+
+
+class TestLM4:
+    def test_fourgram_roundtrip(self, tmp_path):
+        from htk_tpu.io.lm import read_arpa, write_arpa
+        from htk_tpu.tools.lbuild import build_lm
+
+        sents = [["a", "b", "c", "d"], ["a", "b", "c", "e"],
+                 ["a", "b", "c", "d"]]
+        lm = build_lm(sents, order=4)
+        assert lm.fourgrams
+        # 4-gram prefers the majority continuation
+        assert lm.logp_4("a", "b", "c", "d") > lm.logp_4("a", "b", "c", "e")
+        p = str(tmp_path / "lm4.arpa")
+        write_arpa(lm, p)
+        lm2 = read_arpa(p)
+        assert lm2.order == 4
+        assert lm2.logp_4("a", "b", "c", "d") == pytest.approx(
+            lm.logp_4("a", "b", "c", "d"), abs=1e-3
+        )
+
+    def test_subset(self):
+        from htk_tpu.tools.lbuild import build_lm
+        from htk_tpu.tools.lsubset import subset
+
+        lm = build_lm([["a", "b"], ["c", "d"]], order=2)
+        out = subset(lm, {"a", "b", "<s>", "</s>"})
+        assert "c" not in out.unigrams
+        assert ("a", "b") in out.bigrams

@@ -286,6 +286,70 @@ class Editor:
         if self.trace:
             print(f"HHEd: RT {i} {j} over {len(seen)} transP")
 
+    def cmd_co(self, list_path: str):
+        """CO: compact — merge physically identical HMMs, write the new
+        list with `logical physical` lines (HHEd.c CompactSet)."""
+        hset = self.hset
+        # identity signature: shared state ids + transP id
+        sig_of = {}
+        phys_of = {}
+        for nm, h in hset.hmms.items():
+            sig = (tuple(id(s) for s in h.states), id(h.transp), h.nstates)
+            if sig in sig_of:
+                phys_of[nm] = sig_of[sig]
+            else:
+                sig_of[sig] = nm
+                phys_of[nm] = nm
+        with open(list_path, "w") as f:
+            for nm in hset.hmms:
+                if phys_of[nm] == nm:
+                    f.write(f"{nm}\n")
+                else:
+                    f.write(f"{nm} {phys_of[nm]}\n")
+        # drop duplicate physical definitions (logical entries stay in list)
+        keep = {phys_of[nm] for nm in hset.hmms}
+        removed = [nm for nm in list(hset.hmms) if nm not in keep]
+        for nm in removed:
+            del hset.hmms[nm]
+            hset.macros["h"].pop(nm, None)
+        if self.trace:
+            print(f"HHEd: CO {len(removed)} logical models share physical "
+                  f"definitions -> {list_path}")
+
+    def cmd_md(self, target: int, spec: str):
+        """MD n: mixture-down — remove lowest-weight mixtures to n."""
+        items = parse_item_list(spec, self.hset)
+        seen = set()
+        n_done = 0
+        for it in items:
+            si = it.hmm.states[it.state_idx - 2]
+            se = si.streams[it.stream_idx - 1]
+            if id(se) in seen:
+                continue
+            seen.add(id(se))
+            while sum(1 for m in se.mixes if m is not None) > target:
+                live = [(i, w) for i, (w, m) in
+                        enumerate(zip(se.weights, se.mixes)) if m is not None]
+                i, w = min(live, key=lambda t: t[1])
+                se.mixes[i] = None
+                se.weights[i] = 0.0
+            tot = sum(w for w, m in zip(se.weights, se.mixes) if m is not None)
+            if tot > 0:
+                se.weights = [w / tot if m is not None else 0.0
+                              for w, m in zip(se.weights, se.mixes)]
+            n_done += 1
+        if self.trace:
+            print(f"HHEd: MD {target} over {n_done} streams")
+
+    def cmd_hk(self, kind: str):
+        """HK: set the HMM-set kind flag (PLAINHS/SHAREDHS/TIEDHS/DISCRETEHS).
+
+        Parameter layout conversion beyond the flag (e.g. continuous ->
+        discrete) is not performed; the flag is recorded for parity. [LC]
+        """
+        self.hset.hmm_set_id = kind
+        HRError(2640, "HHEd: HK records the kind only (no conversion)")
+
     def cmd_st(self, path: str):
         save_trees(path, self.questions, self.trees)
         if self.trace:
@@ -477,8 +541,11 @@ def run_script(text: str, ed: Editor):
         elif op == "SH":
             ed.cmd_sh()
         elif op == "CO":
-            r.next()  # consume list path
-            HRError(2640, "HHEd: CO not yet implemented, ignored")
+            ed.cmd_co(r.next())
+        elif op == "MD":
+            ed.cmd_md(int(r.next()), r.next())
+        elif op == "HK":
+            ed.cmd_hk(r.next())
         else:
             HError(2650, "HHEd: unknown command %s", op)
 

@@ -142,3 +142,27 @@ class TestScript:
         assert h2.hmms["aa"].transp is h2.hmms["iy"].transp
         assert len(h2.hmms["aa"].states[0].streams[0].mixes) == 2
         compile_hmmset(h2)
+
+
+class TestCompactMixdown:
+    def test_co_merges_identical(self, tmp_path):
+        hs = mono_set()
+        ed = Editor(hs)
+        # tie everything between aa and iy so they become identical
+        run_script("TI S2 {(aa,iy).state[2]}\nTI S3 {(aa,iy).state[3]}\n"
+                   "TI S4 {(aa,iy).state[4]}\nTI TT {(aa,iy).transP}\n", ed)
+        lst = str(tmp_path / "tiedlist")
+        run_script(f"CO {lst}\n", ed)
+        lines = open(lst).read().splitlines()
+        assert any(len(l.split()) == 2 for l in lines)  # logical->physical
+        assert len(hs.hmms) == 2  # one of aa/iy dropped, sil kept
+
+    def test_md_reduces_mixtures(self):
+        hs = mono_set()
+        ed = Editor(hs)
+        run_script("MU 4 {sil.state[2-4].mix}\nMD 2 {sil.state[2-4].mix}\n", ed)
+        for si in hs.hmms["sil"].states:
+            se = si.streams[0]
+            assert sum(1 for m in se.mixes if m is not None) == 2
+            live = [w for w, m in zip(se.weights, se.mixes) if m is not None]
+            assert sum(live) == pytest.approx(1.0, rel=1e-5)

@@ -114,6 +114,72 @@ def estimate_mllr_mean(comp: CompiledHMMSet, accs: Accumulators,
     return Transform(kind="MLLRMEAN", A=W[:, 1:].copy(), b=W[:, 0].copy())
 
 
+def build_regression_classes(comp: CompiledHMMSet, n_classes: int) -> np.ndarray:
+    """Cluster Gaussians into regression base classes (HAdapt ~b role).
+
+    HTK builds a centroid-split regression tree; the flat equivalent here
+    is k-means over the Gaussian means — at estimation time classes with
+    too little occupancy fall back to the global transform, which is the
+    tree's back-off behaviour for a depth-1 tree. Returns (M,) class ids.
+    """
+    from .kmeans import kmeans
+
+    if comp.n_mix <= n_classes:
+        return np.arange(comp.n_mix, dtype=np.int32) % max(n_classes, 1)
+    assign, _means = kmeans(comp.means.astype(np.float64), n_classes)
+    return assign.astype(np.int32)
+
+
+def estimate_mllr_classes(
+    comp: CompiledHMMSet,
+    accs: Accumulators,
+    classes: np.ndarray,
+    min_occ: float = 100.0,
+):
+    """Per-regression-class MLLR mean transforms with global back-off.
+
+    Returns (transforms list, class->transform index (C,)). Classes whose
+    occupancy is below min_occ use the global transform (index 0).
+    """
+    global_xf = estimate_mllr_mean(comp, accs)
+    xforms = [global_xf]
+    n_classes = int(classes.max()) + 1
+    class_to_xf = np.zeros(n_classes, np.int32)
+    occ = np.asarray(accs.occ, np.float64)
+    for c in range(n_classes):
+        sel = classes == c
+        if occ[sel].sum() < min_occ:
+            continue
+        sub = Accumulators(
+            occ=np.where(sel, np.asarray(accs.occ), 0.0).astype(np.float32),
+            sum_x=np.where(sel[:, None], np.asarray(accs.sum_x), 0.0).astype(
+                np.float32),
+            sum_xx=np.asarray(accs.sum_xx),
+            wt_occ=np.asarray(accs.wt_occ),
+            tr=np.asarray(accs.tr),
+            total_logp=accs.total_logp, total_frames=accs.total_frames,
+            n_utts=accs.n_utts,
+        )
+        xforms.append(estimate_mllr_mean(comp, sub))
+        class_to_xf[c] = len(xforms) - 1
+    return xforms, class_to_xf
+
+
+def apply_mllr_classes(
+    comp: CompiledHMMSet, base_means: np.ndarray,
+    xforms, class_to_xf: np.ndarray, classes: np.ndarray,
+) -> np.ndarray:
+    """Transform each Gaussian's mean with its class's transform."""
+    out = base_means.copy()
+    for c in range(len(class_to_xf)):
+        sel = classes == c
+        if not np.any(sel):
+            continue
+        xf = xforms[int(class_to_xf[c])]
+        out[sel] = base_means[sel] @ xf.A.T + xf.b[None, :]
+    return out
+
+
 # -- CMLLR ------------------------------------------------------------------
 
 
@@ -195,6 +261,74 @@ def map_update(
 
 
 # -- TMF I/O ----------------------------------------------------------------
+
+
+def save_tmf_classes(path: str, name: str, xforms, class_to_xf: np.ndarray,
+                     classes: np.ndarray) -> None:
+    """Multi-transform TMF: regression-class MLLR set (~a + class maps)."""
+    D = xforms[0].A.shape[0]
+    with open(path, "w") as f:
+        f.write(f'~a "{name}"\n')
+        f.write(f"<ADAPTKIND> MLLRCLASSES\n<VECSIZE> {D}\n")
+        f.write(f"<NUMXFORMS> {len(xforms)}\n")
+        f.write(f"<GAUSSCLASSES> {len(classes)}\n")
+        f.write(" " + " ".join(str(int(c)) for c in classes) + "\n")
+        f.write(f"<CLASSXFORM> {len(class_to_xf)}\n")
+        f.write(" " + " ".join(str(int(i)) for i in class_to_xf) + "\n")
+        for k, xf in enumerate(xforms):
+            f.write(f"<XFORMID> {k}\n<BIAS> {D}\n")
+            f.write(" " + " ".join("%.6e" % v for v in xf.b) + "\n")
+            f.write(f"<XFORM> {D} {D}\n")
+            for row in xf.A:
+                f.write(" " + " ".join("%.6e" % v for v in row) + "\n")
+
+
+def load_tmf_classes(path: str):
+    """Load a MLLRCLASSES TMF; returns (name, xforms, class_to_xf, classes)
+    or None when the file is a plain single-transform TMF."""
+    toks = open(path).read().split()
+    if "<ADAPTKIND>" not in toks:
+        return None
+    kind = toks[toks.index("<ADAPTKIND>") + 1]
+    if kind != "MLLRCLASSES":
+        return None
+    name = toks[1].strip('"') if toks[0] == "~a" else "unnamed"
+    i = 0
+    D = 0
+    classes = None
+    class_to_xf = None
+    xforms = []
+    cur_b = None
+    while i < len(toks):
+        t = toks[i]
+        if t == "<VECSIZE>":
+            D = int(toks[i + 1]); i += 2
+        elif t == "<GAUSSCLASSES>":
+            n = int(toks[i + 1])
+            classes = np.array([int(x) for x in toks[i + 2 : i + 2 + n]],
+                               np.int32)
+            i += 2 + n
+        elif t == "<CLASSXFORM>":
+            n = int(toks[i + 1])
+            class_to_xf = np.array([int(x) for x in toks[i + 2 : i + 2 + n]],
+                                   np.int32)
+            i += 2 + n
+        elif t == "<BIAS>":
+            n = int(toks[i + 1])
+            cur_b = np.array([float(x) for x in toks[i + 2 : i + 2 + n]])
+            i += 2 + n
+        elif t == "<XFORM>":
+            r, c = int(toks[i + 1]), int(toks[i + 2])
+            vals = [float(x) for x in toks[i + 3 : i + 3 + r * c]]
+            xforms.append(Transform(kind="MLLRMEAN",
+                                    A=np.array(vals).reshape(r, c),
+                                    b=cur_b))
+            i += 3 + r * c
+        else:
+            i += 1
+    if classes is None or class_to_xf is None or not xforms:
+        HError(7460, "load_tmf_classes: malformed %s", path)
+    return name, xforms, class_to_xf, classes
 
 
 def save_tmf(path: str, name: str, xf: Transform) -> None:

@@ -169,11 +169,17 @@ class Trainer:
         total = zero_accs(c.n_mix, c.dim, c.n_states, c.max_mix, self.tr_flat)
         step = self._step_fn()
         params = self.params()
-        n_fail = 0
+        # keep dispatch asynchronous: collect per-batch logP device arrays
+        # and only materialise them at the end, so host-side padding of the
+        # next batch overlaps the device scans of the current one
+        pending = []
         for batch in make_batches(utts, batch_size):
             arrs = pad_batch(batch, c.n_states)
             logps, accs = step(params, {k: jnp.asarray(v) for k, v in arrs.items()})
             total = jax.tree.map(lambda a, b: a + b, total, accs)
+            pending.append((batch, logps))
+        n_fail = 0
+        for batch, logps in pending:
             lp = np.asarray(logps)
             for u, l in zip(batch, lp[: len(batch)]):
                 if l <= LZERO / 2:

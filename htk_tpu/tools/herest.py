@@ -206,17 +206,30 @@ def run(argv: List[str]) -> int:
                     stats.beta += s.beta
             return estimate_cmllr(stats)
 
+        n_reg = cfg.int_("NUMREGCLASSES", 1, module="HADAPT") or 1
         for spk, uset in groups.items():
+            tmf_path = os.path.join(out_xf_dir, f"{spk}.tmf")
             if kind == "MLLRMEAN":
                 spk_accs = (accs if len(groups) == 1
                             else trainer.accumulate(uset,
                                                     batch_size=batch_size))
+                if n_reg > 1:
+                    from ..algo.adapt import (build_regression_classes,
+                                              estimate_mllr_classes,
+                                              save_tmf_classes)
+
+                    classes = build_regression_classes(comp, n_reg)
+                    xfs, c2x = estimate_mllr_classes(comp, spk_accs, classes)
+                    save_tmf_classes(tmf_path, spk, xfs, c2x, classes)
+                    if ta.trace:
+                        print(f"HERest: {len(xfs)} regression-class "
+                              f"transforms for {spk} -> {tmf_path}")
+                    continue
                 xf = estimate_mllr_mean(comp, spk_accs)
             elif kind == "CMLLR":
                 xf = cmllr_from(uset)
             else:
                 HError(7450, "HERest: unsupported TRANSKIND %s", kind)
-            tmf_path = os.path.join(out_xf_dir, f"{spk}.tmf")
             save_tmf(tmf_path, spk, xf)
             if ta.trace:
                 print(f"HERest: estimated {kind} transform for {spk} "

@@ -103,10 +103,18 @@ def run(argv: List[str]) -> int:
         import glob as _glob
 
         for tmf in sorted(_glob.glob(os.path.join(xf_dir, "*.tmf"))):
-            from ..algo.adapt import load_tmf
+            from ..algo.adapt import load_tmf, load_tmf_classes
 
+            multi = load_tmf_classes(tmf)
+            key = os.path.splitext(os.path.basename(tmf))[0]
+            if multi is not None:
+                xforms[key] = multi  # (name, xfs, class_to_xf, classes)
+                if ta.trace:
+                    print(f"HVite: loaded {len(multi[1])} regression-class "
+                          f"transforms {tmf}")
+                continue
             name, xf = load_tmf(tmf)
-            xforms[os.path.splitext(os.path.basename(tmf))[0]] = xf
+            xforms[key] = xf
             if ta.trace:
                 print(f"HVite: loaded {xf.kind} transform {tmf}")
     spk_mask = ta.get("h")
@@ -127,6 +135,13 @@ def run(argv: List[str]) -> int:
                 return data
         else:
             xf = next(iter(xforms.values()))
+        if isinstance(xf, tuple):  # regression-class MLLR set
+            from ..algo.adapt import apply_mllr_classes
+
+            _nm, xfs, c2x, classes = xf
+            write_back(comp, means=apply_mllr_classes(
+                comp, base_means, xfs, c2x, classes))
+            return data
         if xf.kind == "MLLRMEAN":
             write_back(comp, means=xf.apply_to_means(base_means))
             return data

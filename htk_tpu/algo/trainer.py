@@ -104,6 +104,20 @@ def pad_batch(batch: Sequence[UttData], n_states_phys: int,
     )
 
 
+@dataclass
+class UttIds:
+    """Lightweight utterance for the device-composite path."""
+
+    name: str
+    feats: np.ndarray  # (T, D) f32
+    ids: np.ndarray  # (K,) int32 model ids
+
+
+def prepare_utterance_ids(comp, name, feats, model_names) -> UttIds:
+    ids = np.asarray([comp.model_id(m) for m in model_names], np.int32)
+    return UttIds(name=name, feats=np.asarray(feats, np.float32), ids=ids)
+
+
 class Trainer:
     """Runs embedded-reestimation accumulation over a corpus."""
 
@@ -188,6 +202,87 @@ class Trainer:
                 elif trace >= 2:
                     print(f"  {u.name}: logP={l:.2f} "
                           f"({l / u.feats.shape[0]:.3f}/frame)")
+        if n_fail:
+            HRError(7324, "accumulate: %d utterance(s) skipped", n_fail)
+        return total
+
+
+class DeviceCompositeTrainer(Trainer):
+    """Trainer that assembles composite HMMs on device (composite_device).
+
+    Per-utterance host work and transfer shrink to the feature matrix plus
+    a model-id vector; at corpus scale this removes the transfer
+    bottleneck of the padded (Q, Q) planes (~15x less data shipped).
+    """
+
+    def __init__(self, comp: CompiledHMMSet, precision: str = "highest"):
+        super().__init__(comp, precision=precision)
+        from .composite_device import make_assembler
+
+        self._assembler = make_assembler(comp)
+
+    def _make_step_fn(self):
+        import functools
+
+        assembler = self._assembler
+
+        @jax.jit
+        def step(params, feats, t_real, ids):
+            means, variances, gconsts, state_mix, state_logw, state_sw = params
+            arrs = assembler(ids)
+            return fb_batch(
+                feats, t_real, arrs["comp_state"], arrs["q_mask"],
+                arrs["logA"], arrs["a0"], arrs["aE"], arrs["tr_seg"],
+                arrs["entry_seg"], arrs["exit_seg"],
+                means=means, variances=variances, gconsts=gconsts,
+                state_mix=state_mix, state_logw=state_logw,
+                state_sw=state_sw,
+                slot_blocks=tuple(self.comp.slot_blocks) or None,
+                n_states=self.comp.n_states, tr_flat=self.tr_flat,
+                precision=self.precision,
+            )
+
+        return step
+
+    def accumulate(self, utts: Sequence[UttIds], batch_size: int = 8,
+                   trace: int = 0):
+        c = self.comp
+        total = zero_accs(c.n_mix, c.dim, c.n_states, c.max_mix, self.tr_flat)
+        step = self._step_fn()
+        params = self.params()
+        # bucket by (T, K) pads
+        buckets: Dict[Tuple[int, int], List[UttIds]] = {}
+        for u in utts:
+            key = (_bucket(u.feats.shape[0]), _bucket(len(u.ids), 8))
+            buckets.setdefault(key, []).append(u)
+        pending = []
+        for (Tp, Kp) in sorted(buckets):
+            us = buckets[(Tp, Kp)]
+            for i in range(0, len(us), batch_size):
+                batch = us[i : i + batch_size]
+                B = len(batch)
+                feats = np.zeros((B, Tp, c.dim), np.float32)
+                t_real = np.zeros(B, np.int32)
+                ids = np.full((B, Kp), -1, np.int32)
+                for b, u in enumerate(batch):
+                    feats[b, : u.feats.shape[0]] = u.feats
+                    t_real[b] = u.feats.shape[0]
+                    ids[b, : len(u.ids)] = u.ids
+                logps, accs = step(
+                    params, jnp.asarray(feats), jnp.asarray(t_real),
+                    jnp.asarray(ids),
+                )
+                total = jax.tree.map(lambda a, b: a + b, total, accs)
+                pending.append((batch, logps))
+        n_fail = 0
+        for batch, logps in pending:
+            lp = np.asarray(logps)
+            for u, l in zip(batch, lp[: len(batch)]):
+                if l <= LZERO / 2:
+                    n_fail += 1
+                    HRError(7323, "accumulate: no path through %s", u.name)
+                elif trace >= 2:
+                    print(f"  {u.name}: logP={l:.2f}")
         if n_fail:
             HRError(7324, "accumulate: %d utterance(s) skipped", n_fail)
         return total

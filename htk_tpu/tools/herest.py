@@ -124,9 +124,21 @@ def run(argv: List[str]) -> int:
         if not files:
             HError(1030, "HERest: no training files\n%s", USAGE)
 
-        trainer = (_make_discrete_trainer(comp) if comp.discrete
-                   else _make_trainer(comp, cfg))
+        use_dev_comp = (
+            cfg.bool_("DEVICECOMPOSITE", False, module="HTKTPU")
+            and not comp.discrete
+        )
+        if use_dev_comp:
+            from ..algo.trainer import DeviceCompositeTrainer
+
+            trainer = DeviceCompositeTrainer(comp)
+        else:
+            trainer = (_make_discrete_trainer(comp) if comp.discrete
+                       else _make_trainer(comp, cfg))
         utts = []
+        from ..algo.trainer import prepare_utterance_ids
+
+        prep = prepare_utterance_ids if use_dev_comp else prepare_utterance
         for fn in files:
             data, period, kind, e = open_speech_file(fn, cfg)
             tr = find_labels(e.logical, mlfs, label_dir, label_ext)
@@ -134,7 +146,7 @@ def run(argv: List[str]) -> int:
             if not names:
                 HRError(7325, "HERest: empty transcription for %s", e.logical)
                 continue
-            utts.append(prepare_utterance(comp, e.logical, data, names))
+            utts.append(prep(comp, e.logical, data, names))
         if not utts:
             HError(7326, "HERest: no trainable utterances")
         accs = trainer.accumulate(utts, batch_size=batch_size, trace=ta.trace)

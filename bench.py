@@ -101,16 +101,17 @@ def bench_decode(comp, net, n_utts=16, T=500, dim=39, batch=8, seed=2):
 
 
 def bench_herest(comp, names, n_utts=16, T=500, dim=39, seed=3):
-    """BW accumulation throughput (utt/s/chip)."""
-    from htk_tpu.algo.trainer import Trainer, prepare_utterance
+    """BW accumulation throughput (utt/s/chip), device-composite path."""
+    from htk_tpu.algo.trainer import (DeviceCompositeTrainer,
+                                      prepare_utterance_ids)
 
     rng = np.random.default_rng(seed)
     utts = []
     for i in range(n_utts):
         seq = [names[j] for j in rng.integers(0, len(names), 40)]
         feats = rng.normal(size=(T, dim)).astype(np.float32)
-        utts.append(prepare_utterance(comp, f"u{i}", feats, seq))
-    tr = Trainer(comp, precision="default")
+        utts.append(prepare_utterance_ids(comp, f"u{i}", feats, seq))
+    tr = DeviceCompositeTrainer(comp, precision="default")
     tr.accumulate(utts[:8], batch_size=8)  # warm up (same padded shapes)
     t0 = time.perf_counter()
     n_pass = 4

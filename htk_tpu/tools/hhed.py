@@ -341,6 +341,52 @@ class Editor:
         if self.trace:
             print(f"HHEd: MD {target} over {n_done} streams")
 
+    def cmd_ss(self, n: int):
+        """SS n: split the single data stream into n streams.
+
+        Widths divide the vector evenly (HTK's SetStreamWidths applies
+        parmKind-aware splits; even division covers the common USER/MFCC
+        cases and is flagged [LC] pending reference verification). Every
+        Gaussian is sliced into per-stream components; mixture weights
+        replicate per stream.
+        """
+        hset = self.hset
+        if len(hset.swidth) != 1:
+            HError(2640, "SS: set already has %d streams", len(hset.swidth))
+        D = hset.vec_size
+        if D % n:
+            HError(2640, "SS: vector size %d not divisible into %d streams",
+                   D, n)
+        w = D // n
+        hset.stream_widths = [w] * n
+        done = set()
+        for h in hset.hmms.values():
+            for si in h.states:
+                if id(si) in done:
+                    continue
+                done.add(id(si))
+                src = si.streams[0]
+                streams = []
+                for s in range(n):
+                    se = StreamElem()
+                    for wt, mp in zip(src.weights, src.mixes):
+                        if mp is None:
+                            se.mixes.append(None)
+                            se.weights.append(0.0)
+                            continue
+                        nmp = MixPDF(
+                            mean=mp.mean[s * w : (s + 1) * w].copy(),
+                            var=mp.var[s * w : (s + 1) * w].copy(),
+                            cov_kind=mp.cov_kind,
+                        )
+                        nmp.fix_gconst()
+                        se.mixes.append(nmp)
+                        se.weights.append(wt)
+                    streams.append(se)
+                si.streams = streams
+        if self.trace:
+            print(f"HHEd: SS split into {n} streams of width {w}")
+
     def cmd_hk(self, kind: str):
         """HK: set the HMM-set kind flag (PLAINHS/SHAREDHS/TIEDHS/DISCRETEHS).
 
@@ -546,6 +592,8 @@ def run_script(text: str, ed: Editor):
             ed.cmd_md(int(r.next()), r.next())
         elif op == "HK":
             ed.cmd_hk(r.next())
+        elif op == "SS":
+            ed.cmd_ss(int(r.next()))
         else:
             HError(2650, "HHEd: unknown command %s", op)
 

@@ -166,3 +166,23 @@ class TestCompactMixdown:
             assert sum(1 for m in se.mixes if m is not None) == 2
             live = [w for w, m in zip(se.weights, se.mixes) if m is not None]
             assert sum(live) == pytest.approx(1.0, rel=1e-5)
+
+
+class TestStreamSplit:
+    def test_ss_splits_and_trains(self):
+        from htk_tpu.algo.trainer import Trainer, prepare_utterance
+
+        hs = mono_set()
+        ed = Editor(hs)
+        run_script("SS 2\n", ed)
+        assert hs.swidth == [2, 2]
+        comp = compile_hmmset(hs)
+        assert comp.n_streams == 2
+        # trains after splitting
+        rng = np.random.default_rng(0)
+        utts = [prepare_utterance(comp, "u0",
+                                  rng.normal(size=(20, 4)).astype(np.float32),
+                                  ["aa", "iy"])]
+        accs = Trainer(comp).accumulate(utts)
+        assert float(np.asarray(accs.total_logp)) < 0
+        assert float(np.asarray(accs.n_utts)) == 1

@@ -20,8 +20,8 @@ Macro types supported: ~o options, ~h hmm, ~s state, ~m mixpdf, ~u mean,
 their own modules.)
 
 Binary MMFs (HTK's -B flag writes keyword codes after a ':' marker) are
-not yet implemented; text MMFs are the checkpoint/interchange surface
-(SURVEY.md §5.4). [LC]
+handled by this framework's own binary form (see load_mmf); text MMFs
+remain the recipe interchange surface (SURVEY.md §5.4). [LC]
 """
 
 from __future__ import annotations

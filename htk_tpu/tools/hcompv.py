@@ -10,7 +10,7 @@ Usage: HCompV [options] hmmfile trainfiles...
   -m      update means as well as variances
   -o name name for the output HMM (default: proto's name)
   -M dir  output MMF directory
-  -B      (accepted; binary output not yet implemented)
+  -B      binary MMF output
   Standard: -A -C -D -S -T -V
 """
 
@@ -100,7 +100,7 @@ def run(argv: List[str]) -> int:
 
     out_dir = ta.get("M", ".")
     os.makedirs(out_dir, exist_ok=True)
-    save_mmf(hset, os.path.join(out_dir, out_name))
+    save_mmf(hset, os.path.join(out_dir, out_name), binary=ta.binary)
 
     if ta.has("f"):
         floor_scale = float(ta.get("f"))

@@ -19,7 +19,7 @@ Usage: HERest [options] hmmList [accFiles... with -p 0]
   -t f [i l]  pruning beams (accepted, ignored: dense scans don't prune)
   -p N     parallel mode (above)                -v f    minimum variance
   -w f     mixture weight floor (accepted)      -s file write stats file
-  -B       binary MMF output (not yet implemented, text written)
+  -B       binary MMF output
   Standard: -A -C -D -S -T -V
 """
 

@@ -162,7 +162,7 @@ def run(argv: List[str]) -> int:
         hset.macros["h"] = {out_name: h}
     out_dir = ta.get("M", ".")
     os.makedirs(out_dir, exist_ok=True)
-    save_mmf(hset, os.path.join(out_dir, out_name))
+    save_mmf(hset, os.path.join(out_dir, out_name), binary=ta.binary)
     if ta.trace:
         print(f"HInit: saved {os.path.join(out_dir, out_name)}")
     return 0

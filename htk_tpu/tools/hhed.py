@@ -16,6 +16,8 @@ applied to a loaded HMMSet. Implemented commands:
   MU n itemlist           mixture-up splitting (n or +n)
   AT i j p itemlist       add transition i->j with prob p (row renormalised)
   RT i j itemlist         remove transition i->j
+  SS n                    split the data stream into n streams
+  SW s n                  set width of stream s to n
   SH                      show summary
 
 Usage: HHEd [options] edScript hmmList
@@ -387,6 +389,56 @@ class Editor:
         if self.trace:
             print(f"HHEd: SS split into {n} streams of width {w}")
 
+    def cmd_sw(self, s: int, width: int):
+        """SW s n: set the width of stream s to n.
+
+        Mirrors HTK's SetStreamWidthCommand: every Gaussian in stream s is
+        resized — truncated when shrinking, padded (mean 0, variance 1)
+        when growing — and the set's vector size becomes the new width
+        sum. Pad values are flagged [LC] pending reference verification.
+        """
+        hset = self.hset
+        widths = list(hset.swidth)
+        if not (1 <= s <= len(widths)):
+            HError(2640, "SW: stream %d out of range (set has %d)",
+                   s, len(widths))
+        if width <= 0:
+            HError(2640, "SW: width must be positive, got %d", width)
+        old = widths[s - 1]
+        done = set()
+        for h in hset.hmms.values():
+            for si in h.states:
+                se = si.streams[s - 1]
+                for mp in se.mixes:
+                    if mp is None or id(mp) in done:
+                        continue
+                    done.add(id(mp))
+                    d = mp.mean.shape[0]
+                    if width <= d:
+                        mp.mean = mp.mean[:width].copy()
+                        mp.var = mp.var[:width].copy()
+                    else:
+                        pad = width - d
+                        mp.mean = np.concatenate(
+                            [mp.mean, np.zeros(pad, mp.mean.dtype)])
+                        mp.var = np.concatenate(
+                            [mp.var, np.ones(pad, mp.var.dtype)])
+                    mp.fix_gconst()
+        widths[s - 1] = width
+        hset.stream_widths = widths
+        hset.vec_size = sum(widths)
+        vf = hset.macros["v"].get("varFloor1")
+        if vf is not None and len(vf) != hset.vec_size:
+            if len(vf) > hset.vec_size:
+                hset.macros["v"]["varFloor1"] = vf[: hset.vec_size].copy()
+            else:
+                hset.macros["v"]["varFloor1"] = np.concatenate(
+                    [vf, np.full(hset.vec_size - len(vf), vf.min(),
+                                 vf.dtype)])
+        if self.trace:
+            print(f"HHEd: SW stream {s} width {old} -> {width} "
+                  f"(vecsize {hset.vec_size})")
+
     def cmd_hk(self, kind: str):
         """HK: set the HMM-set kind flag (PLAINHS/SHAREDHS/TIEDHS/DISCRETEHS).
 
@@ -594,6 +646,8 @@ def run_script(text: str, ed: Editor):
             ed.cmd_hk(r.next())
         elif op == "SS":
             ed.cmd_ss(int(r.next()))
+        elif op == "SW":
+            ed.cmd_sw(int(r.next()), int(r.next()))
         else:
             HError(2650, "HHEd: unknown command %s", op)
 

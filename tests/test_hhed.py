@@ -186,3 +186,41 @@ class TestStreamSplit:
         accs = Trainer(comp).accumulate(utts)
         assert float(np.asarray(accs.total_logp)) < 0
         assert float(np.asarray(accs.n_utts)) == 1
+
+    def test_sw_shrink_and_grow(self):
+        from htk_tpu.algo.trainer import Trainer, prepare_utterance
+
+        hs = mono_set()
+        ed = Editor(hs)
+        # split 4 -> [2,2], then shrink stream 2 to width 1 -> vecsize 3
+        run_script("SS 2\nSW 2 1\n", ed)
+        assert hs.swidth == [2, 1]
+        assert hs.vec_size == 3
+        for h in hs.hmms.values():
+            for si in h.states:
+                mp = si.streams[1].mixes[0]
+                assert mp.mean.shape == (1,) and mp.var.shape == (1,)
+        # grow stream 1 to width 3: pad mean 0 / var 1
+        run_script("SW 1 3\n", ed)
+        assert hs.swidth == [3, 1]
+        assert hs.vec_size == 4
+        mp = hs.hmms["aa"].states[0].streams[0].mixes[0]
+        assert mp.mean.shape == (3,)
+        assert mp.mean[2] == 0.0 and mp.var[2] == 1.0
+        # still compiles and trains at the new widths
+        comp = compile_hmmset(hs)
+        assert comp.n_streams == 2
+        rng = np.random.default_rng(1)
+        utts = [prepare_utterance(comp, "u0",
+                                  rng.normal(size=(20, 4)).astype(np.float32),
+                                  ["aa", "iy"])]
+        accs = Trainer(comp).accumulate(utts)
+        assert float(np.asarray(accs.total_logp)) < 0
+
+    def test_sw_bad_stream_errors(self):
+        from htk_tpu.utils.errors import HTKError
+
+        hs = mono_set()
+        ed = Editor(hs)
+        with pytest.raises(HTKError):
+            run_script("SW 3 2\n", ed)

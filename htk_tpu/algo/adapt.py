@@ -260,6 +260,38 @@ def map_update(
     return mu.astype(np.float32)
 
 
+def save_baseclass(path: str, name: str, classes: np.ndarray) -> None:
+    """Write a regression base-class file (HAdapt ~b macro role).
+
+    One class id per compiled Gaussian, in `CompiledHMMSet` order; the
+    layout is this framework's own (HTK's ~b itemlist form needs the
+    reference to verify). [LC]
+    """
+    n_classes = int(classes.max()) + 1 if len(classes) else 0
+    with open(path, "w") as f:
+        f.write(f'~b "{name}"\n')
+        f.write(f"<NUMCLASSES> {n_classes}\n")
+        f.write(f"<GAUSSCLASSES> {len(classes)}\n")
+        f.write(" " + " ".join(str(int(c)) for c in classes) + "\n")
+
+
+def load_baseclass(path: str):
+    """Read a base-class file written by `save_baseclass`.
+
+    Returns (name, classes) with classes an (M,) int32 array."""
+    toks = open(path).read().split()
+    if not toks or toks[0] != "~b":
+        HError(7460, "baseclass: %s is not a ~b file", path)
+    name = toks[1].strip('"')
+    m = int(toks[toks.index("<GAUSSCLASSES>") + 1])
+    i = toks.index("<GAUSSCLASSES>") + 2
+    classes = np.array([int(t) for t in toks[i : i + m]], dtype=np.int32)
+    if len(classes) != m:
+        HError(7460, "baseclass: %s truncated (%d of %d ids)",
+               path, len(classes), m)
+    return name, classes
+
+
 # -- TMF I/O ----------------------------------------------------------------
 
 

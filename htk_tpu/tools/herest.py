@@ -219,6 +219,18 @@ def run(argv: List[str]) -> int:
             return estimate_cmllr(stats)
 
         n_reg = cfg.int_("NUMREGCLASSES", 1, module="HADAPT") or 1
+        # HHEd RC output (one class id per Gaussian) overrides on-the-fly
+        # clustering when given
+        bc_path = cfg.str_("BASECLASS", None, module="HADAPT")
+        bc_classes = None
+        if bc_path:
+            from ..algo.adapt import load_baseclass
+
+            _bc_name, bc_classes = load_baseclass(bc_path)
+            if len(bc_classes) != comp.n_mix:
+                HError(7460, "HERest: baseclass %s covers %d Gaussians, "
+                       "set has %d", bc_path, len(bc_classes), comp.n_mix)
+            n_reg = max(n_reg, int(bc_classes.max()) + 1)
         for spk, uset in groups.items():
             tmf_path = os.path.join(out_xf_dir, f"{spk}.tmf")
             if kind == "MLLRMEAN":
@@ -230,7 +242,8 @@ def run(argv: List[str]) -> int:
                                               estimate_mllr_classes,
                                               save_tmf_classes)
 
-                    classes = build_regression_classes(comp, n_reg)
+                    classes = (bc_classes if bc_classes is not None
+                               else build_regression_classes(comp, n_reg))
                     xfs, c2x = estimate_mllr_classes(comp, spk_accs, classes)
                     save_tmf_classes(tmf_path, spk, xfs, c2x, classes)
                     if ta.trace:

@@ -18,6 +18,7 @@ applied to a loaded HMMSet. Implemented commands:
   RT i j itemlist         remove transition i->j
   SS n                    split the data stream into n streams
   SW s n                  set width of stream s to n
+  RC n name               build n regression base classes -> name.cls
   SH                      show summary
 
 Usage: HHEd [options] edScript hmmList
@@ -62,6 +63,7 @@ class Editor:
         self.trees: List[Tree] = []
         self.stats: Dict[Tuple[str, int], float] = {}  # (hmm, state) -> occ
         self.ro_threshold = 0.0
+        self.baseclasses: Dict[str, tuple] = {}  # fname -> (macro, classes)
 
     # -- commands --------------------------------------------------------
 
@@ -439,6 +441,27 @@ class Editor:
             print(f"HHEd: SW stream {s} width {old} -> {width} "
                   f"(vecsize {hset.vec_size})")
 
+    def cmd_rc(self, n: int, name: str):
+        """RC n name: build n regression base classes over all Gaussians.
+
+        Mirrors HTK's RegClassesCommand: clusters the set's Gaussians into
+        n base classes (k-means over means — the flat equivalent of HTK's
+        centroid-split tree, see algo/adapt.build_regression_classes) and
+        queues `<name>.cls` for the output directory. HERest picks it up
+        via HADAPT: BASECLASS and HVite via the MLLRCLASSES TMF chain.
+        """
+        from ..algo.adapt import build_regression_classes
+        from ..models.hmmset import compile_hmmset
+
+        comp = compile_hmmset(self.hset)
+        classes = build_regression_classes(comp, n)
+        self.baseclasses[f"{name}.cls"] = (name, classes)
+        if self.trace:
+            import numpy as _np
+            sizes = _np.bincount(classes, minlength=n)
+            print(f"HHEd: RC {n} classes over {len(classes)} Gaussians "
+                  f"(sizes {list(sizes)})")
+
     def cmd_hk(self, kind: str):
         """HK: set the HMM-set kind flag (PLAINHS/SHAREDHS/TIEDHS/DISCRETEHS).
 
@@ -648,6 +671,8 @@ def run_script(text: str, ed: Editor):
             ed.cmd_ss(int(r.next()))
         elif op == "SW":
             ed.cmd_sw(int(r.next()), int(r.next()))
+        elif op == "RC":
+            ed.cmd_rc(int(r.next()), r.next().strip('"'))
         else:
             HError(2650, "HHEd: unknown command %s", op)
 
@@ -668,6 +693,13 @@ def run(argv: List[str]) -> int:
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, os.path.basename(mmfs[0]))
     save_mmf(hset, out, binary=ta.binary)
+    if ed.baseclasses:
+        from ..algo.adapt import save_baseclass
+
+        for fname, (macro, classes) in ed.baseclasses.items():
+            save_baseclass(os.path.join(out_dir, fname), macro, classes)
+            if ta.trace:
+                print(f"HHEd: wrote {os.path.join(out_dir, fname)}")
     if ta.has("w"):
         with open(ta.get("w"), "w") as f:
             for nm in hset.hmms:

@@ -1,0 +1,66 @@
+"""E2E: HHEd RC base classes -> HERest -K class-MLLR -> HVite -J decode."""
+
+import os
+
+import pytest
+
+from htk_tpu.tools import herest, hhed, hresults, hvite
+
+from test_e2e import corpus  # fixture: tiny synthetic corpus workdir
+from test_e2e import synth, write_wav  # noqa: F401
+
+
+@pytest.fixture
+def trained(corpus):
+    from htk_tpu.io.mmf import load_mmf, save_mmf
+    from htk_tpu.models.proto import clone_proto
+    from htk_tpu.tools import hbuild, hcompv, hcopy
+
+    assert hcopy.run(["-C", "cfg_wav", "-S", "copy.scp"]) == 0
+    assert hcompv.run(["-C", "cfg", "-f", "0.01", "-m", "-M", "hmm0",
+                       "-S", "train.scp", "proto"]) == 0
+    hs = load_mmf("hmm0/proto")
+    cl = clone_proto(hs, "proto", ["aa", "iy", "sil"])
+    cl.macros["v"]["varFloor1"] = load_mmf("hmm0/vFloors").macros["v"][
+        "varFloor1"]
+    save_mmf(cl, "hmm0/hmmdefs")
+    for it in (1, 2):
+        os.makedirs(f"hmm{it}", exist_ok=True)
+        assert herest.run(["-C", "cfg", "-I", "phones.mlf",
+                           "-H", f"hmm{it - 1}/hmmdefs", "-M", f"hmm{it}",
+                           "-S", "train.scp", "monophones"]) == 0
+    assert hbuild.run(["wlist", "wdnet.slf"]) == 0
+    return corpus
+
+
+def test_rc_baseclass_mllr_chain(trained, capsys):
+    # HHEd RC: mixture-up then 2 regression base classes next to the MMF
+    open("rc.hed", "w").write("MU 2 {*.state[2-4].mix}\nRC 2 global\n")
+    assert hhed.run(["-H", "hmm2/hmmdefs", "-M", "hmm3",
+                     "rc.hed", "monophones"]) == 0
+    assert os.path.exists("hmm3/global.cls")
+
+    # refine the split models once so the class statistics are sane
+    os.makedirs("hmm4", exist_ok=True)
+    assert herest.run(["-C", "cfg", "-I", "phones.mlf",
+                       "-H", "hmm3/hmmdefs", "-M", "hmm4",
+                       "-S", "train.scp", "monophones"]) == 0
+
+    # HERest -K with the HHEd base classes -> MLLRCLASSES TMF
+    open("cfg_adapt", "w").write(
+        "TARGETKIND = MFCC_E_D_A\n"
+        "HADAPT: BASECLASS = hmm3/global.cls\n"
+    )
+    assert herest.run(["-C", "cfg_adapt", "-I", "phones.mlf",
+                       "-H", "hmm4/hmmdefs", "-K", "xf",
+                       "-S", "train.scp", "monophones"]) == 0
+    assert os.listdir("xf") == ["global.tmf"]
+    assert "MLLRCLASSES" in open("xf/global.tmf").read()
+
+    # HVite -J applies the class transforms; matched data stays at 100%
+    assert hvite.run(["-w", "wdnet.slf", "-p", "-8", "-J", "xf",
+                      "-i", "rec.mlf", "-H", "hmm4/hmmdefs",
+                      "-S", "train.scp", "dict", "monophones"]) == 0
+    assert hresults.run(["-I", "words.mlf", "monophones", "rec.mlf"]) == 0
+    out = capsys.readouterr().out
+    assert "WORD: %Corr=100.00" in out

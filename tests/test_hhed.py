@@ -224,3 +224,22 @@ class TestStreamSplit:
         ed = Editor(hs)
         with pytest.raises(HTKError):
             run_script("SW 3 2\n", ed)
+
+
+class TestRegClasses:
+    def test_rc_builds_and_roundtrips(self, tmp_path):
+        from htk_tpu.algo.adapt import load_baseclass, save_baseclass
+
+        hs = mono_set()
+        ed = Editor(hs)
+        run_script("MU 2 {*.state[2-4].mix}\nRC 2 global\n", ed)
+        assert "global.cls" in ed.baseclasses
+        name, classes = ed.baseclasses["global.cls"]
+        comp = compile_hmmset(hs)
+        assert name == "global" and len(classes) == comp.n_mix
+        assert set(np.unique(classes)) <= {0, 1}
+        p = str(tmp_path / "global.cls")
+        save_baseclass(p, name, classes)
+        name2, cl2 = load_baseclass(p)
+        assert name2 == "global"
+        np.testing.assert_array_equal(cl2, classes)

@@ -1,5 +1,6 @@
 """Tests for HInit/HRest/HLStats/HDMan/HParse/HSGen/HLEd."""
 
+import os
 import numpy as np
 import pytest
 
@@ -207,3 +208,41 @@ class TestLM4:
         out = subset(lm, {"a", "b", "<s>", "</s>"})
         assert "c" not in out.unigrams
         assert ("a", "b") in out.bigrams
+
+
+class TestHList:
+    def test_htk_file_header_and_rows(self, tmp_path, monkeypatch, capsys):
+        from htk_tpu.io import parmkind as pk
+        from htk_tpu.io.htkfeat import write_htk_file
+        from htk_tpu.tools import hlist
+
+        monkeypatch.chdir(tmp_path)
+        x = np.arange(12, dtype=np.float32).reshape(3, 4)
+        write_htk_file("a.usr", x, 100000, pk.str2parmkind("USER"))
+        assert hlist.run(["a.usr"]) == 0
+        out = capsys.readouterr().out
+        assert "Sample Kind: USER" in out
+        assert "Num Samples:          3" in out
+        assert "    2:" in out and "11.000" in out
+        # -h suppresses observations, keeps the header
+        assert hlist.run(["-h", "a.usr"]) == 0
+        out = capsys.readouterr().out
+        assert "Sample Kind: USER" in out and "    0:" not in out
+
+    def test_wav_source_shows_target_block(self, tmp_path, monkeypatch,
+                                           capsys):
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_e2e import synth, write_wav
+        from htk_tpu.tools import hlist
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(0)
+        write_wav("a.wav", synth(["aa"], rng))
+        open("cfg", "w").write(
+            "SOURCEFORMAT = WAV\nTARGETKIND = MFCC_E\n")
+        assert hlist.run(["-C", "cfg", "-z", "a.wav"]) == 0
+        out = capsys.readouterr().out
+        assert "Sample Kind: WAVEFORM" in out
+        assert "Target" in out and "Sample Kind: MFCC_E" in out
+        assert "    0:" not in out

@@ -16,10 +16,18 @@ scan (algo/decode.py):
     word-node -> word-node log-prob matrix (max-plus closure), so the
     cross-word step is one dense max-plus matvec per frame.
 
-Cross-word context expansion (triphone decode) is done by the caller
-mapping word phones to context-dependent model names before expansion
-(word-internal contexts); full cross-word triphone expansion is a later
-round. [LC]
+Cross-word context expansion (triphone decode, `cross_word=True`)
+splits each word node into context-variant units (l, r): the first
+(last) context phone of each pronunciation takes its left (right)
+context from the neighbouring word across the lattice arc, HNet.c's
+cross-word case. Context-free phones (default `sp`) are transparent —
+they stay monophone and context flows through them, so `A [aa sp]`
+presents `aa` as left context to the next word. The dense node-level
+`trans` matrix is rebuilt over the variant units with arcs gated on
+context agreement, and the decoder (algo/decode.py) runs unchanged.
+Interiors are duplicated per (l, r) variant rather than shared — the
+price of the dense banded layout; fine up to medium vocabularies,
+large-vocab sharing is a later round. [LC]
 """
 
 from __future__ import annotations
@@ -72,14 +80,11 @@ def _maxplus_closure(null_arcs: np.ndarray) -> np.ndarray:
     return C
 
 
-def word_internal_phone_map(model_names):
-    """Pronunciation phones -> word-internal context-dependent names.
+def make_context_lookup(model_names):
+    """(left, p, right) -> most specific model name in the set.
 
-    The word-internal slice of HNet.c's context expansion: inside a word,
-    p_i maps to p_{i-1}-p_i+p_{i+1} (biphones at word edges), falling back
-    to less specific names (biphone, then monophone) when the model set
-    lacks the full context — HNet's FindModel search order.
-    """
+    HNet's FindModel search order: full triphone, right biphone, left
+    biphone, monophone. `left`/`right` may be None (utterance edge)."""
     names = set(model_names)
 
     def best(left, p, right):
@@ -96,6 +101,19 @@ def word_internal_phone_map(model_names):
                 return c
         return p
 
+    return best
+
+
+def word_internal_phone_map(model_names):
+    """Pronunciation phones -> word-internal context-dependent names.
+
+    The word-internal slice of HNet.c's context expansion: inside a word,
+    p_i maps to p_{i-1}-p_i+p_{i+1} (biphones at word edges), falling back
+    to less specific names (biphone, then monophone) when the model set
+    lacks the full context — HNet's FindModel search order.
+    """
+    best = make_context_lookup(model_names)
+
     def fn(phones):
         out = []
         n = len(phones)
@@ -108,16 +126,50 @@ def word_internal_phone_map(model_names):
     return fn
 
 
+def _edge_phones(phones: Sequence[str], cf: frozenset) -> Tuple[str, str]:
+    """The context phones a pronunciation presents to its neighbours:
+    first/last phone skipping transparent (context-free) ones. A pron
+    made only of cf phones presents them anyway (full transparency at
+    the word level is a later round). [LC]"""
+    ctx = [p for p in phones if p not in cf]
+    if not ctx:
+        return phones[0], phones[-1]
+    return ctx[0], ctx[-1]
+
+
+def _xword_phones(phones: Sequence[str], l: Optional[str], r: Optional[str],
+                  cf: frozenset, best) -> List[str]:
+    """Map a pronunciation to cross-word context-dependent model names.
+
+    Interior context phones get word-internal triphones; the first (last)
+    context phone takes `l` (`r`) from across the word boundary; cf
+    phones stay monophone."""
+    ctx = [k for k, p in enumerate(phones) if p not in cf]
+    out = list(phones)
+    for pos, k in enumerate(ctx):
+        left = phones[ctx[pos - 1]] if pos > 0 else l
+        right = phones[ctx[pos + 1]] if pos < len(ctx) - 1 else r
+        out[k] = best(left, phones[k], right)
+    return out
+
+
 def compile_network(
     lat: Lattice,
     vocab: Vocab,
     comp: CompiledHMMSet,
     phone_map=None,
+    cross_word: bool = False,
+    cf_phones: Sequence[str] = ("sp",),
 ) -> DecodeNetwork:
     """Expand a word lattice into the dense decode network.
 
     `phone_map(phones: List[str]) -> List[str]` optionally rewrites a
     pronunciation's phone names (e.g. to word-internal triphones).
+
+    `cross_word=True` instead performs full cross-word context expansion
+    (see module docstring): word nodes split into (left, right) context
+    variant units and `phone_map` is ignored — names are resolved with
+    the FindModel fallback chain against the model set.
     """
     id_of = {n.id: k for k, n in enumerate(lat.nodes)}
     words = []
@@ -165,7 +217,85 @@ def compile_network(
         elif C[j, end] > LSMALL:
             end_exit[widx[j]] = C[j, end]
 
-    # expand chains
+    # -- units: one per word node, or (node, pron-group, l, r) variants --
+    unit_words: List[str] = []
+    unit_out: List[Optional[str]] = []
+    unit_prons: List[List[Tuple[List[str], float]]] = []
+
+    defs = []
+    for i in word_nodes:
+        w = words[i]
+        wd = vocab.get(w)
+        if wd is None:
+            HError(8621, "compile_network: word %s not in dictionary", w)
+        defs.append(wd)
+
+    if not cross_word:
+        for i, wd in zip(word_nodes, defs):
+            unit_words.append(words[i])
+            unit_out.append(wd.prons[0].out_sym)
+            unit_prons.append([
+                (phone_map(p.phones) if phone_map else list(p.phones), p.prob)
+                for p in wd.prons
+            ])
+    else:
+        best = make_context_lookup(comp.names)
+        cf = frozenset(cf_phones)
+        # pron groups per node by the contexts they present to neighbours
+        node_groups: List[List[Tuple[str, str, list]]] = []
+        for wd in defs:
+            gs: Dict[Tuple[str, str], list] = {}
+            for p in wd.prons:
+                gs.setdefault(_edge_phones(p.phones, cf), []).append(p)
+            node_groups.append([(lc, rc, ps) for (lc, rc), ps in gs.items()])
+        preds: List[List[int]] = [[] for _ in range(Nn)]
+        succs: List[List[int]] = [[] for _ in range(Nn)]
+        for na in range(Nn):
+            for nb in range(Nn):
+                if trans[na, nb] > LSMALL:
+                    preds[nb].append(na)
+                    succs[na].append(nb)
+        key = lambda x: (x is None, x or "")  # noqa: E731
+        in_ctx, out_ctx = [], []
+        for n in range(Nn):
+            ic = {rc for j in preds[n] for (_lc, rc, _) in node_groups[j]}
+            oc = {lc for j in succs[n] for (lc, _rc, _) in node_groups[j]}
+            if start_entry[n] > LSMALL:
+                ic.add(None)
+            if end_exit[n] > LSMALL:
+                oc.add(None)
+            in_ctx.append(sorted(ic, key=key) or [None])
+            out_ctx.append(sorted(oc, key=key) or [None])
+        units = []  # (node, own_lc, own_rc, l, r, prons)
+        for n in range(Nn):
+            for (olc, orc, ps) in node_groups[n]:
+                for l in in_ctx[n]:
+                    for r in out_ctx[n]:
+                        units.append((n, olc, orc, l, r, ps))
+        Nu = len(units)
+        u_trans = np.full((Nu, Nu), LZERO)
+        u_start = np.full(Nu, LZERO)
+        u_end = np.full(Nu, LZERO)
+        for ua, (na, _alc, arc_, al, ar, _) in enumerate(units):
+            if al is None:
+                u_start[ua] = start_entry[na]
+            if ar is None:
+                u_end[ua] = end_exit[na]
+            for ub, (nb, blc, _brc, bl, _br, _) in enumerate(units):
+                if trans[na, nb] > LSMALL and ar == blc and bl == arc_:
+                    u_trans[ua, ub] = trans[na, nb]
+        for (n, _olc, _orc, l, r, ps) in units:
+            wd = defs[n]
+            unit_words.append(words[word_nodes[n]])
+            unit_out.append(wd.prons[0].out_sym)
+            unit_prons.append([
+                (_xword_phones(p.phones, l, r, cf, best), p.prob)
+                for p in ps
+            ])
+        trans, start_entry, end_exit = u_trans, u_start, u_end
+        Nn = Nu
+
+    # -- expand chains per unit --
     comp_state: List[np.ndarray] = []
     a0: List[np.ndarray] = []
     aE: List[np.ndarray] = []
@@ -177,15 +307,11 @@ def compile_network(
     node_out: List[Optional[str]] = []
 
     c_idx = 0
-    for i in word_nodes:
-        w = words[i]
-        wd = vocab.get(w)
-        if wd is None:
-            HError(8621, "compile_network: word %s not in dictionary", w)
+    for u, (w, out_sym, prons) in enumerate(
+            zip(unit_words, unit_out, unit_prons)):
         node_words.append(w)
-        node_out.append(wd.prons[0].out_sym)
-        for p in wd.prons:
-            phones = phone_map(p.phones) if phone_map else p.phones
+        node_out.append(out_sym)
+        for phones, prob in prons:
             try:
                 ids = [comp.model_id(ph) for ph in phones]
             except Exception:
@@ -197,8 +323,8 @@ def compile_network(
             aE.append(ch.aE)
             chain_logA.append(ch.logA)
             chain_of.append(np.full(ch.n_states, c_idx, np.int32))
-            node_of_chain.append(widx[i])
-            chain_pron_prob.append(float(np.log(max(p.prob, 1e-30))))
+            node_of_chain.append(u)
+            chain_pron_prob.append(float(np.log(max(prob, 1e-30))))
             c_idx += 1
 
     Ns = int(sum(len(s) for s in comp_state))

@@ -88,8 +88,19 @@ def run(argv: List[str]) -> int:
     if not words:
         HError(8621, "HDecode: no LM words found in dictionary")
     lat_net = bigram_lattice(words, lm, "!ENTER", "!EXIT")
-    pmap = word_internal_phone_map(comp.names)
-    net = compile_network(lat_net, vocab, comp, phone_map=pmap)
+    # HTK's HDecode assumes a cross-word-trained set; forcing cross-word
+    # expansion on a word-internal set silently swaps word-edge models
+    # for ones trained in other positions (FindModel fallback), so here
+    # cross-word is opt-in: HNET: FORCECXTEXP = T. CFPHONES lists
+    # transparent phones [LC].
+    want_x = cfg.bool_("FORCECXTEXP", False, module="HNET") or False
+    if want_x:
+        cfp = (cfg.str_("CFPHONES", "sp", module="HNET") or "sp").split()
+        net = compile_network(lat_net, vocab, comp, cross_word=True,
+                              cf_phones=cfp)
+    else:
+        pmap = word_internal_phone_map(comp.names)
+        net = compile_network(lat_net, vocab, comp, phone_map=pmap)
     if ta.trace:
         print(f"HDecode: vocab {len(words)}, network {net.n_states} states, "
               f"{net.n_chains} chains")

@@ -162,8 +162,19 @@ def run(argv: List[str]) -> int:
         from ..algo.net import word_internal_phone_map
 
         lat = read_slf(ta.get("w"))
-        pmap = word_internal_phone_map(comp.names)
-        net = compile_network(lat, vocab, comp, phone_map=pmap)
+        # HNet.c config: FORCECXTEXP forces full cross-word context
+        # expansion; ALLOWXWRDEXP permits it when the set is context-
+        # dependent. CFPHONES (own key [LC]) lists transparent phones.
+        force_x = cfg.bool_("FORCECXTEXP", False, module="HNET") or False
+        allow_x = cfg.bool_("ALLOWXWRDEXP", False, module="HNET") or False
+        has_cd = any("-" in n or "+" in n for n in comp.names)
+        if force_x or (allow_x and has_cd):
+            cfp = (cfg.str_("CFPHONES", "sp", module="HNET") or "sp").split()
+            net = compile_network(lat, vocab, comp, cross_word=True,
+                                  cf_phones=cfp)
+        else:
+            pmap = word_internal_phone_map(comp.names)
+            net = compile_network(lat, vocab, comp, phone_map=pmap)
         if ta.trace:
             print(
                 f"HVite: network {net.n_nodes} nodes, {net.n_chains} chains, "

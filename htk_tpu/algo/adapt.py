@@ -80,11 +80,18 @@ class Transform:
     kind: str  # "MLLRMEAN" | "CMLLR"
     A: np.ndarray  # (D, D)
     b: np.ndarray  # (D,)
+    var_scale: Optional[np.ndarray] = None  # (D,) MLLRVAR diagonal H
 
     def apply_to_means(self, means: np.ndarray) -> np.ndarray:
         if self.kind != "MLLRMEAN":
             HError(7450, "apply_to_means: transform kind %s", self.kind)
         return means @ self.A.T + self.b[None, :]
+
+    def apply_to_vars(self, variances: np.ndarray) -> np.ndarray:
+        """sigma'^2 = H * sigma^2 (identity when no variance transform)."""
+        if self.var_scale is None:
+            return variances
+        return variances * self.var_scale[None, :]
 
     def apply_to_features(self, feats: np.ndarray) -> np.ndarray:
         if self.kind != "CMLLR":
@@ -112,6 +119,142 @@ def estimate_mllr_mean(comp: CompiledHMMSet, accs: Accumulators,
         G += np.eye(D + 1) * 1e-6  # ridge for unseen dims
         W[i] = np.linalg.solve(G, k)
     return Transform(kind="MLLRMEAN", A=W[:, 1:].copy(), b=W[:, 0].copy())
+
+
+def estimate_mllr_var(
+    comp: CompiledHMMSet,
+    accs: Accumulators,
+    adapted_means: np.ndarray,
+    sel: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Diagonal MLLR variance scaling H (HAdapt.c MLLRVAR role [LC]).
+
+    sigma'^2 = H * sigma^2 with H the occupancy-weighted second moment of
+    the data about the (mean-adapted) Gaussian means, normalised by the
+    model variances:  H_d = sum_m E_m[(x_d - mu'_md)^2] / sigma2_md over
+    sum_m occ_m.  Padded dims (multi-stream PAD_VAR) are excluded."""
+    occ = np.asarray(accs.occ, np.float64)
+    if sel is not None:
+        occ = np.where(sel, occ, 0.0)
+    rows = occ > 0
+    sx = np.asarray(accs.sum_x, np.float64) * rows[:, None]
+    sxx = np.asarray(accs.sum_xx, np.float64) * rows[:, None]
+    var = comp.variances.astype(np.float64)
+    live = var < 1e10
+    mu = adapted_means.astype(np.float64)
+    num = (sxx - 2.0 * mu * sx + occ[:, None] * mu * mu) / var
+    num = np.where(live, num, 0.0)
+    den = (occ[:, None] * live).sum(axis=0)
+    H = num.sum(axis=0) / np.maximum(den, 1e-8)
+    return np.clip(H, 1e-2, 1e2)
+
+
+def build_regression_tree(comp: CompiledHMMSet, n_terminals: int):
+    """Binary centroid-split regression tree over Gaussians (HAdapt's
+    RC regression tree; flat k-means classes are its depth-1 case).
+
+    Splits the largest leaf (2-means over Gaussian means) until
+    `n_terminals` leaves. Returns (classes, parent, leaf_node):
+    classes (M,) leaf class per Gaussian; parent (n_nodes,) with
+    parent[0] = -1 (children always index above their parent);
+    leaf_node (C,) tree-node index of each leaf class."""
+    from .kmeans import kmeans
+
+    means = comp.means.astype(np.float64)
+    M = means.shape[0]
+    parent = [-1]
+    node_gauss = {0: np.arange(M)}
+    leaves = [0]
+    while len(leaves) < n_terminals:
+        cand = max(leaves, key=lambda n: len(node_gauss[n]))
+        idx = node_gauss[cand]
+        if len(idx) < 2:
+            break
+        assign, _m = kmeans(means[idx], 2)
+        if len(np.unique(assign)) < 2:
+            break
+        c0 = len(parent)
+        parent.append(cand)
+        c1 = len(parent)
+        parent.append(cand)
+        node_gauss[c0] = idx[assign == 0]
+        node_gauss[c1] = idx[assign == 1]
+        leaves.remove(cand)
+        leaves += [c0, c1]
+    classes = np.zeros(M, np.int32)
+    leaf_node = np.zeros(len(leaves), np.int32)
+    for c, n in enumerate(sorted(leaves)):
+        classes[node_gauss[n]] = c
+        leaf_node[c] = n
+    return classes, np.asarray(parent, np.int32), leaf_node
+
+
+def estimate_mllr_tree(
+    comp: CompiledHMMSet,
+    accs: Accumulators,
+    classes: np.ndarray,
+    parent: np.ndarray,
+    leaf_node: np.ndarray,
+    occ_thresh: float = 700.0,
+    mllr_var: bool = False,
+):
+    """Regression-tree MLLR with occupancy back-off (HAdapt's tree walk).
+
+    Each leaf walks up the tree to the deepest ancestor whose subtree
+    occupancy reaches `occ_thresh` (the root always qualifies) and shares
+    that node's transform. Returns (xforms, class_to_xf) in the same form
+    as `estimate_mllr_classes`, so TMF I/O and application are shared."""
+    occ = np.asarray(accs.occ, np.float64)
+    n_nodes = len(parent)
+    node_occ = np.zeros(n_nodes)
+    for c, n in enumerate(leaf_node):
+        node_occ[int(n)] = occ[classes == c].sum()
+    for n in range(n_nodes - 1, 0, -1):
+        node_occ[int(parent[n])] += node_occ[n]
+
+    # ancestors of each leaf class (inclusive), for subtree Gaussian masks
+    anc = []
+    for c in range(len(leaf_node)):
+        path = set()
+        m = int(leaf_node[c])
+        while m != -1:
+            path.add(m)
+            m = int(parent[m])
+        anc.append(path)
+    leaf_of_gauss = classes
+
+    def node_xform(m: int):
+        sel = np.fromiter((m in anc[int(leaf_of_gauss[g])]
+                           for g in range(len(leaf_of_gauss))),
+                          bool, len(leaf_of_gauss))
+        sub = Accumulators(
+            occ=np.where(sel, np.asarray(accs.occ), 0.0).astype(np.float32),
+            sum_x=np.where(sel[:, None], np.asarray(accs.sum_x), 0.0).astype(
+                np.float32),
+            sum_xx=np.asarray(accs.sum_xx),
+            wt_occ=np.asarray(accs.wt_occ),
+            tr=np.asarray(accs.tr),
+            total_logp=accs.total_logp, total_frames=accs.total_frames,
+            n_utts=accs.n_utts,
+        )
+        xf = estimate_mllr_mean(comp, sub)
+        if mllr_var:
+            xf.var_scale = estimate_mllr_var(
+                comp, accs, xf.apply_to_means(comp.means), sel=sel)
+        return xf
+
+    xforms = [node_xform(0)]  # root = global back-off
+    node_xf = {0: 0}
+    class_to_xf = np.zeros(len(leaf_node), np.int32)
+    for c in range(len(leaf_node)):
+        m = int(leaf_node[c])
+        while m != 0 and node_occ[m] < occ_thresh:
+            m = int(parent[m])
+        if m not in node_xf:
+            node_xf[m] = len(xforms)
+            xforms.append(node_xform(m))
+        class_to_xf[c] = node_xf[m]
+    return xforms, class_to_xf
 
 
 def build_regression_classes(comp: CompiledHMMSet, n_classes: int) -> np.ndarray:
@@ -177,6 +320,21 @@ def apply_mllr_classes(
             continue
         xf = xforms[int(class_to_xf[c])]
         out[sel] = base_means[sel] @ xf.A.T + xf.b[None, :]
+    return out
+
+
+def apply_mllr_classes_vars(
+    comp: CompiledHMMSet, base_vars: np.ndarray,
+    xforms, class_to_xf: np.ndarray, classes: np.ndarray,
+) -> np.ndarray:
+    """Scale each Gaussian's variances with its class's MLLRVAR H."""
+    out = base_vars.copy()
+    for c in range(len(class_to_xf)):
+        sel = classes == c
+        xf = xforms[int(class_to_xf[c])]
+        if xf.var_scale is None or not np.any(sel):
+            continue
+        out[sel] = base_vars[sel] * xf.var_scale[None, :]
     return out
 
 
@@ -260,12 +418,15 @@ def map_update(
     return mu.astype(np.float32)
 
 
-def save_baseclass(path: str, name: str, classes: np.ndarray) -> None:
-    """Write a regression base-class file (HAdapt ~b macro role).
+def save_baseclass(path: str, name: str, classes: np.ndarray,
+                   parent: Optional[np.ndarray] = None,
+                   leaf_node: Optional[np.ndarray] = None) -> None:
+    """Write a regression base-class file (HAdapt ~b/~r macro role).
 
-    One class id per compiled Gaussian, in `CompiledHMMSet` order; the
-    layout is this framework's own (HTK's ~b itemlist form needs the
-    reference to verify). [LC]
+    One class id per compiled Gaussian, in `CompiledHMMSet` order, plus
+    the regression tree (parent links + leaf node per class) when built
+    by HHEd RC. The layout is this framework's own (HTK's ~b itemlist
+    form needs the reference to verify). [LC]
     """
     n_classes = int(classes.max()) + 1 if len(classes) else 0
     with open(path, "w") as f:
@@ -273,12 +434,18 @@ def save_baseclass(path: str, name: str, classes: np.ndarray) -> None:
         f.write(f"<NUMCLASSES> {n_classes}\n")
         f.write(f"<GAUSSCLASSES> {len(classes)}\n")
         f.write(" " + " ".join(str(int(c)) for c in classes) + "\n")
+        if parent is not None and leaf_node is not None:
+            f.write(f"<PARENT> {len(parent)}\n")
+            f.write(" " + " ".join(str(int(x)) for x in parent) + "\n")
+            f.write(f"<LEAFNODE> {len(leaf_node)}\n")
+            f.write(" " + " ".join(str(int(x)) for x in leaf_node) + "\n")
 
 
 def load_baseclass(path: str):
     """Read a base-class file written by `save_baseclass`.
 
-    Returns (name, classes) with classes an (M,) int32 array."""
+    Returns (name, classes, tree) with classes an (M,) int32 array and
+    tree either None (flat classes) or (parent, leaf_node) arrays."""
     toks = open(path).read().split()
     if not toks or toks[0] != "~b":
         HError(7460, "baseclass: %s is not a ~b file", path)
@@ -289,7 +456,18 @@ def load_baseclass(path: str):
     if len(classes) != m:
         HError(7460, "baseclass: %s truncated (%d of %d ids)",
                path, len(classes), m)
-    return name, classes
+    tree = None
+    if "<PARENT>" in toks:
+        i = toks.index("<PARENT>")
+        n = int(toks[i + 1])
+        parent = np.array([int(t) for t in toks[i + 2 : i + 2 + n]],
+                          dtype=np.int32)
+        i = toks.index("<LEAFNODE>")
+        n = int(toks[i + 1])
+        leaf_node = np.array([int(t) for t in toks[i + 2 : i + 2 + n]],
+                             dtype=np.int32)
+        tree = (parent, leaf_node)
+    return name, classes, tree
 
 
 # -- TMF I/O ----------------------------------------------------------------
@@ -313,6 +491,10 @@ def save_tmf_classes(path: str, name: str, xforms, class_to_xf: np.ndarray,
             f.write(f"<XFORM> {D} {D}\n")
             for row in xf.A:
                 f.write(" " + " ".join("%.6e" % v for v in row) + "\n")
+            if xf.var_scale is not None:
+                f.write(f"<VARSCALE> {D}\n")
+                f.write(" " + " ".join("%.6e" % v
+                                       for v in xf.var_scale) + "\n")
 
 
 def load_tmf_classes(path: str):
@@ -356,6 +538,11 @@ def load_tmf_classes(path: str):
                                     A=np.array(vals).reshape(r, c),
                                     b=cur_b))
             i += 3 + r * c
+        elif t == "<VARSCALE>":
+            n = int(toks[i + 1])
+            xforms[-1].var_scale = np.array(
+                [float(x) for x in toks[i + 2 : i + 2 + n]])
+            i += 2 + n
         else:
             i += 1
     if classes is None or class_to_xf is None or not xforms:
@@ -374,6 +561,9 @@ def save_tmf(path: str, name: str, xf: Transform) -> None:
         f.write(f"<XFORM> {D} {D}\n")
         for row in xf.A:
             f.write(" " + " ".join("%.6e" % v for v in row) + "\n")
+        if xf.var_scale is not None:
+            f.write(f"<VARSCALE> {D}\n")
+            f.write(" " + " ".join("%.6e" % v for v in xf.var_scale) + "\n")
 
 
 def load_tmf(path: str) -> Tuple[str, Transform]:
@@ -383,6 +573,7 @@ def load_tmf(path: str) -> Tuple[str, Transform]:
     i = 0
     b = None
     A = None
+    vs = None
     D = 0
     while i < len(toks):
         t = toks[i]
@@ -404,8 +595,12 @@ def load_tmf(path: str) -> Tuple[str, Transform]:
             vals = [float(x) for x in toks[i + 3 : i + 3 + r * c]]
             A = np.array(vals).reshape(r, c)
             i += 3 + r * c
+        elif t == "<VARSCALE>":
+            n = int(toks[i + 1])
+            vs = np.array([float(x) for x in toks[i + 2 : i + 2 + n]])
+            i += 2 + n
         else:
             i += 1
     if A is None or b is None:
         HError(7460, "load_tmf: malformed transform file %s", path)
-    return name, Transform(kind=kind, A=A, b=b)
+    return name, Transform(kind=kind, A=A, b=b, var_scale=vs)

@@ -219,18 +219,21 @@ def run(argv: List[str]) -> int:
             return estimate_cmllr(stats)
 
         n_reg = cfg.int_("NUMREGCLASSES", 1, module="HADAPT") or 1
-        # HHEd RC output (one class id per Gaussian) overrides on-the-fly
-        # clustering when given
+        # HHEd RC output (classes + regression tree) overrides on-the-fly
+        # clustering when given; the tree enables occupancy back-off
         bc_path = cfg.str_("BASECLASS", None, module="HADAPT")
         bc_classes = None
+        bc_tree = None
         if bc_path:
             from ..algo.adapt import load_baseclass
 
-            _bc_name, bc_classes = load_baseclass(bc_path)
+            _bc_name, bc_classes, bc_tree = load_baseclass(bc_path)
             if len(bc_classes) != comp.n_mix:
                 HError(7460, "HERest: baseclass %s covers %d Gaussians, "
                        "set has %d", bc_path, len(bc_classes), comp.n_mix)
             n_reg = max(n_reg, int(bc_classes.max()) + 1)
+        mllr_var = cfg.bool_("MLLRVAR", False, module="HADAPT") or False
+        occ_thresh = cfg.flt_("OCCTHRESH", 700.0, module="HADAPT") or 700.0
         for spk, uset in groups.items():
             tmf_path = os.path.join(out_xf_dir, f"{spk}.tmf")
             if kind == "MLLRMEAN":
@@ -240,17 +243,30 @@ def run(argv: List[str]) -> int:
                 if n_reg > 1:
                     from ..algo.adapt import (build_regression_classes,
                                               estimate_mllr_classes,
+                                              estimate_mllr_tree,
                                               save_tmf_classes)
 
-                    classes = (bc_classes if bc_classes is not None
-                               else build_regression_classes(comp, n_reg))
-                    xfs, c2x = estimate_mllr_classes(comp, spk_accs, classes)
+                    if bc_tree is not None:
+                        classes = bc_classes
+                        xfs, c2x = estimate_mllr_tree(
+                            comp, spk_accs, classes, bc_tree[0], bc_tree[1],
+                            occ_thresh=occ_thresh, mllr_var=mllr_var)
+                    else:
+                        classes = (bc_classes if bc_classes is not None
+                                   else build_regression_classes(comp, n_reg))
+                        xfs, c2x = estimate_mllr_classes(comp, spk_accs,
+                                                         classes)
                     save_tmf_classes(tmf_path, spk, xfs, c2x, classes)
                     if ta.trace:
                         print(f"HERest: {len(xfs)} regression-class "
                               f"transforms for {spk} -> {tmf_path}")
                     continue
                 xf = estimate_mllr_mean(comp, spk_accs)
+                if mllr_var:
+                    from ..algo.adapt import estimate_mllr_var
+
+                    xf.var_scale = estimate_mllr_var(
+                        comp, spk_accs, xf.apply_to_means(comp.means))
             elif kind == "CMLLR":
                 xf = cmllr_from(uset)
             else:

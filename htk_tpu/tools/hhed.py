@@ -442,25 +442,26 @@ class Editor:
                   f"(vecsize {hset.vec_size})")
 
     def cmd_rc(self, n: int, name: str):
-        """RC n name: build n regression base classes over all Gaussians.
+        """RC n name: build an n-terminal regression class tree.
 
-        Mirrors HTK's RegClassesCommand: clusters the set's Gaussians into
-        n base classes (k-means over means — the flat equivalent of HTK's
-        centroid-split tree, see algo/adapt.build_regression_classes) and
-        queues `<name>.cls` for the output directory. HERest picks it up
-        via HADAPT: BASECLASS and HVite via the MLLRCLASSES TMF chain.
+        Mirrors HTK's RegClassesCommand: centroid-split binary tree over
+        the set's Gaussians (algo/adapt.build_regression_tree); leaves
+        are the base classes and the parent links enable occupancy
+        back-off at estimation time. Queues `<name>.cls` for the output
+        directory; HERest picks it up via HADAPT: BASECLASS and HVite
+        via the MLLRCLASSES TMF chain.
         """
-        from ..algo.adapt import build_regression_classes
+        from ..algo.adapt import build_regression_tree
         from ..models.hmmset import compile_hmmset
 
         comp = compile_hmmset(self.hset)
-        classes = build_regression_classes(comp, n)
-        self.baseclasses[f"{name}.cls"] = (name, classes)
+        classes, parent, leaf_node = build_regression_tree(comp, n)
+        self.baseclasses[f"{name}.cls"] = (name, classes, parent, leaf_node)
         if self.trace:
             import numpy as _np
-            sizes = _np.bincount(classes, minlength=n)
-            print(f"HHEd: RC {n} classes over {len(classes)} Gaussians "
-                  f"(sizes {list(sizes)})")
+            sizes = _np.bincount(classes, minlength=len(leaf_node))
+            print(f"HHEd: RC {len(leaf_node)} classes / {len(parent)} tree "
+                  f"nodes over {len(classes)} Gaussians (sizes {list(sizes)})")
 
     def cmd_hk(self, kind: str):
         """HK: set the HMM-set kind flag (PLAINHS/SHAREDHS/TIEDHS/DISCRETEHS).
@@ -696,8 +697,10 @@ def run(argv: List[str]) -> int:
     if ed.baseclasses:
         from ..algo.adapt import save_baseclass
 
-        for fname, (macro, classes) in ed.baseclasses.items():
-            save_baseclass(os.path.join(out_dir, fname), macro, classes)
+        for fname, (macro, classes, parent, leaf_node) in \
+                ed.baseclasses.items():
+            save_baseclass(os.path.join(out_dir, fname), macro, classes,
+                           parent=parent, leaf_node=leaf_node)
             if ta.trace:
                 print(f"HHEd: wrote {os.path.join(out_dir, fname)}")
     if ta.has("w"):

@@ -119,6 +119,7 @@ def run(argv: List[str]) -> int:
                 print(f"HVite: loaded {xf.kind} transform {tmf}")
     spk_mask = ta.get("h")
     base_means = comp.means.copy() if xforms else None
+    base_vars = comp.variances.copy() if xforms else None
 
     def adapt_for(logical, data):
         """Pick this utterance's transform; returns (possibly new) data."""
@@ -136,14 +137,21 @@ def run(argv: List[str]) -> int:
         else:
             xf = next(iter(xforms.values()))
         if isinstance(xf, tuple):  # regression-class MLLR set
-            from ..algo.adapt import apply_mllr_classes
+            from ..algo.adapt import (apply_mllr_classes,
+                                      apply_mllr_classes_vars)
 
             _nm, xfs, c2x, classes = xf
+            new_vars = None
+            if any(x.var_scale is not None for x in xfs):
+                new_vars = apply_mllr_classes_vars(
+                    comp, base_vars, xfs, c2x, classes)
             write_back(comp, means=apply_mllr_classes(
-                comp, base_means, xfs, c2x, classes))
+                comp, base_means, xfs, c2x, classes), variances=new_vars)
             return data
         if xf.kind == "MLLRMEAN":
-            write_back(comp, means=xf.apply_to_means(base_means))
+            write_back(comp, means=xf.apply_to_means(base_means),
+                       variances=(xf.apply_to_vars(base_vars)
+                                  if xf.var_scale is not None else None))
             return data
         return xf.apply_to_features(data).astype(data.dtype)
     vocab = read_dict(dict_file)

@@ -126,3 +126,60 @@ class TestSpeakerMask:
         assert speaker_from_mask("%%%*", "spk1utt.mfc") == "spk"
         # non-matching mask falls back to the stem
         assert speaker_from_mask("zz%%", "sA_u3.mfc") == "sA_u3"
+
+
+class TestMLLRVarAndTree:
+    def test_var_scale_recovery(self):
+        from htk_tpu.algo.adapt import estimate_mllr_var
+
+        comp = small_set(nmix=1, seed=12)
+        M = comp.n_mix
+        S, mm = comp.state_mix.shape
+        occ = np.full(M, 80.0, np.float32)
+        scale = np.array([2.0, 0.5, 1.5])
+        accs = Accumulators(
+            occ=occ,
+            sum_x=(occ[:, None] * comp.means).astype(np.float32),
+            sum_xx=(occ[:, None] * (comp.means**2
+                                    + scale[None, :] * comp.variances)
+                    ).astype(np.float32),
+            wt_occ=np.full((S, mm), 80.0, np.float32),
+            tr=np.zeros(comp.log_transp.size, np.float32),
+            total_logp=np.float32(0), total_frames=np.float32(0),
+            n_utts=np.float32(1))
+        H = estimate_mllr_var(comp, accs, comp.means)
+        np.testing.assert_allclose(H, scale, rtol=1e-3)
+
+    def test_tmf_var_roundtrip(self, tmp_path):
+        xf = Transform(kind="MLLRMEAN", A=np.eye(3), b=np.zeros(3),
+                       var_scale=np.array([1.5, 0.7, 2.0]))
+        p = str(tmp_path / "t.tmf")
+        save_tmf(p, "spk", xf)
+        _n, xf2 = load_tmf(p)
+        np.testing.assert_allclose(xf2.var_scale, xf.var_scale, rtol=1e-5)
+        np.testing.assert_allclose(xf2.apply_to_vars(np.ones((4, 3)))[0],
+                                   xf.var_scale, rtol=1e-5)
+
+    def test_tree_backoff(self):
+        from htk_tpu.algo.adapt import (build_regression_tree,
+                                        estimate_mllr_tree)
+
+        comp = small_set(nmix=2, seed=13)
+        classes, parent, leaf = build_regression_tree(comp, 3)
+        assert len(leaf) == 3 and parent[0] == -1
+        assert set(np.unique(classes)) == {0, 1, 2}
+        shift = np.array([1.0, -1.0, 0.5], np.float32)
+        accs = accs_for_shift(comp, shift, occ_per_mix=50.0)
+        # huge threshold: everything backs off to the root transform
+        xfs, c2x = estimate_mllr_tree(comp, accs, classes, parent, leaf,
+                                      occ_thresh=1e9)
+        assert len(xfs) == 1 and set(np.asarray(c2x)) == {0}
+        # tiny threshold: every leaf earns its own transform
+        xfs2, c2x2 = estimate_mllr_tree(comp, accs, classes, parent, leaf,
+                                        occ_thresh=1.0)
+        assert len(set(np.asarray(c2x2))) == 3
+        for c in range(3):
+            xf = xfs2[int(c2x2[c])]
+            sel = classes == c
+            np.testing.assert_allclose(xf.apply_to_means(comp.means)[sel],
+                                       (comp.means + shift)[sel], atol=1e-2)

@@ -46,16 +46,21 @@ def test_rc_baseclass_mllr_chain(trained, capsys):
                        "-H", "hmm3/hmmdefs", "-M", "hmm4",
                        "-S", "train.scp", "monophones"]) == 0
 
-    # HERest -K with the HHEd base classes -> MLLRCLASSES TMF
+    # HERest -K with the HHEd base classes -> MLLRCLASSES TMF; a tiny
+    # OCCTHRESH exercises per-leaf tree transforms, MLLRVAR adds
+    # per-transform variance scaling
     open("cfg_adapt", "w").write(
         "TARGETKIND = MFCC_E_D_A\n"
         "HADAPT: BASECLASS = hmm3/global.cls\n"
+        "HADAPT: OCCTHRESH = 1.0\n"
+        "HADAPT: MLLRVAR = T\n"
     )
     assert herest.run(["-C", "cfg_adapt", "-I", "phones.mlf",
                        "-H", "hmm4/hmmdefs", "-K", "xf",
                        "-S", "train.scp", "monophones"]) == 0
     assert os.listdir("xf") == ["global.tmf"]
-    assert "MLLRCLASSES" in open("xf/global.tmf").read()
+    tmf = open("xf/global.tmf").read()
+    assert "MLLRCLASSES" in tmf and "<VARSCALE>" in tmf
 
     # HVite -J applies the class transforms; matched data stays at 100%
     assert hvite.run(["-w", "wdnet.slf", "-p", "-8", "-J", "xf",

@@ -234,12 +234,19 @@ class TestRegClasses:
         ed = Editor(hs)
         run_script("MU 2 {*.state[2-4].mix}\nRC 2 global\n", ed)
         assert "global.cls" in ed.baseclasses
-        name, classes = ed.baseclasses["global.cls"]
+        name, classes, parent, leaf_node = ed.baseclasses["global.cls"]
         comp = compile_hmmset(hs)
         assert name == "global" and len(classes) == comp.n_mix
         assert set(np.unique(classes)) <= {0, 1}
+        # tree invariants: root parent -1, children index above parents
+        assert parent[0] == -1
+        assert all(parent[k] < k for k in range(1, len(parent)))
+        assert len(leaf_node) == 2
         p = str(tmp_path / "global.cls")
-        save_baseclass(p, name, classes)
-        name2, cl2 = load_baseclass(p)
+        save_baseclass(p, name, classes, parent=parent, leaf_node=leaf_node)
+        name2, cl2, tree = load_baseclass(p)
         assert name2 == "global"
         np.testing.assert_array_equal(cl2, classes)
+        assert tree is not None
+        np.testing.assert_array_equal(tree[0], parent)
+        np.testing.assert_array_equal(tree[1], leaf_node)

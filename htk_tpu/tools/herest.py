@@ -20,6 +20,12 @@ Usage: HERest [options] hmmList [accFiles... with -p 0]
   -p N     parallel mode (above)                -v f    minimum variance
   -w f     mixture weight floor (accepted)      -s file write stats file
   -B       binary MMF output
+  -K dir   estimate adaptation transforms (HADAPT: TRANSKIND/BASECLASS/
+           OCCTHRESH/MLLRVAR/NUMREGCLASSES) instead of updating models
+  -J dir   input transform directory (with -a)  -h mask speaker mask
+  -a       apply input transforms during accumulation: CMLLR in feature
+           space (fMLLR-SAT), MLLR mean/variance per speaker group in
+           model space — the canonical model updates from summed stats
   Standard: -A -C -D -S -T -V
 """
 
@@ -135,7 +141,29 @@ def run(argv: List[str]) -> int:
         else:
             trainer = (_make_discrete_trainer(comp) if comp.discrete
                        else _make_trainer(comp, cfg))
+        # input transforms (-J dir with -a): per-speaker TMFs applied
+        # during accumulation — CMLLR in feature space (fMLLR-SAT), MLLR
+        # mean/variance in model space (each speaker group accumulates
+        # against its adapted parameters; the canonical model is then
+        # reestimated from the summed statistics).
+        in_xfs = {}
+        if ta.has("a") and ta.get_all("J") and not comp.discrete:
+            import glob as _glob
+
+            from ..algo.adapt import load_tmf, load_tmf_classes
+
+            for d in ta.get_all("J"):
+                for tmf in sorted(_glob.glob(os.path.join(d, "*.tmf"))):
+                    key = os.path.splitext(os.path.basename(tmf))[0]
+                    multi = load_tmf_classes(tmf)
+                    in_xfs[key] = (multi if multi is not None
+                                   else load_tmf(tmf)[1])
+            if not in_xfs:
+                HRError(7441, "HERest: -a but no TMFs under -J")
+        spk_mask = ta.get("h")
+
         utts = []
+        tagged = []  # (model-space speaker or None, utt)
         from ..algo.trainer import prepare_utterance_ids
 
         prep = prepare_utterance_ids if use_dev_comp else prepare_utterance
@@ -146,10 +174,64 @@ def run(argv: List[str]) -> int:
             if not names:
                 HRError(7325, "HERest: empty transcription for %s", e.logical)
                 continue
-            utts.append(prep(comp, e.logical, data, names))
+            spk = None
+            if in_xfs:
+                from ..algo.adapt import speaker_from_mask
+
+                spk = (speaker_from_mask(spk_mask, e.logical) if spk_mask
+                       else next(iter(in_xfs)))
+                xf = in_xfs.get(spk)
+                if xf is None:
+                    HRError(7441, "HERest: no input transform for %s", spk)
+                    spk = None
+                elif not isinstance(xf, tuple) and xf.kind == "CMLLR":
+                    data = xf.apply_to_features(data).astype(np.float32)
+                    spk = None  # feature-space transform: no model group
+            u = prep(comp, e.logical, data, names)
+            utts.append(u)
+            tagged.append((spk, u))
         if not utts:
             HError(7326, "HERest: no trainable utterances")
-        accs = trainer.accumulate(utts, batch_size=batch_size, trace=ta.trace)
+
+        model_groups = {}
+        plain = []
+        for spk, u in tagged:
+            if spk is not None:
+                model_groups.setdefault(spk, []).append(u)
+            else:
+                plain.append(u)
+        if model_groups:
+            from ..algo.adapt import (apply_mllr_classes,
+                                      apply_mllr_classes_vars)
+            from ..models.hmmset import write_back as _wb
+
+            base_means = comp.means.copy()
+            base_vars = comp.variances.copy()
+            acc_list = []
+            if plain:
+                acc_list.append(trainer.accumulate(
+                    plain, batch_size=batch_size, trace=ta.trace))
+            for spk, uset in model_groups.items():
+                xf = in_xfs[spk]
+                if isinstance(xf, tuple):
+                    _nm, xfs_l, c2x, cls = xf
+                    nv = (apply_mllr_classes_vars(comp, base_vars, xfs_l,
+                                                  c2x, cls)
+                          if any(x.var_scale is not None for x in xfs_l)
+                          else None)
+                    _wb(comp, means=apply_mllr_classes(
+                        comp, base_means, xfs_l, c2x, cls), variances=nv)
+                else:
+                    _wb(comp, means=xf.apply_to_means(base_means),
+                        variances=(xf.apply_to_vars(base_vars)
+                                   if xf.var_scale is not None else None))
+                acc_list.append(trainer.accumulate(
+                    uset, batch_size=batch_size, trace=ta.trace))
+            _wb(comp, means=base_means, variances=base_vars)
+            accs = sum_accs(acc_list)
+        else:
+            accs = trainer.accumulate(utts, batch_size=batch_size,
+                                      trace=ta.trace)
 
         if p_mode > 0:
             os.makedirs(out_dir, exist_ok=True)

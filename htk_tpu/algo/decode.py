@@ -196,6 +196,8 @@ def decode(
             slot_blocks=tuple(comp.slot_blocks) or None,
             state_sw=(jnp.asarray(comp.state_sw)
                       if comp.state_sw is not None else None),
+            fc_proj=(jnp.asarray(comp.fc_proj) if comp.full_cov else None),
+            fc_mu=(jnp.asarray(comp.fc_mu) if comp.full_cov else None),
         )  # (T, S_phys)
     outp_states = logb[:, jnp.asarray(net.comp_state)]  # (T, Ns)
 
@@ -290,6 +292,8 @@ def generate_lattice(
         slot_blocks=tuple(comp.slot_blocks) or None,
         state_sw=(jnp.asarray(comp.state_sw)
                   if comp.state_sw is not None else None),
+        fc_proj=(jnp.asarray(comp.fc_proj) if comp.full_cov else None),
+        fc_mu=(jnp.asarray(comp.fc_mu) if comp.full_cov else None),
     )
     outp_states = logb[:, jnp.asarray(net.comp_state)]
 

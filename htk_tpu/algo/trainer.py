@@ -122,6 +122,9 @@ class Trainer:
     """Runs embedded-reestimation accumulation over a corpus."""
 
     def __init__(self, comp: CompiledHMMSet, precision: str = "highest"):
+        if getattr(comp, "full_cov", False):
+            HError(7060, "Trainer: full-covariance sets are decode/align-"
+                         "only — train with DIAGC models")
         self.comp = comp
         self.precision = precision
         self.tr_flat = int(np.prod(comp.log_transp.shape))

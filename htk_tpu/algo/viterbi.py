@@ -45,10 +45,17 @@ def viterbi_scan(outp: jnp.ndarray, logA: jnp.ndarray, a0: jnp.ndarray,
 
 
 def state_outp_for(comp_set_arrays, feats: jnp.ndarray, comp_state, q_mask,
-                   precision: str = "highest", slot_blocks=None, state_sw=None):
+                   precision: str = "highest", slot_blocks=None, state_sw=None,
+                   fc_proj=None, fc_mu=None):
     means, variances, gconsts, state_mix, state_logw = comp_set_arrays
-    Wt, c = pack_gaussians(means, variances, gconsts)
-    mlp = mix_scores(feats, Wt, c, precision=precision)
+    if fc_proj is not None:
+        from ..ops.outp import full_cov_mix_scores
+
+        mlp = full_cov_mix_scores(feats, fc_proj, fc_mu, gconsts,
+                                  precision=precision)
+    else:
+        Wt, c = pack_gaussians(means, variances, gconsts)
+        mlp = mix_scores(feats, Wt, c, precision=precision)
     st_mix = state_mix[comp_state]
     st_logw = state_logw[comp_state]
     gathered = mlp[:, jnp.maximum(st_mix, 0)]
@@ -90,6 +97,8 @@ def align(
         slot_blocks=tuple(comp.slot_blocks) or None,
         state_sw=(jnp.asarray(comp.state_sw)
                   if comp.state_sw is not None else None),
+        fc_proj=(jnp.asarray(comp.fc_proj) if comp.full_cov else None),
+        fc_mu=(jnp.asarray(comp.fc_mu) if comp.full_cov else None),
     )
     score, deltas, bps = viterbi_scan(
         outp, jnp.asarray(hmm.logA), jnp.asarray(hmm.a0),

@@ -61,6 +61,12 @@ class MixPDF:
             # var holds the inverse covariance (upper-tri stored full here)
             sign, logdet = np.linalg.slogdet(self.var)
             self.gconst = float(d * math.log(2 * math.pi) - logdet)
+        elif self.cov_kind == "LLTC":
+            # var holds the LLT factor of the precision: log|P| =
+            # 2 sum log diag(L) [LC]
+            diag = np.maximum(np.abs(np.diag(self.var)), 1e-38)
+            self.gconst = float(d * math.log(2 * math.pi)
+                                - 2.0 * np.sum(np.log(diag)))
         else:
             HError(7032, "fix_gconst: covariance kind %s unsupported", self.cov_kind)
         return self.gconst

@@ -62,6 +62,11 @@ class CompiledHMMSet:
     dprob_table: Optional[np.ndarray] = None  # (S, K_total) f32 log probs
     dprob_blocks: List = field(default_factory=list)  # [(k0, k1)] per stream
 
+    # full-covariance sets (FULLC/LLTC): decode/align-only scorer inputs
+    full_cov: bool = False
+    fc_proj: Optional[np.ndarray] = None  # (M, D, D) precision Cholesky L
+    fc_mu: Optional[np.ndarray] = None  # (M, D) mu @ L per Gaussian
+
     # multi-stream structure (single-stream sets: one block covering all)
     n_streams: int = 1
     stream_slices: List = field(default_factory=list)  # [(d0, d1)] per stream
@@ -152,7 +157,7 @@ def compile_hmmset(hset: HMMSet) -> CompiledHMMSet:
                 for s in range(n_streams):
                     for mp in si.streams[s].mixes:
                         if mp is not None and id(mp) not in mix_ids:
-                            if mp.cov_kind != "DIAGC":
+                            if mp.cov_kind not in ("DIAGC", "FULLC", "LLTC"):
                                 HError(
                                     7060,
                                     "compile_hmmset: covariance kind %s not "
@@ -191,13 +196,19 @@ def compile_hmmset(hset: HMMSet) -> CompiledHMMSet:
             HError(7023, "compile_hmmset: stream %d Gaussian width %d != %d",
                    s + 1, len(mp.mean), d1 - d0)
         means[i, d0:d1] = mp.mean
-        variances[i, d0:d1] = mp.var
-        # gConst over the stream's own dims (HModel.c per-stream gConst)
-        gconsts[i] = float(
-            (d1 - d0) * math.log(2 * math.pi)
-            + np.sum(np.log(np.maximum(mp.var.astype(np.float64), 1e-38)))
-        )
-        mp.gconst = gconsts[i]
+        if mp.cov_kind == "DIAGC":
+            variances[i, d0:d1] = mp.var
+            # gConst over the stream's own dims (HModel.c per-stream gConst)
+            gconsts[i] = float(
+                (d1 - d0) * math.log(2 * math.pi)
+                + np.sum(np.log(np.maximum(mp.var.astype(np.float64), 1e-38)))
+            )
+            mp.gconst = gconsts[i]
+        else:
+            # FULLC/LLTC: mp.var holds the precision matrix (or its LLT
+            # factor); the diagonal-covariance arrays get placeholder
+            # diag(Sigma) and the real scorer uses fc_proj/fc_mu below
+            gconsts[i] = float(mp.fix_gconst())
 
     state_mix = np.full((S, n_slots), -1, np.int32)
     state_logw = np.full((S, n_slots), LZERO, np.float32)
@@ -237,7 +248,40 @@ def compile_hmmset(hset: HMMSet) -> CompiledHMMSet:
             model_states[hi, k] = state_ids[id(si)]
         model_transp[hi] = transp_ids[id(h.transp)]
 
+    # full-covariance sets: per-Gaussian Cholesky factor of the precision
+    # matrix, embedded in full-D columns so the scorer stays one batched
+    # contraction (ops/outp.full_cov_mix_scores); diag Gaussians in a
+    # mixed set embed 1/sqrt(var) on the diagonal
+    full_cov = any(mp.cov_kind != "DIAGC" for mp in mixes)
+    fc_proj = fc_mu = None
+    if full_cov:
+        fc_proj = np.zeros((M, D, D), np.float32)
+        fc_mu = np.zeros((M, D), np.float32)
+        for i, mp in enumerate(mixes):
+            s = mix_stream_l[i]
+            d0, d1 = stream_slices[s]
+            if mp.cov_kind == "DIAGC":
+                rt = 1.0 / np.sqrt(mp.var.astype(np.float64))
+                fc_proj[i, d0:d1, d0:d1] = np.diag(rt)
+                fc_mu[i, d0:d1] = mp.mean.astype(np.float64) * rt
+                continue
+            if mp.cov_kind == "LLTC":
+                # stored triangular factor of the precision (read back
+                # from the symmetrised trimat) [LC]
+                Lf = np.tril(mp.var.astype(np.float64))
+                P = Lf @ Lf.T
+            else:  # FULLC: <INVCOVAR> is the precision matrix itself
+                P = mp.var.astype(np.float64)
+            L = np.linalg.cholesky(P)  # P = L L^T -> quad = ||L^T(x-mu)||^2
+            fc_proj[i, d0:d1, d0:d1] = L  # y = x @ L computes L^T x
+            fc_mu[i, d0:d1] = mp.mean.astype(np.float64) @ L
+            variances[i, d0:d1] = np.maximum(
+                np.diag(np.linalg.inv(P)), 1e-10).astype(np.float32)
+
     return CompiledHMMSet(
+        full_cov=full_cov,
+        fc_proj=fc_proj,
+        fc_mu=fc_mu,
         n_streams=n_streams,
         stream_slices=stream_slices,
         slot_blocks=slot_blocks,
@@ -360,6 +404,9 @@ def write_back(
     same Python objects everywhere they are tied). Returns the HMMSet for
     saving via io.mmf.save_mmf.
     """
+    if comp.full_cov and (means is not None or variances is not None):
+        HError(7060, "write_back: full-covariance sets are decode/align-"
+                     "only here — train/adapt with DIAGC models")
     if means is not None or variances is not None:
         import math as _math
 

@@ -50,6 +50,22 @@ def mix_scores(x: jnp.ndarray, Wt: jnp.ndarray, c: jnp.ndarray,
     return -0.5 * (quad + c[None, :])
 
 
+def full_cov_mix_scores(x: jnp.ndarray, fc_proj: jnp.ndarray,
+                        fc_mu: jnp.ndarray, gconsts: jnp.ndarray,
+                        precision: str = "highest") -> jnp.ndarray:
+    """(T, D) frames -> (T, M) full-covariance Gaussian log-likelihoods.
+
+    HModel.c OutP for FULLC/LLTC sets: each Gaussian carries the Cholesky
+    factor L of its precision matrix P = L L^T embedded in full-D columns
+    (models/hmmset.py), so the Mahalanobis form is one batched
+    contraction ||x @ L_m - mu~_m||^2 with mu~_m = mu_m @ L_m —
+    (T, D) x (M, D, D) on the MXU instead of per-pair scalar loops.
+    """
+    y = jnp.einsum("td,mde->tme", x, fc_proj, precision=precision)
+    q = jnp.sum((y - fc_mu[None, :, :]) ** 2, axis=-1)  # (T, M)
+    return -0.5 * (gconsts[None, :] + q)
+
+
 def state_outp(
     mix_lp: jnp.ndarray, state_mix: jnp.ndarray, state_logw: jnp.ndarray,
     slot_blocks=None, state_sw=None,
@@ -91,8 +107,17 @@ def all_state_outp(
     precision: str = "highest",
     slot_blocks=None,
     state_sw=None,
+    fc_proj=None,
+    fc_mu=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Frames (T, D) -> (state log-likes (T, S), Gaussian log-likes (T, M))."""
-    Wt, c = pack_gaussians(means, variances, gconsts)
-    mlp = mix_scores(x, Wt, c, precision=precision)
+    """Frames (T, D) -> (state log-likes (T, S), Gaussian log-likes (T, M)).
+
+    `fc_proj`/`fc_mu` switch the Gaussian scorer to the full-covariance
+    path (compile_hmmset provides them for FULLC/LLTC sets)."""
+    if fc_proj is not None:
+        mlp = full_cov_mix_scores(x, fc_proj, fc_mu, gconsts,
+                                  precision=precision)
+    else:
+        Wt, c = pack_gaussians(means, variances, gconsts)
+        mlp = mix_scores(x, Wt, c, precision=precision)
     return state_outp(mlp, state_mix, state_logw, slot_blocks, state_sw), mlp

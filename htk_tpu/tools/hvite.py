@@ -97,7 +97,10 @@ def run(argv: List[str]) -> int:
 
     # input adaptation transforms (-J dir): per-speaker TMFs selected by
     # the -h mask, or one global transform. MLLRMEAN transforms the model
-    # means; CMLLR transforms incoming features.
+    # means; CMLLR transforms incoming features. There is
+    # one transform CHAIN per speaker: -J dirs are searched in order and
+    # a speaker's transforms compose left-to-right (HAdapt parent/input
+    # transform chaining: CMLLR chains on features, MLLR on the model)
     xforms = {}
     for xf_dir in ta.get_all("J"):
         import glob as _glob
@@ -108,52 +111,71 @@ def run(argv: List[str]) -> int:
             multi = load_tmf_classes(tmf)
             key = os.path.splitext(os.path.basename(tmf))[0]
             if multi is not None:
-                xforms[key] = multi  # (name, xfs, class_to_xf, classes)
+                xforms.setdefault(key, []).append(multi)
                 if ta.trace:
                     print(f"HVite: loaded {len(multi[1])} regression-class "
                           f"transforms {tmf}")
                 continue
             name, xf = load_tmf(tmf)
-            xforms[key] = xf
+            xforms.setdefault(key, []).append(xf)
             if ta.trace:
                 print(f"HVite: loaded {xf.kind} transform {tmf}")
     spk_mask = ta.get("h")
     base_means = comp.means.copy() if xforms else None
     base_vars = comp.variances.copy() if xforms else None
 
+    def _has_model_xf(chain):
+        return any(isinstance(x, tuple) or x.kind == "MLLRMEAN"
+                   for x in chain)
+
+    any_model_xf = any(_has_model_xf(c) for c in xforms.values())
+
     def adapt_for(logical, data):
-        """Pick this utterance's transform; returns (possibly new) data."""
+        """Apply this utterance's transform chain; returns the data."""
         if not xforms:
             return data
-        from ..algo.adapt import speaker_from_mask
+        from ..algo.adapt import (apply_mllr_classes,
+                                  apply_mllr_classes_vars,
+                                  speaker_from_mask)
         from ..models.hmmset import write_back
 
         if spk_mask and len(xforms) > 1:
             spk = speaker_from_mask(spk_mask, logical)
-            xf = xforms.get(spk) or xforms.get("global")
-            if xf is None:
-                HRError(7441, "HVite: no transform for speaker %s", spk)
-                return data
+            spk_chain = xforms.get(spk)
+            if spk_chain is None:
+                chain = xforms.get("global")
+                if chain is None:
+                    HRError(7441, "HVite: no transform for speaker %s", spk)
+                    chain = []
+            else:
+                # a "global" entry acts as the parent transform: it
+                # prefixes every speaker's own chain (HAdapt parent xform)
+                chain = (list(xforms.get("global", []))
+                         if spk != "global" else []) + list(spk_chain)
         else:
-            xf = next(iter(xforms.values()))
-        if isinstance(xf, tuple):  # regression-class MLLR set
-            from ..algo.adapt import (apply_mllr_classes,
-                                      apply_mllr_classes_vars)
-
-            _nm, xfs, c2x, classes = xf
-            new_vars = None
-            if any(x.var_scale is not None for x in xfs):
-                new_vars = apply_mllr_classes_vars(
-                    comp, base_vars, xfs, c2x, classes)
-            write_back(comp, means=apply_mllr_classes(
-                comp, base_means, xfs, c2x, classes), variances=new_vars)
-            return data
-        if xf.kind == "MLLRMEAN":
-            write_back(comp, means=xf.apply_to_means(base_means),
-                       variances=(xf.apply_to_vars(base_vars)
-                                  if xf.var_scale is not None else None))
-            return data
-        return xf.apply_to_features(data).astype(data.dtype)
+            chain = next(iter(xforms.values()))
+        cur_m, cur_v = base_means, base_vars
+        vars_touched = False
+        for xf in chain:
+            if isinstance(xf, tuple):  # regression-class MLLR set
+                _nm, xfs, c2x, classes = xf
+                if any(x.var_scale is not None for x in xfs):
+                    cur_v = apply_mllr_classes_vars(
+                        comp, cur_v, xfs, c2x, classes)
+                    vars_touched = True
+                cur_m = apply_mllr_classes(comp, cur_m, xfs, c2x, classes)
+            elif xf.kind == "MLLRMEAN":
+                cur_m = xf.apply_to_means(cur_m)
+                if xf.var_scale is not None:
+                    cur_v = xf.apply_to_vars(cur_v)
+                    vars_touched = True
+            else:  # CMLLR: feature space
+                data = xf.apply_to_features(data).astype(data.dtype)
+        if any_model_xf:
+            # also restores canonical params after a previous speaker
+            write_back(comp, means=cur_m,
+                       variances=(cur_v if vars_touched else None))
+        return data
     vocab = read_dict(dict_file)
     load_hmm_list(hmm_list_file)  # validated for parity; comp holds models
 

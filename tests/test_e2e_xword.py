@@ -67,3 +67,38 @@ def test_hvite_cross_word_expansion(trained, capsys):
     assert hresults.run(["-I", "words.mlf", "monophones", "reca.mlf"]) == 0
     out = capsys.readouterr().out
     assert "WORD: %Corr=100.00" in out
+
+
+def test_hdecode_cross_word_expansion(trained, capsys):
+    from htk_tpu.tools import hhed, lbuild, hdecode
+
+    # cross-word triphone clones (exact copies)
+    ctx = ["aa", "iy", "sil"]
+    tris = [f"{l}-{p}+{r}" for p in ("aa", "iy") for l in ctx for r in ctx]
+    open("trilist", "w").write("\n".join(["aa", "iy", "sil"] + tris) + "\n")
+    open("cl.hed", "w").write("CL trilist\n")
+    assert hhed.run(["-H", "hmm2/hmmdefs", "-M", "tri0",
+                     "cl.hed", "monophones"]) == 0
+
+    # bigram LM over the word transcripts
+    sents, cur = [], []
+    for ln in open("words.mlf"):
+        ln = ln.strip()
+        if ln.startswith('"'):
+            cur = []
+        elif ln == ".":
+            sents.append(" ".join(cur))
+        elif ln and ln != "#!MLF!#":
+            cur.append(ln)
+    open("words.txt", "w").write("\n".join(sents) + "\n")
+    assert lbuild.run(["-n", "2", "wlist", "lm2.arpa", "words.txt"]) == 0
+
+    open("cfgx", "w").write(
+        "TARGETKIND = MFCC_E_D_A\nHNET: FORCECXTEXP = T\n")
+    assert hdecode.run(["-C", "cfgx", "-T", "1", "-w", "lm2.arpa",
+                        "-p", "-8", "-i", "rechd.mlf", "-H", "tri0/hmmdefs",
+                        "-S", "train.scp", "dict", "trilist"]) == 0
+    from htk_tpu.tools import hresults
+    assert hresults.run(["-I", "words.mlf", "monophones", "rechd.mlf"]) == 0
+    out = capsys.readouterr().out
+    assert "WORD: %Corr=100.00" in out

@@ -101,3 +101,57 @@ def test_sat_model_space_mllr_group(sat_corpus):
     # adapted-model alignment puts each speaker's frames on the right
     # states, so the update is the biased feature average (~ +1.5)
     assert 0.8 < float((m - _mean0("hmmdefs")).mean()) < 2.2
+
+
+def test_hvite_parent_transform_composition(sat_corpus):
+    """Global MLLR parent + per-speaker CMLLR children compose in HVite."""
+    from htk_tpu.tools import hbuild, hresults, hvite
+
+    # shift all data up by a further global offset the CMLLR inputs
+    # don't know about; a global parent MLLR on the means absorbs it
+    G = 3.0
+    import numpy as np
+    from htk_tpu.io.htkfeat import read_htk_file, write_htk_file
+    from htk_tpu.io import parmkind as pk
+
+    kind = pk.str2parmkind("USER")
+    for fn in open("train.scp").read().split():
+        ff = read_htk_file(fn)
+        write_htk_file(fn, ff.data + G, 100000, kind)
+
+    os.makedirs("xfout", exist_ok=True)
+    save_tmf("xfout/global.tmf", "global",
+             Transform(kind="MLLRMEAN", A=np.eye(DIM), b=np.full(DIM, G)))
+
+    open("dict", "w").write("A  aa\nI  iy\n")
+    open("wlist", "w").write("A\nI\n")
+    open("words.mlf", "w").write(
+        "#!MLF!#\n" + "".join(
+            f'"*/{fn.split(".")[0]}.lab"\nA\nI\n.\n'
+            for fn in open("train.scp").read().split()))
+    assert hbuild.run(["wlist", "wdnet.slf"]) == 0
+
+    # children only: means are off by G ~ 4 sigma -> decode degrades
+    assert hvite.run(["-w", "wdnet.slf", "-J", "xfin", "-h", "%%%%*",
+                      "-i", "rec1.mlf", "-H", "hmmdefs",
+                      "-S", "train.scp", "dict", "phonelist"]) == 0
+    # parent + children: bias and offset both handled -> 100%
+    assert hvite.run(["-w", "wdnet.slf", "-J", "xfout", "-J", "xfin",
+                      "-h", "%%%%*", "-i", "rec2.mlf", "-H", "hmmdefs",
+                      "-S", "train.scp", "dict", "phonelist"]) == 0
+
+    import io
+    from contextlib import redirect_stdout
+
+    def corr(mlf):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            hresults.run(["-I", "words.mlf", "phonelist", mlf])
+        out = buf.getvalue()
+        for tok in out.split():
+            if tok.startswith("%Corr="):
+                return float(tok.split("=")[1].rstrip(","))
+        return -1.0
+
+    assert corr("rec2.mlf") == 100.0
+    assert corr("rec2.mlf") >= corr("rec1.mlf")

@@ -57,6 +57,21 @@ def zero_accs(n_mix: int, dim: int, n_states: int, max_mix: int, tr_flat: int):
     )
 
 
+def _fb_pallas_enabled() -> bool:
+    """Opt-in dispatch for the fused FB kernel (HTKTPU_FB_PALLAS=1).
+
+    Default is the vmapped lax.scan path: measured on v5e, batching the
+    scan across utterances already turns each recursion step into one
+    large fused (B, Q, Q) op, and beats the per-utterance fused kernel
+    (~90-114 vs ~83-89 utt/s/chip) — the opposite of decode, where the
+    Pallas kernel wins 3.7x because its scan steps are many small
+    gather-shaped ops. The kernel (ops/fb_pallas.py) is kept bit-exact
+    and tested as the substrate for future time-sharded FB."""
+    import os
+
+    return os.environ.get("HTKTPU_FB_PALLAS", "0") == "1"
+
+
 def _ladd_matvec_left(alpha: jnp.ndarray, logA: jnp.ndarray) -> jnp.ndarray:
     """pred[j] = logsumexp_i alpha[i] + logA[i, j] (HTK LAdd clamping)."""
     return ladd_reduce(alpha[:, None] + logA, axis=0)
@@ -185,11 +200,23 @@ def fb_utterance(
             outp = term if outp is None else outp + term
     outp = jnp.where(q_mask[None, :], outp, LZERO)
 
-    # 2. scans
-    betas = backward_scan(outp, logA, aE, t_real)
-    alphas = forward_scan(outp, logA, a0, t_real)
-    alpha_last = alphas[jnp.maximum(t_real - 1, 0)]
-    logp = ladd_reduce(alpha_last + aE, axis=0)
+    # 2. scans — fused Pallas kernel on TPU (ops/fb_pallas.py, bit-exact
+    # vs the lax.scan reference), scans elsewhere
+    xi = None
+    if _fb_pallas_enabled():
+        from ..ops.fb_pallas import fb_scans_pallas
+
+        # off-TPU (forced via HTKTPU_FB_PALLAS=1) runs in interpret mode —
+        # the full-integration test path
+        alphas, betas, logp, xi = fb_scans_pallas(
+            outp, logA, a0, aE, t_real,
+            interpret=jax.default_backend() != "tpu")
+        alpha_last = alphas[jnp.maximum(t_real - 1, 0)]
+    else:
+        betas = backward_scan(outp, logA, aE, t_real)
+        alphas = forward_scan(outp, logA, a0, t_real)
+        alpha_last = alphas[jnp.maximum(t_real - 1, 0)]
+        logp = ladd_reduce(alpha_last + aE, axis=0)
 
     t_mask = (jnp.arange(T) < t_real).astype(feats.dtype)
 
@@ -221,7 +248,8 @@ def fb_utterance(
     wt_occ = jax.ops.segment_sum(occ_qm, state_seg, S + 1)[:S]
 
     # 4. transition accumulators
-    xi = xi_scan(alphas, betas, outp, logA, logp, t_real)  # (Q, Q)
+    if xi is None:
+        xi = xi_scan(alphas, betas, outp, logA, logp, t_real)  # (Q, Q)
     entry_occ = exp_or_zero(a0 + outp[0] + betas[0] - logp)  # (Q,)
     exit_occ = exp_or_zero(alpha_last + aE - logp)
 

@@ -73,7 +73,8 @@ def good_turing_discount(counts: Counter, max_r: int = 7):
     return d
 
 
-def build_lm(sents, order=2, cutoff=1, scheme="ABS", disc=0.5, ufloor=1.0):
+def count_ngrams(sents, order=2):
+    """(uni, bi, tri, four) Counters over boundary-wrapped sentences."""
     uni = Counter()
     bi = Counter()
     tri = Counter()
@@ -90,7 +91,20 @@ def build_lm(sents, order=2, cutoff=1, scheme="ABS", disc=0.5, ufloor=1.0):
         if order >= 4:
             for a, b, c, d in zip(seq, seq[1:], seq[2:], seq[3:]):
                 four[(a, b, c, d)] += 1
+    return uni, bi, tri, four
 
+
+def build_lm(sents, order=2, cutoff=1, scheme="ABS", disc=0.5, ufloor=1.0):
+    uni, bi, tri, four = count_ngrams(sents, order)
+    return build_lm_from_counts(uni, bi, tri, four, order=order,
+                                cutoff=cutoff, scheme=scheme, disc=disc,
+                                ufloor=ufloor)
+
+
+def build_lm_from_counts(uni, bi, tri, four, order=2, cutoff=1,
+                         scheme="ABS", disc=0.5, ufloor=1.0):
+    """Back-off LM from n-gram count tables (the LPCalc role; counts may
+    come from counting text directly or from LGPrep/LGCopy gram files)."""
     lm = NGramLM(order=order)
     tot = sum(max(c, ufloor) for c in uni.values())
     uni_p = {w: max(c, ufloor) / tot for w, c in uni.items()}
@@ -172,20 +186,32 @@ def run(argv: List[str]) -> int:
     files = ta.args[2:] + ta.script
     if not files:
         HError(1030, "LBuild: no training text\n%s", USAGE)
-    sents = []
-    for f in files:
-        sents.extend(read_sentences(f))
-    lm = build_lm(
-        sents,
-        order=int(ta.get("n", 2) or 2),
-        cutoff=int(ta.get("c", 1) or 1),
-        scheme=(ta.get("d", "ABS") or "ABS").upper(),
-        disc=float(ta.get("a", 0.5) or 0.5),
-        ufloor=float(ta.get("u", 1.0) or 1.0),
-    )
+    from .lgram import is_gram_file, read_gram
+
+    order = int(ta.get("n", 2) or 2)
+    kw = dict(order=order, cutoff=int(ta.get("c", 1) or 1),
+              scheme=(ta.get("d", "ABS") or "ABS").upper(),
+              disc=float(ta.get("a", 0.5) or 0.5),
+              ufloor=float(ta.get("u", 1.0) or 1.0))
+    n_in = "?"
+    if all(is_gram_file(f) for f in files):
+        # LGPrep/LGCopy gram-file inputs: merge count tables by order
+        tabs = {1: Counter(), 2: Counter(), 3: Counter(), 4: Counter()}
+        for f in files:
+            o, counts = read_gram(f)
+            tabs[o].update(counts)
+        uni = Counter({k[0]: v for k, v in tabs[1].items()})
+        lm = build_lm_from_counts(uni, tabs[2], tabs[3], tabs[4], **kw)
+        n_in = f"{len(files)} gram files"
+    else:
+        sents = []
+        for f in files:
+            sents.extend(read_sentences(f))
+        lm = build_lm(sents, **kw)
+        n_in = f"{len(sents)} sentences"
     write_arpa(lm, out_lm)
     if ta.trace:
-        print(f"LBuild: {len(sents)} sentences -> {len(lm.unigrams)} 1-grams, "
+        print(f"LBuild: {n_in} -> {len(lm.unigrams)} 1-grams, "
               f"{len(lm.bigrams)} 2-grams, {len(lm.trigrams)} 3-grams")
     return 0
 

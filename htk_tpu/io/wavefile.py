@@ -7,9 +7,10 @@ NIST/SPHERE, NOHEAD raw — and writes HTK/WAV. Sample periods are in HTK's
 16-bit linear; multi-channel WAVs take channel 0, matching HWave's
 single-channel model).
 
-Reads HTK, WAV, NIST/SPHERE, AIFF, SUNAU8 (.au incl. mu-law), ESPS and
-headerless raw audio; writes HTK and WAV. HWave's remaining legacy
-formats (SDES1, OGI, ESIG, SCRIBE, TIMIT) raise numbered errors.
+Reads HTK, WAV, NIST/SPHERE, AIFF, SUNAU8 (.au incl. mu-law), ESPS,
+TIMIT/OGI prototype-CD headers, SDES1, SCRIBE (headerless) and raw
+audio; writes HTK and WAV. ESIG remains unimplemented (numbered error);
+the TIMIT/OGI/SDES1 header layouts are [LC] pending the reference.
 """
 
 from __future__ import annotations
@@ -24,8 +25,9 @@ from ..utils.errors import HError
 from . import parmkind as pk
 from .htkfeat import read_htk_file, write_htk_file
 
-FORMATS = ["HTK", "WAV", "WAVE", "NIST", "SPHERE", "AIFF",
-           "SUNAU8", "ESPS", "NOHEAD", "RAW", "ALIEN"]
+FORMATS = ["HTK", "WAV", "WAVE", "NIST", "SPHERE", "AIFF", "SUNAU8",
+           "ESPS", "TIMIT", "OGI", "SDES1", "SCRIBE", "NOHEAD", "RAW",
+           "ALIEN"]
 
 
 @dataclass
@@ -155,6 +157,35 @@ def _read_esps(raw: bytes, path: str) -> Waveform:
     return Waveform(np.ascontiguousarray(x), 625)
 
 
+def _read_timit(raw: bytes, path: str, big_endian: bool) -> Waveform:
+    """TIMIT prototype-CD / OGI header: 12 bytes of six int16 fields
+    (hdrSize, version, numChannels, sampRate/256?, nSamples as int32 in
+    the last two) followed by 16-bit PCM. TIMIT is little-endian, OGI is
+    the big-endian variant. Field layout reconstructed from HTKBook's
+    format table; byte-check against HWave.c when the reference lands.
+    [LC]"""
+    if len(raw) < 12:
+        HError(6257, "ReadWave: %s too short for TIMIT/OGI header", path)
+    e = ">" if big_endian else "<"
+    hdr_size, _ver, _chan, _rate = struct.unpack(e + "4h", raw[:8])
+    (n_samp,) = struct.unpack(e + "i", raw[8:12])
+    off = hdr_size if 12 <= hdr_size < len(raw) else 12
+    x = np.frombuffer(raw[off:], dtype=e + "i2").astype(np.int16)
+    if 0 < n_samp <= len(x):
+        x = x[:n_samp]
+    return Waveform(np.ascontiguousarray(x), 625)  # 16 kHz corpora
+
+
+def _read_sdes1(raw: bytes, path: str) -> Waveform:
+    """Sound Designer I: 1336-byte Mac header then big-endian 16-bit PCM;
+    the sample rate field is not parsed (HTK-era SD1 audio is 16 kHz
+    unless SOURCERATE overrides). [LC]"""
+    if len(raw) <= 1336:
+        HError(6257, "ReadWave: %s too short for SDES1 header", path)
+    x = np.frombuffer(raw[1336:], dtype=">i2").astype(np.int16)
+    return Waveform(np.ascontiguousarray(x), 625)
+
+
 def read_wave(
     path: str,
     fmt: str = "HTK",
@@ -182,9 +213,24 @@ def read_wave(
         return _read_sunau(raw, path)
     if fmt == "ESPS":
         return _read_esps(raw, path)
-    if fmt in ("NOHEAD", "RAW"):
+    if fmt == "TIMIT":
+        w = _read_timit(raw, path, big_endian=False)
+        return Waveform(w.samples, int(source_rate) if source_rate
+                        else w.samp_period)
+    if fmt == "OGI":
+        w = _read_timit(raw, path, big_endian=True)
+        return Waveform(w.samples, int(source_rate) if source_rate
+                        else w.samp_period)
+    if fmt == "SDES1":
+        w = _read_sdes1(raw, path)
+        return Waveform(w.samples, int(source_rate) if source_rate
+                        else w.samp_period)
+    if fmt in ("NOHEAD", "RAW", "SCRIBE"):
+        # SCRIBE (UK SCRIBE CD-ROM) is headerless 16-bit PCM — same read
+        # path as NOHEAD with SOURCERATE supplying the period
         if not source_rate:
-            HError(6230, "ReadWave: SOURCERATE required for NOHEAD input %s", path)
+            HError(6230, "ReadWave: SOURCERATE required for %s input %s",
+                   fmt, path)
         dt = "<i2" if natural_order else ">i2"
         return Waveform(np.frombuffer(raw, dtype=dt).astype(np.int16), int(source_rate))
     if fmt == "HTK":

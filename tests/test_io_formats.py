@@ -148,3 +148,44 @@ class TestWave:
         open(p, "wb").write(hdr + data)
         w = read_wave(p, fmt="WAV")
         np.testing.assert_array_equal(w.samples, left)
+
+
+class TestLegacyWaveFormats:
+    def _pcm(self, n=64, seed=0):
+        rng = np.random.default_rng(seed)
+        return (rng.integers(-3000, 3000, size=n)).astype(np.int16)
+
+    def test_scribe_headerless(self, tmp_path):
+        from htk_tpu.io.wavefile import read_wave
+
+        x = self._pcm()
+        p = str(tmp_path / "a.scr")
+        open(p, "wb").write(x.astype(">i2").tobytes())
+        w = read_wave(p, fmt="SCRIBE", source_rate=625)
+        np.testing.assert_array_equal(w.samples, x)
+        assert w.samp_period == 625
+
+    def test_timit_and_ogi_headers(self, tmp_path):
+        import struct
+
+        from htk_tpu.io.wavefile import read_wave
+
+        x = self._pcm(48)
+        for fmt, e in (("TIMIT", "<"), ("OGI", ">")):
+            hdr = struct.pack(e + "4h", 12, 1, 1, 62) + struct.pack(
+                e + "i", len(x))
+            p = str(tmp_path / f"a.{fmt.lower()}")
+            open(p, "wb").write(hdr + x.astype(e + "i2").tobytes()
+                                + b"\x00\x00")  # trailing junk ignored
+            w = read_wave(p, fmt=fmt)
+            np.testing.assert_array_equal(w.samples, x)
+
+    def test_sdes1_header_skip(self, tmp_path):
+        from htk_tpu.io.wavefile import read_wave
+
+        x = self._pcm(32)
+        p = str(tmp_path / "a.sd")
+        open(p, "wb").write(b"\x00" * 1336 + x.astype(">i2").tobytes())
+        w = read_wave(p, fmt="SDES1", source_rate=1250)
+        np.testing.assert_array_equal(w.samples, x)
+        assert w.samp_period == 1250

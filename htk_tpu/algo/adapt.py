@@ -405,6 +405,74 @@ def estimate_cmllr(stats: CMLLRStats, n_iter: int = 20) -> Transform:
     return Transform(kind="CMLLR", A=W[:, 1:].copy(), b=W[:, 0].copy())
 
 
+def mllrcov_stats_from_gammas(
+    feats: np.ndarray,  # (T, D)
+    gamma: np.ndarray,  # (T, M)
+    means: np.ndarray,
+    variances: np.ndarray,
+):
+    """Row statistics for the full variance transform (HAdapt MLLRCOV,
+    Gales' H: Sigma' = H Sigma H^T).
+
+    G[i] = sum_m (1/sigma2_mi) sum_t gamma_m(t) (o-mu_m)(o-mu_m)^T,
+    beta = total occupancy. O(T M D^2) — adaptation-data sized."""
+    d = feats[:, None, :] - means[None, :, :]  # (T, M, D)
+    K = np.einsum("tm,tmd,tme->mde", gamma.astype(np.float64),
+                  d.astype(np.float64), d.astype(np.float64))
+    G = np.einsum("mi,mde->ide", 1.0 / variances.astype(np.float64), K)
+    return G, float(gamma.sum())
+
+
+def estimate_mllrcov(G: np.ndarray, beta: float, n_iter: int = 20
+                     ) -> Transform:
+    """Row/cofactor iteration for the inverse variance transform A = H^-1.
+
+    Maximises beta log|A| - 0.5 sum_i a_i G_i a_i^T: each row is
+    proportional to its own cofactor direction through G_i^-1, with the
+    scale alpha = sqrt(beta / (p G_i^-1 p)) (the closed-form root of the
+    per-row quadratic; scale-invariant in p, so the raw inverse row
+    replaces HTK's determinant-scaled cofactor)."""
+    D = G.shape[0]
+    A = np.eye(D)
+    Ginv = [np.linalg.inv(G[i] + np.eye(D) * 1e-6) for i in range(D)]
+    for _ in range(n_iter):
+        for i in range(D):
+            p = np.linalg.inv(A).T[i]  # cofactor direction of row i
+            pg = p @ Ginv[i]
+            pgp = pg @ p
+            if pgp <= 0:
+                continue
+            A[i] = np.sqrt(beta / pgp) * pg
+    H = np.linalg.inv(A)
+    return Transform(kind="MLLRCOV", A=H, b=np.zeros(D))
+
+
+def apply_mllrcov(comp: CompiledHMMSet, xf: Transform,
+                  means: Optional[np.ndarray] = None,
+                  variances: Optional[np.ndarray] = None):
+    """Full-covariance scorer inputs for Sigma'_m = H Sigma_m H^T.
+
+    Returns (fc_proj, fc_mu, gconsts) in the compile_hmmset FULLC layout:
+    P'_m = A^T Sigma_m^-1 A with A = H^-1, Cholesky-factored per Gaussian
+    so decode rides ops/outp.full_cov_mix_scores unchanged. Single-stream
+    diagonal sets only."""
+    if comp.n_streams > 1 or getattr(comp, "full_cov", False):
+        HError(7450, "MLLRCOV: single-stream diagonal sets only")
+    mu = (means if means is not None else comp.means).astype(np.float64)
+    var = (variances if variances is not None
+           else comp.variances).astype(np.float64)
+    A = np.linalg.inv(xf.A.astype(np.float64))
+    M, D = mu.shape
+    P = np.einsum("di,md,dj->mij", A, 1.0 / var, A)  # (M, D, D)
+    L = np.linalg.cholesky(P)
+    fc_proj = L.astype(np.float32)
+    fc_mu = np.einsum("md,mde->me", mu, L).astype(np.float32)
+    gconsts = (D * np.log(2 * np.pi)
+               - 2.0 * np.sum(np.log(np.diagonal(L, axis1=1, axis2=2)),
+                              axis=1)).astype(np.float32)
+    return fc_proj, fc_mu, gconsts
+
+
 def map_update(
     comp: CompiledHMMSet, accs: Accumulators, tau: float,
     min_occ: float = 1e-3,

@@ -300,6 +300,39 @@ def run(argv: List[str]) -> int:
                     stats.beta += s.beta
             return estimate_cmllr(stats)
 
+        def mllrcov_from(uset):
+            import jax.numpy as jnp
+
+            from ..algo.adapt import (estimate_mllrcov,
+                                      mllrcov_stats_from_gammas)
+            from ..algo.fb import mix_posteriors_utterance
+            from ..algo.trainer import pad_batch
+
+            G = None
+            beta = 0.0
+            params = trainer.params()
+            for u in uset:
+                arrs = pad_batch([u], comp.n_states)
+                _lp, gam = mix_posteriors_utterance(
+                    jnp.asarray(arrs["feats"][0]),
+                    jnp.asarray(arrs["t_real"][0]),
+                    jnp.asarray(arrs["comp_state"][0]),
+                    jnp.asarray(arrs["q_mask"][0]),
+                    jnp.asarray(arrs["logA"][0]), jnp.asarray(arrs["a0"][0]),
+                    jnp.asarray(arrs["aE"][0]),
+                    means=params[0], variances=params[1], gconsts=params[2],
+                    state_mix=params[3], state_logw=params[4],
+                    state_sw=params[5],
+                    slot_blocks=tuple(comp.slot_blocks) or None,
+                )
+                T = u.feats.shape[0]
+                g, b = mllrcov_stats_from_gammas(
+                    u.feats.astype(np.float64), np.asarray(gam)[:T],
+                    comp.means, comp.variances)
+                G = g if G is None else G + g
+                beta += b
+            return estimate_mllrcov(G, beta)
+
         n_reg = cfg.int_("NUMREGCLASSES", 1, module="HADAPT") or 1
         # HHEd RC output (classes + regression tree) overrides on-the-fly
         # clustering when given; the tree enables occupancy back-off
@@ -351,6 +384,8 @@ def run(argv: List[str]) -> int:
                         comp, spk_accs, xf.apply_to_means(comp.means))
             elif kind == "CMLLR":
                 xf = cmllr_from(uset)
+            elif kind == "MLLRCOV":
+                xf = mllrcov_from(uset)
             else:
                 HError(7450, "HERest: unsupported TRANSKIND %s", kind)
             save_tmf(tmf_path, spk, xf)

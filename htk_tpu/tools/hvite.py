@@ -123,12 +123,21 @@ def run(argv: List[str]) -> int:
     spk_mask = ta.get("h")
     base_means = comp.means.copy() if xforms else None
     base_vars = comp.variances.copy() if xforms else None
+    base_gconsts = comp.gconsts.copy() if xforms else None
 
     def _has_model_xf(chain):
-        return any(isinstance(x, tuple) or x.kind == "MLLRMEAN"
+        return any(isinstance(x, tuple)
+                   or x.kind in ("MLLRMEAN", "MLLRCOV") for x in chain)
+
+    def _has_var_xf(chain):
+        return any((any(y.var_scale is not None for y in x[1])
+                    if isinstance(x, tuple) else x.var_scale is not None)
                    for x in chain)
 
     any_model_xf = any(_has_model_xf(c) for c in xforms.values())
+    # if any speaker scales variances, every speaker must write them back
+    # (else the next speaker would inherit the previous one's scaling)
+    any_var_xf = any(_has_var_xf(c) for c in xforms.values())
 
     def adapt_for(logical, data):
         """Apply this utterance's transform chain; returns the data."""
@@ -156,6 +165,7 @@ def run(argv: List[str]) -> int:
             chain = next(iter(xforms.values()))
         cur_m, cur_v = base_means, base_vars
         vars_touched = False
+        cov_xf = None
         for xf in chain:
             if isinstance(xf, tuple):  # regression-class MLLR set
                 _nm, xfs, c2x, classes = xf
@@ -169,12 +179,29 @@ def run(argv: List[str]) -> int:
                 if xf.var_scale is not None:
                     cur_v = xf.apply_to_vars(cur_v)
                     vars_touched = True
+            elif xf.kind == "MLLRCOV":
+                cov_xf = xf  # full variance transform, applied last
             else:  # CMLLR: feature space
                 data = xf.apply_to_features(data).astype(data.dtype)
+        # drop any previous speaker's full-cov override first so
+        # write_back's diagonal guard and gconsts stay consistent
+        if comp.full_cov and base_gconsts is not None:
+            comp.full_cov = False
+            comp.fc_proj = comp.fc_mu = None
+            comp.gconsts = base_gconsts.copy()
         if any_model_xf:
             # also restores canonical params after a previous speaker
             write_back(comp, means=cur_m,
-                       variances=(cur_v if vars_touched else None))
+                       variances=(cur_v if (vars_touched or any_var_xf)
+                                  else None))
+        if cov_xf is not None:
+            from ..algo.adapt import apply_mllrcov
+
+            fc_proj, fc_mu, gc = apply_mllrcov(
+                comp, cov_xf, means=cur_m,
+                variances=(cur_v if vars_touched else None))
+            comp.fc_proj, comp.fc_mu, comp.gconsts = fc_proj, fc_mu, gc
+            comp.full_cov = True
         return data
     vocab = read_dict(dict_file)
     load_hmm_list(hmm_list_file)  # validated for parity; comp holds models

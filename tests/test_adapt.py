@@ -183,3 +183,73 @@ class TestMLLRVarAndTree:
             sel = classes == c
             np.testing.assert_allclose(xf.apply_to_means(comp.means)[sel],
                                        (comp.means + shift)[sel], atol=1e-2)
+
+
+class TestMLLRCov:
+    def test_recovers_covariance_rotation(self):
+        from htk_tpu.algo.adapt import (estimate_mllrcov,
+                                        mllrcov_stats_from_gammas)
+
+        rng = np.random.default_rng(5)
+        comp = small_set(nmix=1, seed=5)
+        M, D = comp.n_mix, comp.dim
+        th = 0.7
+        H0 = np.eye(D)
+        H0[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+        H0[2, 2] = 1.6
+
+        T = 3000
+        ms = rng.integers(0, M, size=T)
+        eps = rng.normal(size=(T, D)) * np.sqrt(comp.variances[ms])
+        feats = comp.means[ms] + eps @ H0.T
+        gam = np.zeros((T, M))
+        gam[np.arange(T), ms] = 1.0
+
+        G, beta = mllrcov_stats_from_gammas(feats, gam, comp.means,
+                                            comp.variances)
+        xf = estimate_mllrcov(G, beta)
+        assert xf.kind == "MLLRCOV" and xf.A.shape == (D, D)
+
+        def avg_ll(H):
+            tot = 0.0
+            for m in range(M):
+                sel = ms == m
+                Sig = H @ np.diag(comp.variances[m].astype(np.float64)) @ H.T
+                P = np.linalg.inv(Sig)
+                d = feats[sel] - comp.means[m]
+                q = np.einsum("td,de,te->t", d, P, d)
+                tot += (-0.5 * (D * np.log(2 * np.pi)
+                                + np.linalg.slogdet(Sig)[1] + q)).sum()
+            return tot / T
+
+        ll_id = avg_ll(np.eye(D))
+        ll_est = avg_ll(xf.A)
+        ll_true = avg_ll(H0)
+        assert ll_est > ll_id + 0.1  # clearly better than no transform
+        assert ll_est >= ll_true - 0.05  # near the generating transform
+
+    def test_apply_matches_direct_scoring(self):
+        import jax.numpy as jnp
+
+        from htk_tpu.algo.adapt import apply_mllrcov, estimate_mllrcov
+        from htk_tpu.ops.outp import full_cov_mix_scores
+
+        rng = np.random.default_rng(6)
+        comp = small_set(nmix=1, seed=6)
+        M, D = comp.n_mix, comp.dim
+        H = np.eye(D) + 0.2 * rng.normal(size=(D, D))
+        xf = __import__("htk_tpu.algo.adapt", fromlist=["Transform"]
+                        ).Transform(kind="MLLRCOV", A=H, b=np.zeros(D))
+        fc_proj, fc_mu, gc = apply_mllrcov(comp, xf)
+        x = rng.normal(size=(4, D)).astype(np.float32)
+        got = np.asarray(full_cov_mix_scores(
+            jnp.asarray(x), jnp.asarray(fc_proj), jnp.asarray(fc_mu),
+            jnp.asarray(gc)))
+        for t in range(4):
+            for m in range(M):
+                Sig = H @ np.diag(comp.variances[m].astype(np.float64)) @ H.T
+                P = np.linalg.inv(Sig)
+                d = x[t] - comp.means[m]
+                want = -0.5 * (D * np.log(2 * np.pi)
+                               + np.linalg.slogdet(Sig)[1] + d @ P @ d)
+                assert got[t, m] == pytest.approx(want, rel=2e-4, abs=2e-3)

@@ -155,3 +155,37 @@ def test_hvite_parent_transform_composition(sat_corpus):
 
     assert corr("rec2.mlf") == 100.0
     assert corr("rec2.mlf") >= corr("rec1.mlf")
+
+
+def test_herest_mllrcov_to_hvite(sat_corpus):
+    """TRANSKIND=MLLRCOV: HERest estimates full variance transforms,
+    HVite applies them via the full-covariance scorer."""
+    from htk_tpu.tools import hbuild, hresults, hvite
+
+    open("cfgcov", "w").write("HADAPT: TRANSKIND = MLLRCOV\n")
+    os.makedirs("xfc", exist_ok=True)
+    assert herest.run(["-C", "cfgcov", "-a", "-J", "xfin", "-h", "%%%%*",
+                       "-I", "phones.mlf", "-H", "hmmdefs", "-K", "xfc",
+                       "-S", "train.scp", "phonelist"]) == 0
+    tmfs = sorted(os.listdir("xfc"))
+    assert tmfs == ["spkA.tmf", "spkB.tmf"]
+    assert "MLLRCOV" in open("xfc/spkA.tmf").read()
+
+    open("dict", "w").write("A  aa\nI  iy\n")
+    open("wlist", "w").write("A\nI\n")
+    open("words.mlf", "w").write(
+        "#!MLF!#\n" + "".join(
+            f'"*/{fn.split(".")[0]}.lab"\nA\nI\n.\n'
+            for fn in open("train.scp").read().split()))
+    assert hbuild.run(["wlist", "wdnet.slf"]) == 0
+    # chain: per-speaker CMLLR input (bias) + per-speaker MLLRCOV
+    assert hvite.run(["-w", "wdnet.slf", "-J", "xfin", "-J", "xfc",
+                      "-h", "%%%%*", "-i", "reccov.mlf", "-H", "hmmdefs",
+                      "-S", "train.scp", "dict", "phonelist"]) == 0
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        hresults.run(["-I", "words.mlf", "phonelist", "reccov.mlf"])
+    assert "%Corr=100.00" in buf.getvalue()

@@ -169,50 +169,12 @@ def run_decode_batch(
     return jax.vmap(fn)(outp_states)
 
 
-def decode(
-    net: DecodeNetwork,
-    comp: CompiledHMMSet,
-    feats: np.ndarray,
-    lm_scale: float = 1.0,
-    word_pen: float = 0.0,
-    precision: str = "highest",
-    state_scores: Optional[np.ndarray] = None,
-) -> Optional[DecodeResult]:
-    """Decode one utterance; returns None if no complete path survives.
-
-    `state_scores` (T, S_phys) optionally replaces the GMM observation
-    model — the hybrid-decoding hook (ANN log-posterior/prior scores).
-    """
-    T = feats.shape[0]
-    if state_scores is not None:
-        logb = jnp.asarray(state_scores, jnp.float32)
-    else:
-        # physical-state likelihoods once, then gather per network state
-        logb, _ = all_state_outp(
-            jnp.asarray(feats, jnp.float32),
-            jnp.asarray(comp.means), jnp.asarray(comp.variances),
-            jnp.asarray(comp.gconsts), jnp.asarray(comp.state_mix),
-            jnp.asarray(comp.state_logw), precision=precision,
-            slot_blocks=tuple(comp.slot_blocks) or None,
-            state_sw=(jnp.asarray(comp.state_sw)
-                      if comp.state_sw is not None else None),
-            fc_proj=(jnp.asarray(comp.fc_proj) if comp.full_cov else None),
-            fc_mu=(jnp.asarray(comp.fc_mu) if comp.full_cov else None),
-        )  # (T, S_phys)
-    outp_states = logb[:, jnp.asarray(net.comp_state)]  # (T, Ns)
-
-    (vb, wnb, wtb), (WEs, pwns, pwts) = run_decode_batch(
-        outp_states[None, :, :], net, lm_scale, word_pen
-    )
-    v, wn, wt = vb[0], wnb[0], wtb[0]
-    WEs, pwns, pwts = WEs[0], pwns[0], pwts[0]
-
-    # final word-ends at the last frame
-    v = np.asarray(v)
+def _final_records(net, v, wn, wt):
+    """Per-node word-end records from the final state vector."""
+    nos = np.asarray(net.node_of_chain[net.chain_of])
+    e_state = np.asarray(v) + np.asarray(net.aE)
     wn = np.asarray(wn)
     wt = np.asarray(wt)
-    nos = np.asarray(net.node_of_chain[net.chain_of])
-    e_state = v + np.asarray(net.aE)
     Nn = net.n_nodes
     WE_fin = np.full(Nn, LZERO, np.float64)
     pwn_fin = np.full(Nn, -1, np.int64)
@@ -223,20 +185,20 @@ def decode(
             WE_fin[i] = e_state[s]
             pwn_fin[i] = wn[s]
             pwt_fin[i] = wt[s]
+    return WE_fin, pwn_fin, pwt_fin
 
+
+def _finalize(net, WEs, pwns, pwts, WE_fin, pwn_fin, pwt_fin, T_real,
+              lm_scale) -> Optional[DecodeResult]:
+    """Pick the best complete path and walk the word-link records back."""
     final = WE_fin + np.asarray(net.end_exit, np.float64) * lm_scale
     i = int(np.argmax(final))
     if final[i] <= LSMALL:
         return None
     score = float(final[i])
 
-    WEs = np.asarray(WEs)
-    pwns = np.asarray(pwns)
-    pwts = np.asarray(pwts)
-
-    # traceback over word-link records: (node, end_time)
     words_rev: List[Tuple[int, int, int]] = []  # (node, t_start, t_end)
-    t = T - 1
+    t = T_real - 1
     node = i
     pn, pt = int(pwn_fin[i]), int(pwt_fin[i])
     while True:
@@ -261,6 +223,103 @@ def decode(
     return DecodeResult(
         words=words, word_nodes=nodes, times=times, score=score, scores=scores
     )
+
+
+def _net_outp(net, comp, feats, precision):
+    """(T, Ns) network-state observation log-likelihoods."""
+    logb, _ = all_state_outp(
+        jnp.asarray(feats, jnp.float32),
+        jnp.asarray(comp.means), jnp.asarray(comp.variances),
+        jnp.asarray(comp.gconsts), jnp.asarray(comp.state_mix),
+        jnp.asarray(comp.state_logw), precision=precision,
+        slot_blocks=tuple(comp.slot_blocks) or None,
+        state_sw=(jnp.asarray(comp.state_sw)
+                  if comp.state_sw is not None else None),
+        fc_proj=(jnp.asarray(comp.fc_proj) if comp.full_cov else None),
+        fc_mu=(jnp.asarray(comp.fc_mu) if comp.full_cov else None),
+    )
+    return logb[:, jnp.asarray(net.comp_state)]
+
+
+def decode(
+    net: DecodeNetwork,
+    comp: CompiledHMMSet,
+    feats: np.ndarray,
+    lm_scale: float = 1.0,
+    word_pen: float = 0.0,
+    precision: str = "highest",
+    state_scores: Optional[np.ndarray] = None,
+) -> Optional[DecodeResult]:
+    """Decode one utterance; returns None if no complete path survives.
+
+    `state_scores` (T, S_phys) optionally replaces the GMM observation
+    model — the hybrid-decoding hook (ANN log-posterior/prior scores).
+    """
+    T = feats.shape[0]
+    if state_scores is not None:
+        logb = jnp.asarray(state_scores, jnp.float32)
+        outp_states = logb[:, jnp.asarray(net.comp_state)]
+    else:
+        outp_states = _net_outp(net, comp, feats, precision)
+
+    (vb, wnb, wtb), (WEs, pwns, pwts) = run_decode_batch(
+        outp_states[None, :, :], net, lm_scale, word_pen
+    )
+    WE_fin, pwn_fin, pwt_fin = _final_records(net, vb[0], wnb[0], wtb[0])
+    return _finalize(net, np.asarray(WEs[0]), np.asarray(pwns[0]),
+                     np.asarray(pwts[0]), WE_fin, pwn_fin, pwt_fin, T,
+                     lm_scale)
+
+
+def decode_batch(
+    net: DecodeNetwork,
+    comp: CompiledHMMSet,
+    feats_list: List[np.ndarray],
+    lm_scale: float = 1.0,
+    word_pen: float = 0.0,
+    precision: str = "highest",
+    pad_to: int = 128,
+) -> List[Optional[DecodeResult]]:
+    """Decode a batch of utterances through ONE kernel launch.
+
+    Utterances are padded to a common frame count (rounded up to
+    `pad_to` so bucketed callers reuse compilations). Padding frames
+    never affect results: the decode recursion is causal and each
+    utterance finalises from the word-end record plane at its own
+    t_real (WEs[t] holds the ends at time t-1), so the scores the scan
+    computes beyond t_real are simply ignored. Identical output to
+    calling `decode` per utterance (tested).
+    """
+    B = len(feats_list)
+    lens = [int(f.shape[0]) for f in feats_list]
+    T = ((max(lens) + pad_to - 1) // pad_to) * pad_to
+    D = feats_list[0].shape[1]
+    fb = np.zeros((B, T, D), np.float32)
+    for b, f in enumerate(feats_list):
+        fb[b, : lens[b]] = f
+
+    outp = jax.vmap(lambda x: _net_outp(net, comp, x, precision))(
+        jnp.asarray(fb))
+    (vb, wnb, wtb), (WEb, pwnb, pwtb) = run_decode_batch(
+        outp, net, lm_scale, word_pen)
+    WEb = np.asarray(WEb)
+    pwnb = np.asarray(pwnb)
+    pwtb = np.asarray(pwtb)
+
+    out: List[Optional[DecodeResult]] = []
+    for b in range(B):
+        tr = lens[b]
+        if tr == T:
+            WE_fin, pwn_fin, pwt_fin = _final_records(
+                net, vb[b], wnb[b], wtb[b])
+        else:
+            # ends at time tr-1 were emitted by scan step tr
+            WE_fin = WEb[b, tr].astype(np.float64)
+            pwn_fin = pwnb[b, tr].astype(np.int64)
+            pwt_fin = pwtb[b, tr].astype(np.int64)
+        out.append(_finalize(net, WEb[b], pwnb[b], pwtb[b], WE_fin,
+                             pwn_fin, pwt_fin, tr, lm_scale))
+    return out
 
 
 def generate_lattice(

@@ -246,6 +246,48 @@ def run(argv: List[str]) -> int:
             ann = load_ann(ta.get("N"))
             if ta.trace:
                 print(f"HVite: hybrid decoding with ANN {ta.get('N')}")
+        # plain GMM recognition batches utterances through one kernel
+        # launch per (length-sorted) bucket — identical results to the
+        # per-utterance path (algo/decode.decode_batch, tested); paths
+        # with per-utterance model state (adaptation, lattices, n-best,
+        # hybrid, discrete) stay sequential
+        use_batch = (not xforms and not lat_ext and not ta.has("n")
+                     and ann is None and not comp.discrete
+                     and len(files) > 1)
+        if use_batch:
+            from ..algo.decode import decode_batch
+
+            entries, featl = [], []
+            for fn in files:
+                data, _p, _k, e = open_speech_file(fn, cfg)
+                entries.append(e)
+                featl.append(np.asarray(data))
+            order = sorted(range(len(featl)),
+                           key=lambda i: featl[i].shape[0])
+            results: List = [None] * len(featl)
+            bsz = int(cfg.int_("DECODEBATCH", 8, module="HREC") or 8)
+            for i0 in range(0, len(order), bsz):
+                idx = order[i0 : i0 + bsz]
+                rs = decode_batch(net, comp, [featl[j] for j in idx],
+                                  lm_scale, word_pen)
+                for j, r in zip(idx, rs):
+                    results[j] = r
+            for e, res in zip(entries, results):
+                tr = Transcription(alternatives=[[]])
+                if res is None:
+                    HRError(8522, "HVite: no tokens survived for %s",
+                            e.logical)
+                else:
+                    for w, (t0, t1) in zip(res.words, res.times):
+                        tr.alternatives[0].append(Label(
+                            name=w, start=t0 * period,
+                            end=(t1 + 1) * period))
+                    if ta.trace:
+                        print(f"{e.logical}: {' '.join(res.words)}  "
+                              f"[{res.score:.2f}]")
+                _emit(tr, e.logical, out_mlf, out_dir, out_ext)
+            files = []
+
         for fn in files:
             data, _p, _k, e = open_speech_file(fn, cfg)
             data = adapt_for(e.logical, data)

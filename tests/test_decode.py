@@ -148,3 +148,39 @@ class TestHResults:
         assert strip_context("b+c") == "b"
         assert strip_context("a-b") == "b"
         assert strip_context("b") == "b"
+
+
+class TestDecodeBatch:
+    def test_batched_equals_sequential(self):
+        from htk_tpu.algo.decode import decode_batch
+
+        comp = separable_set()
+        net = TestDecode().make_net(comp)
+        seqs = [
+            ["sil", "aa", "iy", "aa", "sil"],
+            ["sil", "iy", "sil"],
+            ["sil", "aa", "aa", "iy", "iy", "sil"],
+        ]
+        feats = [emit_frames(s, seed=i + 1) for i, s in enumerate(seqs)]
+        batch = decode_batch(net, comp, feats, pad_to=16)
+        for f, rb in zip(feats, batch):
+            rs = decode(net, comp, f)
+            assert rb is not None and rs is not None
+            assert rb.words == rs.words
+            assert rb.times == rs.times
+            assert rb.score == pytest.approx(rs.score, rel=1e-6)
+
+    def test_padding_never_leaks(self):
+        """Same utterance decoded alone and alongside a much longer one
+        (forcing heavy padding) must agree exactly."""
+        from htk_tpu.algo.decode import decode_batch
+
+        comp = separable_set()
+        net = TestDecode().make_net(comp)
+        short = emit_frames(["sil", "aa", "sil"], seed=7)
+        long = emit_frames(["sil", "iy", "aa", "iy", "aa", "iy", "sil"] * 3,
+                           seed=8)
+        rb = decode_batch(net, comp, [short, long], pad_to=64)[0]
+        rs = decode(net, comp, short)
+        assert rb.words == rs.words and rb.score == pytest.approx(
+            rs.score, rel=1e-6)

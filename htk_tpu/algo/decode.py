@@ -331,6 +331,8 @@ def generate_lattice(
     lattice_beam: float = 200.0,
     frame_period_s: float = 0.01,
     precision: str = "highest",
+    state_scores: Optional[np.ndarray] = None,
+    want_result: bool = False,
 ):
     """Decode and emit a word lattice (HVite -z).
 
@@ -339,22 +341,19 @@ def generate_lattice(
     (HRec.c LatFromPaths — HVite lattices keep only the best predecessor
     per record). Records scoring worse than `lattice_beam` below the best
     record at the same frame are dropped.
+
+    `want_result=True` additionally returns the 1-best DecodeResult from
+    the same recursion (so HVite -z needs one decode, not two);
+    `state_scores` is the hybrid/discrete observation hook as in decode().
     """
     from ..io.slf import Lattice, LArc, LNode, NULL_WORD
 
     T = feats.shape[0]
-    logb, _ = all_state_outp(
-        jnp.asarray(feats, jnp.float32),
-        jnp.asarray(comp.means), jnp.asarray(comp.variances),
-        jnp.asarray(comp.gconsts), jnp.asarray(comp.state_mix),
-        jnp.asarray(comp.state_logw), precision=precision,
-        slot_blocks=tuple(comp.slot_blocks) or None,
-        state_sw=(jnp.asarray(comp.state_sw)
-                  if comp.state_sw is not None else None),
-        fc_proj=(jnp.asarray(comp.fc_proj) if comp.full_cov else None),
-        fc_mu=(jnp.asarray(comp.fc_mu) if comp.full_cov else None),
-    )
-    outp_states = logb[:, jnp.asarray(net.comp_state)]
+    if state_scores is not None:
+        logb = jnp.asarray(state_scores, jnp.float32)
+        outp_states = logb[:, jnp.asarray(net.comp_state)]
+    else:
+        outp_states = _net_outp(net, comp, feats, precision)
 
     (vb, wnb, wtb), (WEb, pwnb, pwtb) = run_decode_batch(
         outp_states[None, :, :], net, lm_scale, word_pen
@@ -396,8 +395,13 @@ def generate_lattice(
     for i in range(Nn):
         if WE_fin[i] > LSMALL and WE_fin[i] >= bestf - lattice_beam:
             rec[(i, T - 1)] = (float(WE_fin[i]), int(pwn_fin[i]), int(pwt_fin[i]))
+    res = None
+    if want_result:
+        res = _finalize(net, WEs, pwns, pwts, WE_fin.astype(np.float64),
+                        pwn_fin.astype(np.int64), pwt_fin.astype(np.int64),
+                        T, lm_scale)
     if not rec:
-        return None
+        return (None, res) if want_result else None
 
     # keep only records reachable backwards from surviving end records
     lat = Lattice(lmscale=lm_scale, wdpenalty=word_pen)
@@ -435,4 +439,4 @@ def generate_lattice(
             lat.arcs.append(LArc(id=aid, start=nid, end=end_id,
                                  aclike=0.0, lmlike=float(end_exit[i])))
             aid += 1
-    return lat
+    return (lat, res) if want_result else lat

@@ -302,39 +302,39 @@ def run(argv: List[str]) -> int:
                 state_scores = discrete_state_scores(
                     comp, np.asarray(data, np.int64)
                 )
-            res = decode(net, comp, data, lm_scale, word_pen,
-                         state_scores=state_scores)
             nbest = 0
             if ta.has("n"):
                 v = ta.get("n")
                 nbest = int(v[1] if isinstance(v, tuple) else v)
-            if lat_ext:
+            lat = None
+            if lat_ext or nbest > 1:
+                # one recursion serves the lattice, the n-best list AND
+                # the 1-best result (want_result)
                 from ..algo.decode import generate_lattice
                 from ..io.slf import write_slf
 
-                lat = generate_lattice(
-                    net, comp, data, lm_scale, word_pen, lattice_beam=lat_beam,
-                    frame_period_s=period / 1e7,
+                lat, res = generate_lattice(
+                    net, comp, data, lm_scale, word_pen,
+                    lattice_beam=lat_beam, frame_period_s=period / 1e7,
+                    state_scores=state_scores, want_result=True,
                 )
-                if lat is not None:
+                if lat_ext and lat is not None:
                     stem = os.path.splitext(os.path.basename(e.logical))[0]
                     lat.utterance = stem
                     lat_path = os.path.join(out_dir or ".", f"{stem}.{lat_ext}")
                     write_slf(lat, lat_path)
+            else:
+                res = decode(net, comp, data, lm_scale, word_pen,
+                             state_scores=state_scores)
             tr = Transcription(alternatives=[[]])
             if res is None:
                 HRError(8522, "HVite: no tokens survived for %s", e.logical)
             elif nbest > 1:
-                # N-best sentences from the lattice (HVite -n)
-                from ..algo.decode import generate_lattice
+                # N-best sentences from the same lattice (HVite -n)
                 from ..algo.latops import nbest_paths
 
-                nlat = generate_lattice(
-                    net, comp, data, lm_scale, word_pen,
-                    frame_period_s=period / 1e7,
-                )
-                alts = nbest_paths(nlat, nbest, lmscale=1.0,
-                                   wdpenalty=0.0) if nlat else []
+                alts = nbest_paths(lat, nbest, lmscale=1.0,
+                                   wdpenalty=0.0) if lat else []
                 # map through dictionary output symbols ('' = suppressed)
                 def outsym(w):
                     wd = vocab.get(w)

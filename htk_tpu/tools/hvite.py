@@ -251,9 +251,10 @@ def run(argv: List[str]) -> int:
         # per-utterance path (algo/decode.decode_batch, tested); paths
         # with per-utterance model state (adaptation, lattices, n-best,
         # hybrid, discrete) stay sequential
-        use_batch = (not xforms and not lat_ext and not ta.has("n")
-                     and ann is None and not comp.discrete
-                     and len(files) > 1)
+        feature_only_xf = bool(xforms) and not any_model_xf
+        use_batch = ((not xforms or feature_only_xf) and not lat_ext
+                     and not ta.has("n") and ann is None
+                     and not comp.discrete and len(files) > 1)
         if use_batch:
             from ..algo.decode import decode_batch
 
@@ -261,7 +262,10 @@ def run(argv: List[str]) -> int:
             for fn in files:
                 data, _p, _k, e = open_speech_file(fn, cfg)
                 entries.append(e)
-                featl.append(np.asarray(data))
+                # feature-space (CMLLR) chains touch no model state, so
+                # they batch fine — applied per utterance up front
+                featl.append(np.asarray(adapt_for(e.logical, data)
+                                        if xforms else data))
             order = sorted(range(len(featl)),
                            key=lambda i: featl[i].shape[0])
             results: List = [None] * len(featl)

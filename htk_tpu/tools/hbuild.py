@@ -10,6 +10,7 @@ a word-loop recognition lattice:
 Usage: HBuild [options] wordList latFile
 
   -n lmfile   use ARPA n-gram (bigram part) for transition probs
+  -w wpfile   word-pair grammar (allowed successors per word)
   -u word     unknown word symbol to skip (with -n)
   -s st en    sentence start / end words (default !ENTER / !EXIT)
   Standard: -A -C -D -S -T -V
@@ -29,6 +30,7 @@ USAGE = "Usage: HBuild [options] wordList latFile"
 
 OPTS = {
     "n": Option("n", 1, "ARPA n-gram LM file"),
+    "w": Option("w", 1, "word-pair grammar file"),
     "u": Option("u", 1, "unknown word symbol"),
     "s": Option("s", 2, "sentence start/end words"),
 }
@@ -102,6 +104,71 @@ def bigram_lattice(words: List[str], lm, sent_start: str, sent_end: str) -> Latt
     return lat
 
 
+def read_word_pairs(path: str):
+    """Word-pair grammar: a head word on its own line, its allowed
+    successors indented below it (the TI-digits wp_gram layout; HBuild -w).
+    Returns {head: [successors]}. [LC layout pending reference]"""
+    pairs = {}
+    head = None
+    for ln in open(path):
+        if not ln.strip() or ln.lstrip().startswith(("#", "*"))  :
+            continue
+        toks = ln.split()
+        if not ln[0].isspace():
+            head = toks[0]
+            pairs.setdefault(head, []).extend(toks[1:])
+        else:
+            if head is None:
+                HError(3031, "HBuild: word-pair grammar starts indented")
+            pairs[head].extend(toks)
+    return pairs
+
+
+def word_pair_lattice(pairs, sent_start: str, sent_end: str) -> Lattice:
+    """Lattice whose arcs are exactly the allowed word pairs."""
+    words = sorted({w for w in pairs if w not in (sent_start, sent_end)}
+                   | {w for ss in pairs.values() for w in ss
+                      if w not in (sent_start, sent_end)})
+    lat = Lattice()
+    lat.nodes.append(LNode(id=0, word=NULL_WORD))
+    lat.nodes.append(LNode(id=1, word=NULL_WORD))
+    idx = {}
+    for k, w in enumerate(words):
+        lat.nodes.append(LNode(id=2 + k, word=w))
+        idx[w] = 2 + k
+    aid = 0
+
+    def arc(s, e):
+        nonlocal aid
+        lat.arcs.append(LArc(id=aid, start=s, end=e))
+        aid += 1
+
+    starters = pairs.get(sent_start)
+    if starters is None:
+        starters = words  # no explicit <s> entry: any word may start
+    for w in starters:
+        if w in idx:
+            arc(0, idx[w])
+    for head, succs in pairs.items():
+        if head in (sent_start,):
+            continue
+        if head not in idx:
+            continue
+        for w in succs:
+            if w == sent_end:
+                arc(idx[head], 1)
+            elif w in idx:
+                arc(idx[head], idx[w])
+    # heads with no explicit sent_end successor may still end (HTK wp
+    # grammars usually list end explicitly; default-allow is safer) [LC]
+    enders = {h for h, ss in pairs.items() if sent_end in ss}
+    if not enders:
+        for w in words:
+            arc(idx[w], 1)
+    # fix start/end node ordering: HTK SLF convention start=first, end=last
+    return lat
+
+
 def run(argv: List[str]) -> int:
     ta = parse_args("HBuild", argv, OPTS, min_args=2, usage=USAGE)
     word_list, lat_file = ta.args[0], ta.args[1]
@@ -115,6 +182,19 @@ def run(argv: List[str]) -> int:
         HError(1011, "HBuild: cannot open word list %s (%s)", word_list, e)
     if not words:
         HError(1030, "HBuild: empty word list")
+
+    if ta.has("w"):
+        st, en = ("!ENTER", "!EXIT")
+        if ta.has("s"):
+            v = ta.get("s")
+            st, en = (v if isinstance(v, tuple) else tuple(v))
+        pairs = read_word_pairs(ta.get("w"))
+        lat = word_pair_lattice(pairs, st, en)
+        write_slf(lat, lat_file)
+        if ta.trace:
+            print(f"HBuild: word-pair net {len(lat.nodes)} nodes, "
+                  f"{len(lat.arcs)} arcs -> {lat_file}")
+        return 0
 
     if ta.has("n"):
         lm = read_arpa(ta.get("n"))

@@ -184,3 +184,35 @@ class TestDecodeBatch:
         rs = decode(net, comp, short)
         assert rb.words == rs.words and rb.score == pytest.approx(
             rs.score, rel=1e-6)
+
+
+class TestWordPairGrammar:
+    def test_hbuild_w_constrains_pairs(self, tmp_path, monkeypatch):
+        from htk_tpu.tools import hbuild
+
+        monkeypatch.chdir(tmp_path)
+        open("wp", "w").write(
+            "!ENTER A I\n"
+            "A  I\n"
+            "I  A !EXIT\n"
+        )
+        open("wl", "w").write("A\nI\n")
+        assert hbuild.run(["-w", "wp", "wl", "wp.slf"]) == 0
+        lat = read_slf("wp.slf")
+
+        comp = separable_set()
+        v = Vocab()
+        v.add_pron("A", ["aa"])
+        v.add_pron("I", ["iy"])
+        net = compile_network(lat, v, comp)
+
+        # decode sequences and check every transition is a listed pair
+        allowed = {("A", "I"), ("I", "A")}
+        for seq, seed in ((["aa", "iy", "aa", "iy"], 0), (["iy"], 1)):
+            res = decode(net, comp, emit_frames(seq, seed=seed))
+            assert res is not None
+            ws = res.words
+            assert ws[0] in ("A", "I")
+            assert ws[-1] == "I"  # only I may precede !EXIT
+            for a, b in zip(ws, ws[1:]):
+                assert (a, b) in allowed

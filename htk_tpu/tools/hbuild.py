@@ -159,13 +159,12 @@ def word_pair_lattice(pairs, sent_start: str, sent_end: str) -> Lattice:
                 arc(idx[head], 1)
             elif w in idx:
                 arc(idx[head], idx[w])
-    # heads with no explicit sent_end successor may still end (HTK wp
-    # grammars usually list end explicitly; default-allow is safer) [LC]
+    # grammars with no explicit sent_end successors anywhere let every
+    # word end (HTK wp grammars usually list the end explicitly) [LC]
     enders = {h for h, ss in pairs.items() if sent_end in ss}
     if not enders:
         for w in words:
             arc(idx[w], 1)
-    # fix start/end node ordering: HTK SLF convention start=first, end=last
     return lat
 
 

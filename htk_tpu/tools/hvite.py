@@ -20,7 +20,19 @@ Usage: HVite [options] dictFile hmmList testFiles...
   -I mlf      input word-level MLF (alignment)  -L/-X  input label dir/ext
   -t f        pruning beam (accepted, ignored — dense scans don't prune)
   -b word     boundary word inserted around alignment (e.g. silence)
+  -z ext      write word lattices (one recursion shared with the 1-best)
+  -n N M      N-best output from the lattice
+  -J dir      input transform dir (repeatable; per-speaker chains compose,
+              a "global" TMF acts as the parent transform)
+  -h mask     speaker mask for -J selection     -k  use input transforms
+  -N annfile  hybrid decoding with ANN state posteriors
   -T n        trace
+
+Config: HNET: FORCECXTEXP/ALLOWXWRDEXP (cross-word triphone expansion),
+HREC: LATTICEBEAM, DECODEBATCH (recognition batch size, default 8).
+Plain recognition batches utterances through one decode kernel launch
+per length bucket; adaptation with model-space transforms, lattices,
+n-best, hybrid and discrete modes run per utterance.
 """
 
 from __future__ import annotations

@@ -405,6 +405,63 @@ def estimate_cmllr(stats: CMLLRStats, n_iter: int = 20) -> Transform:
     return Transform(kind="CMLLR", A=W[:, 1:].copy(), b=W[:, 0].copy())
 
 
+def estimate_cmllr_classes(
+    stats_list,  # [(CMLLRStats or None)] per class
+    global_stats,  # CMLLRStats over all Gaussians
+    occ_thresh: float = 1000.0,
+):
+    """Per-base-class CMLLR with occupancy back-off to the global
+    transform (HAdapt's base-class constrained xforms).
+
+    Returns (xforms, class_to_xf): index 0 is the global transform;
+    classes whose stats carry less than `occ_thresh` frames share it."""
+    xforms = [estimate_cmllr(global_stats)]
+    class_to_xf = np.zeros(len(stats_list), np.int32)
+    for c, st in enumerate(stats_list):
+        if st is None or st.beta < occ_thresh:
+            continue
+        xforms.append(estimate_cmllr(st))
+        class_to_xf[c] = len(xforms) - 1
+    return xforms, class_to_xf
+
+
+def apply_cmllr_classes_fc(comp: CompiledHMMSet, xforms,
+                           class_to_xf: np.ndarray, classes: np.ndarray,
+                           means: Optional[np.ndarray] = None):
+    """Model-space application of per-class CMLLR transforms.
+
+    A single feature transform per class cannot be applied to the shared
+    feature stream, so each class's W = [b; A] moves into model space:
+    mu' = A^-1(mu - b), Sigma' = A^-1 Sigma A^-T — a full covariance,
+    evaluated through the FULLC scorer (the |A| Jacobian is absorbed by
+    |Sigma'|). Returns (fc_proj, fc_mu, gconsts)."""
+    if comp.n_streams > 1 or getattr(comp, "full_cov", False):
+        HError(7450, "CMLLR classes: single-stream diagonal sets only")
+    mu = (means if means is not None else comp.means).astype(np.float64)
+    var = comp.variances.astype(np.float64)
+    M, D = mu.shape
+    fc_proj = np.zeros((M, D, D), np.float32)
+    fc_mu = np.zeros((M, D), np.float32)
+    gconsts = np.zeros(M, np.float32)
+    for c in range(len(class_to_xf)):
+        sel = classes == c
+        if not np.any(sel):
+            continue
+        xf = xforms[int(class_to_xf[c])]
+        A = xf.A.astype(np.float64)
+        # P'_m = A^T Sigma_m^-1 A (precision of A^-1 Sigma A^-T)
+        P = np.einsum("di,md,dj->mij", A, 1.0 / var[sel], A)
+        L = np.linalg.cholesky(P)
+        mup = (mu[sel] - xf.b[None, :]) @ np.linalg.inv(A).T
+        fc_proj[sel] = L.astype(np.float32)
+        fc_mu[sel] = np.einsum("md,mde->me", mup, L).astype(np.float32)
+        gconsts[sel] = (D * np.log(2 * np.pi)
+                        - 2.0 * np.sum(np.log(np.diagonal(
+                            L, axis1=1, axis2=2)), axis=1)).astype(
+                                np.float32)
+    return fc_proj, fc_mu, gconsts
+
+
 def mllrcov_stats_from_gammas(
     feats: np.ndarray,  # (T, D)
     gamma: np.ndarray,  # (T, M)
@@ -542,12 +599,13 @@ def load_baseclass(path: str):
 
 
 def save_tmf_classes(path: str, name: str, xforms, class_to_xf: np.ndarray,
-                     classes: np.ndarray) -> None:
-    """Multi-transform TMF: regression-class MLLR set (~a + class maps)."""
+                     classes: np.ndarray,
+                     kind: str = "MLLRCLASSES") -> None:
+    """Multi-transform TMF: regression-class MLLR/CMLLR set (~a + maps)."""
     D = xforms[0].A.shape[0]
     with open(path, "w") as f:
         f.write(f'~a "{name}"\n')
-        f.write(f"<ADAPTKIND> MLLRCLASSES\n<VECSIZE> {D}\n")
+        f.write(f"<ADAPTKIND> {kind}\n<VECSIZE> {D}\n")
         f.write(f"<NUMXFORMS> {len(xforms)}\n")
         f.write(f"<GAUSSCLASSES> {len(classes)}\n")
         f.write(" " + " ".join(str(int(c)) for c in classes) + "\n")
@@ -572,8 +630,9 @@ def load_tmf_classes(path: str):
     if "<ADAPTKIND>" not in toks:
         return None
     kind = toks[toks.index("<ADAPTKIND>") + 1]
-    if kind != "MLLRCLASSES":
+    if kind not in ("MLLRCLASSES", "CMLLRCLASSES"):
         return None
+    xf_kind = "CMLLR" if kind == "CMLLRCLASSES" else "MLLRMEAN"
     name = toks[1].strip('"') if toks[0] == "~a" else "unnamed"
     i = 0
     D = 0
@@ -602,7 +661,7 @@ def load_tmf_classes(path: str):
         elif t == "<XFORM>":
             r, c = int(toks[i + 1]), int(toks[i + 2])
             vals = [float(x) for x in toks[i + 3 : i + 3 + r * c]]
-            xforms.append(Transform(kind="MLLRMEAN",
+            xforms.append(Transform(kind=xf_kind,
                                     A=np.array(vals).reshape(r, c),
                                     b=cur_b))
             i += 3 + r * c

@@ -383,6 +383,66 @@ def run(argv: List[str]) -> int:
                     xf.var_scale = estimate_mllr_var(
                         comp, spk_accs, xf.apply_to_means(comp.means))
             elif kind == "CMLLR":
+                if n_reg > 1:
+                    from ..algo.adapt import (build_regression_classes,
+                                              cmllr_stats_from_gammas,
+                                              estimate_cmllr_classes,
+                                              save_tmf_classes)
+                    import jax.numpy as jnp
+
+                    from ..algo.fb import mix_posteriors_utterance
+                    from ..algo.trainer import pad_batch
+
+                    classes = (bc_classes if bc_classes is not None
+                               else build_regression_classes(comp, n_reg))
+                    C = int(classes.max()) + 1
+                    g_stats = None
+                    c_stats = [None] * C
+                    params = trainer.params()
+                    for u in uset:
+                        arrs = pad_batch([u], comp.n_states)
+                        _lp, gam = mix_posteriors_utterance(
+                            jnp.asarray(arrs["feats"][0]),
+                            jnp.asarray(arrs["t_real"][0]),
+                            jnp.asarray(arrs["comp_state"][0]),
+                            jnp.asarray(arrs["q_mask"][0]),
+                            jnp.asarray(arrs["logA"][0]),
+                            jnp.asarray(arrs["a0"][0]),
+                            jnp.asarray(arrs["aE"][0]),
+                            means=params[0], variances=params[1],
+                            gconsts=params[2], state_mix=params[3],
+                            state_logw=params[4], state_sw=params[5],
+                            slot_blocks=tuple(comp.slot_blocks) or None,
+                        )
+                        T = u.feats.shape[0]
+                        gam = np.asarray(gam)[:T]
+                        fx = u.feats.astype(np.float64)
+
+                        def _acc(tot, st):
+                            if tot is None:
+                                return st
+                            tot.G += st.G
+                            tot.k += st.k
+                            tot.beta += st.beta
+                            return tot
+
+                        g_stats = _acc(g_stats, cmllr_stats_from_gammas(
+                            fx, gam, comp.means, comp.variances))
+                        for c in range(C):
+                            gm = gam * (classes[None, :] == c)
+                            if gm.sum() <= 0:
+                                continue
+                            c_stats[c] = _acc(
+                                c_stats[c], cmllr_stats_from_gammas(
+                                    fx, gm, comp.means, comp.variances))
+                    xfs, c2x = estimate_cmllr_classes(
+                        c_stats, g_stats, occ_thresh=occ_thresh)
+                    save_tmf_classes(tmf_path, spk, xfs, c2x, classes,
+                                     kind="CMLLRCLASSES")
+                    if ta.trace:
+                        print(f"HERest: {len(xfs)} base-class CMLLR "
+                              f"transforms for {spk} -> {tmf_path}")
+                    continue
                 xf = cmllr_from(uset)
             elif kind == "MLLRCOV":
                 xf = mllrcov_from(uset)

@@ -178,9 +178,13 @@ def run(argv: List[str]) -> int:
         cur_m, cur_v = base_means, base_vars
         vars_touched = False
         cov_xf = None
+        cmllr_cls = None
         for xf in chain:
-            if isinstance(xf, tuple):  # regression-class MLLR set
+            if isinstance(xf, tuple):  # regression-class MLLR/CMLLR set
                 _nm, xfs, c2x, classes = xf
+                if xfs and xfs[0].kind == "CMLLR":
+                    cmllr_cls = xf  # model-space constrained, applied last
+                    continue
                 if any(x.var_scale is not None for x in xfs):
                     cur_v = apply_mllr_classes_vars(
                         comp, cur_v, xfs, c2x, classes)
@@ -212,6 +216,14 @@ def run(argv: List[str]) -> int:
             fc_proj, fc_mu, gc = apply_mllrcov(
                 comp, cov_xf, means=cur_m,
                 variances=(cur_v if vars_touched else None))
+            comp.fc_proj, comp.fc_mu, comp.gconsts = fc_proj, fc_mu, gc
+            comp.full_cov = True
+        elif cmllr_cls is not None:
+            from ..algo.adapt import apply_cmllr_classes_fc
+
+            _nm, xfs, c2x, classes = cmllr_cls
+            fc_proj, fc_mu, gc = apply_cmllr_classes_fc(
+                comp, xfs, c2x, classes, means=cur_m)
             comp.fc_proj, comp.fc_mu, comp.gconsts = fc_proj, fc_mu, gc
             comp.full_cov = True
         return data

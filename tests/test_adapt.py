@@ -253,3 +253,73 @@ class TestMLLRCov:
                 want = -0.5 * (D * np.log(2 * np.pi)
                                + np.linalg.slogdet(Sig)[1] + d @ P @ d)
                 assert got[t, m] == pytest.approx(want, rel=2e-4, abs=2e-3)
+
+
+class TestCMLLRClasses:
+    def test_per_class_recovery_and_backoff(self):
+        from htk_tpu.algo.adapt import (cmllr_stats_from_gammas,
+                                        estimate_cmllr_classes)
+
+        rng = np.random.default_rng(9)
+        comp = small_set(nmix=2, seed=9)
+        M, D = comp.n_mix, comp.dim
+        classes = (np.arange(M) % 2).astype(np.int32)
+        shifts = {0: np.array([2.0, -1.0, 0.5]), 1: np.array([-1.5, 0.8, 2.0])}
+
+        T = 1200
+        ms = rng.integers(0, M, size=T)
+        feats = (comp.means[ms]
+                 + rng.normal(size=(T, D)) * np.sqrt(comp.variances[ms]))
+        for c, sh in shifts.items():
+            feats[classes[ms] == c] += sh
+        gam = np.zeros((T, M))
+        gam[np.arange(T), ms] = 1.0
+
+        g_stats = cmllr_stats_from_gammas(feats, gam, comp.means,
+                                          comp.variances)
+        c_stats = []
+        for c in (0, 1):
+            gm = gam * (classes[None, :] == c)
+            c_stats.append(cmllr_stats_from_gammas(
+                feats, gm, comp.means, comp.variances))
+        xfs, c2x = estimate_cmllr_classes(c_stats, g_stats, occ_thresh=10.0)
+        assert len(xfs) == 3 and list(c2x) == [1, 2]
+        for c in (0, 1):
+            xf = xfs[c2x[c]]
+            assert xf.kind == "CMLLR"
+            np.testing.assert_allclose(xf.b, -shifts[c], atol=0.25)
+            np.testing.assert_allclose(xf.A, np.eye(D), atol=0.15)
+        # huge threshold: both classes back off to the global transform
+        _xfs2, c2x2 = estimate_cmllr_classes(c_stats, g_stats,
+                                             occ_thresh=1e9)
+        assert set(np.asarray(c2x2)) == {0}
+
+    def test_model_space_application_parity(self):
+        import jax.numpy as jnp
+
+        from htk_tpu.algo.adapt import Transform, apply_cmllr_classes_fc
+        from htk_tpu.ops.outp import full_cov_mix_scores
+
+        rng = np.random.default_rng(10)
+        comp = small_set(nmix=1, seed=10)
+        M, D = comp.n_mix, comp.dim
+        A = np.eye(D) + 0.1 * rng.normal(size=(D, D))
+        b = rng.normal(size=D)
+        xf = Transform(kind="CMLLR", A=A, b=b)
+        classes = np.zeros(M, np.int32)
+        fc_proj, fc_mu, gc = apply_cmllr_classes_fc(
+            comp, [xf], np.zeros(1, np.int32), classes)
+        x = rng.normal(size=(3, D)).astype(np.float32)
+        got = np.asarray(full_cov_mix_scores(
+            jnp.asarray(x), jnp.asarray(fc_proj), jnp.asarray(fc_mu),
+            jnp.asarray(gc)))
+        logdetA = np.linalg.slogdet(A)[1]
+        for t in range(3):
+            xt = A @ x[t] + b
+            for m in range(M):
+                d = xt - comp.means[m]
+                want = (-0.5 * (D * np.log(2 * np.pi)
+                                + np.sum(np.log(comp.variances[m]))
+                                + np.sum(d * d / comp.variances[m]))
+                        + logdetA)
+                assert got[t, m] == pytest.approx(want, rel=2e-4, abs=3e-3)

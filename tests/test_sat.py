@@ -189,3 +189,38 @@ def test_herest_mllrcov_to_hvite(sat_corpus):
     with redirect_stdout(buf):
         hresults.run(["-I", "words.mlf", "phonelist", "reccov.mlf"])
     assert "%Corr=100.00" in buf.getvalue()
+
+
+def test_herest_cmllr_classes_to_hvite(sat_corpus):
+    """TRANSKIND=CMLLR with NUMREGCLASSES>1: base-class constrained
+    transforms, applied in HVite through the full-covariance scorer."""
+    from htk_tpu.tools import hbuild, hresults, hvite
+
+    open("cfgcc", "w").write(
+        "HADAPT: TRANSKIND = CMLLR\n"
+        "HADAPT: NUMREGCLASSES = 2\n"
+        "HADAPT: OCCTHRESH = 10.0\n")
+    os.makedirs("xfcc", exist_ok=True)
+    assert herest.run(["-C", "cfgcc", "-h", "%%%%*",
+                       "-I", "phones.mlf", "-H", "hmmdefs", "-K", "xfcc",
+                       "-S", "train.scp", "phonelist"]) == 0
+    assert sorted(os.listdir("xfcc")) == ["spkA.tmf", "spkB.tmf"]
+    assert "CMLLRCLASSES" in open("xfcc/spkA.tmf").read()
+
+    open("dict", "w").write("A  aa\nI  iy\n")
+    open("wlist", "w").write("A\nI\n")
+    open("words.mlf", "w").write(
+        "#!MLF!#\n" + "".join(
+            f'"*/{fn.split(".")[0]}.lab"\nA\nI\n.\n'
+            for fn in open("train.scp").read().split()))
+    assert hbuild.run(["wlist", "wdnet.slf"]) == 0
+    assert hvite.run(["-w", "wdnet.slf", "-J", "xfcc", "-h", "%%%%*",
+                      "-i", "reccc.mlf", "-H", "hmmdefs",
+                      "-S", "train.scp", "dict", "phonelist"]) == 0
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        hresults.run(["-I", "words.mlf", "phonelist", "reccc.mlf"])
+    assert "%Corr=100.00" in buf.getvalue()

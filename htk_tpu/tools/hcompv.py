@@ -10,6 +10,7 @@ Usage: HCompV [options] hmmfile trainfiles...
   -m      update means as well as variances
   -o name name for the output HMM (default: proto's name)
   -M dir  output MMF directory
+  -l lab  use only segments carrying this label (-I mlf / -L dir / -X ext)
   -B      binary MMF output
   Standard: -A -C -D -S -T -V
 """
@@ -33,7 +34,10 @@ OPTS = {
     "m": Option("m", 0, "update means"),
     "o": Option("o", 1, "output hmm name"),
     "M": Option("M", 1, "output directory"),
-    "l": Option("l", 1, "segment label (unsupported)"),
+    "l": Option("l", 1, "use only segments with this label"),
+    "I": Option("I", 1, "input MLF", repeatable=True),
+    "L": Option("L", 1, "label directory"),
+    "X": Option("X", 1, "label extension"),
     "v": Option("v", 1, "minimum variance", typ=float),
 }
 
@@ -53,13 +57,34 @@ def run(argv: List[str]) -> int:
     proto_name = next(iter(hset.hmms))
     proto = hset.hmms[proto_name]
 
-    # accumulate global stats (single pass, f64 accumulators)
+    # accumulate global stats (single pass, f64 accumulators); with -l
+    # only the frames inside segments carrying that label contribute
+    # (HCompV.c's CalcMeanVar over the chosen segment list)
+    seg_label = ta.get("l")
+    if seg_label:
+        from ..io.mlf import MLF
+
+        from .hinit import collect_segments
+
+        mlfs = [MLF.load(p) for p in ta.get_all("I")]
+        segs = collect_segments(train, cfg, seg_label, mlfs, ta.get("L"),
+                                ta.get("X", "lab"), None)
+    else:
+        segs = None
+
     n = 0
     s1 = None
     s2 = None
-    for f in train:
-        data, period, kind, e = open_speech_file(f, cfg)
-        x = data.astype(np.float64)
+    sources = (segs if segs is not None
+               else train)
+    for f in sources:
+        if segs is not None:
+            x = np.asarray(f, np.float64)
+            logical = "(segment)"
+        else:
+            data, period, kind, e = open_speech_file(f, cfg)
+            x = data.astype(np.float64)
+            logical = e.logical
         if s1 is None:
             s1 = x.sum(axis=0)
             s2 = (x * x).sum(axis=0)
@@ -68,7 +93,7 @@ def run(argv: List[str]) -> int:
             s2 += (x * x).sum(axis=0)
         n += x.shape[0]
         if ta.trace:
-            print(f"  accumulating {e.logical}: {x.shape[0]} frames")
+            print(f"  accumulating {logical}: {x.shape[0]} frames")
     if n < 2:
         HError(2021, "HCompV: insufficient training data (%d frames)", n)
     mean = s1 / n

@@ -246,3 +246,42 @@ class TestHList:
         assert "Sample Kind: WAVEFORM" in out
         assert "Target" in out and "Sample Kind: MFCC_E" in out
         assert "    0:" not in out
+
+
+class TestHCompVSegments:
+    def test_l_restricts_stats_to_label(self, tmp_path, monkeypatch):
+        from htk_tpu.io import parmkind as pk
+        from htk_tpu.io.htkfeat import write_htk_file
+        from htk_tpu.io.mmf import load_mmf, save_mmf
+        from htk_tpu.models.proto import make_proto
+        from htk_tpu.tools import hcompv
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(0)
+        kind = pk.str2parmkind("USER")
+        mlf = ["#!MLF!#"]
+        # first 50 frames labelled 'hi' at +5, next 50 'lo' at -5
+        for i in range(2):
+            x = np.concatenate([
+                5.0 + 0.1 * rng.normal(size=(50, 4)),
+                -5.0 + 0.1 * rng.normal(size=(50, 4)),
+            ]).astype(np.float32)
+            write_htk_file(f"u{i}.usr", x, 100000, kind)
+            mlf += [f'"*/u{i}.lab"',
+                    "0 5000000 hi", "5000000 10000000 lo", "."]
+        open("lab.mlf", "w").write("\n".join(mlf) + "\n")
+        open("train.scp", "w").write("u0.usr\nu1.usr")
+        save_mmf(make_proto(nstates=5, dim=4, parm_kind="USER"), "proto")
+
+        assert hcompv.run(["-m", "-l", "hi", "-I", "lab.mlf", "-M", "hi",
+                           "-S", "train.scp", "proto"]) == 0
+        m = load_mmf("hi/proto").hmms["proto"].states[0].streams[0] \
+            .mixes[0].mean
+        assert np.all(np.abs(m - 5.0) < 0.2)  # only 'hi' frames counted
+
+        # without -l the mean sits between the clusters
+        assert hcompv.run(["-m", "-M", "all", "-S", "train.scp",
+                           "proto"]) == 0
+        m2 = load_mmf("all/proto").hmms["proto"].states[0].streams[0] \
+            .mixes[0].mean
+        assert np.all(np.abs(m2) < 0.5)

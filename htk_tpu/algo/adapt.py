@@ -396,7 +396,10 @@ def estimate_cmllr(stats: CMLLRStats, n_iter: int = 20) -> Transform:
             def obj(alpha):
                 w = (alpha * p + stats.k[i]) @ Ginv[i]
                 det_term = w @ p
-                if det_term <= 0:
+                # HAdapt.c compares both quadratic roots via log|w.p|; a
+                # negative-orientation root can be the likelihood maximiser,
+                # so only det_term == 0 is invalid.
+                if det_term == 0.0:
                     return -np.inf
                 return beta * np.log(abs(det_term)) - 0.5 * w @ stats.G[i] @ w + w @ stats.k[i]
 

@@ -403,7 +403,28 @@ def generate_lattice(
     if not rec:
         return (None, res) if want_result else None
 
-    # keep only records reachable backwards from surviving end records
+    # Transitively retain predecessor records referenced by survivors:
+    # a beam keeps the best ends per frame, but a kept record's traceback
+    # may point at a pruned (pn, pt) — HTK's LatFromPaths never emits arcs
+    # to pruned predecessors, so resurrect them from the word-end planes
+    # (their scores are still in WEs) rather than rerouting to the start.
+    stack = list(rec)
+    while stack:
+        i, t = stack.pop()
+        _, pn, pt = rec[(i, t)]
+        if pn < 0 or (pn, pt) in rec:
+            continue
+        score = float(WEs[pt + 1, pn]) if pt < T - 1 else float(WE_fin[pn])
+        if score <= LSMALL:
+            # genuinely unavailable: sever so the arc is dropped, not
+            # misattached to the utterance start
+            rec[(i, t)] = (rec[(i, t)][0], -1, -2)
+            continue
+        ppn = int(pwns[pt + 1, pn]) if pt < T - 1 else int(pwn_fin[pn])
+        ppt = int(pwts[pt + 1, pn]) if pt < T - 1 else int(pwt_fin[pn])
+        rec[(pn, pt)] = (score, ppn, ppt)
+        stack.append((pn, pt))
+
     lat = Lattice(lmscale=lm_scale, wdpenalty=word_pen)
     start_id = 0
     lat.nodes.append(LNode(id=0, time=0.0, word=NULL_WORD))
@@ -422,19 +443,23 @@ def generate_lattice(
     trans_np = np.asarray(net.trans, np.float64)
     for (i, t), (score_it, pn, pt) in rec.items():
         nid = node_id[(i, t)]
-        if pn < 0 or (pn, pt) not in node_id:
-            # from utterance start
-            lm = float(np.asarray(net.start_entry)[i])
-            ac = score_it - lm * lm_scale
-            lat.arcs.append(LArc(id=aid, start=start_id, end=nid,
-                                 aclike=ac, lmlike=lm))
+        if pn < 0:
+            if pt == -2:
+                pass  # severed: predecessor unrecoverable, drop the arc
+            else:
+                # from utterance start
+                lm = float(np.asarray(net.start_entry)[i])
+                ac = score_it - lm * lm_scale
+                lat.arcs.append(LArc(id=aid, start=start_id, end=nid,
+                                     aclike=ac, lmlike=lm))
+                aid += 1
         else:
             lm = float(trans_np[pn, i])
             prev_score = rec[(pn, pt)][0]
             ac = score_it - prev_score - lm * lm_scale - word_pen
             lat.arcs.append(LArc(id=aid, start=node_id[(pn, pt)], end=nid,
                                  aclike=ac, lmlike=lm))
-        aid += 1
+            aid += 1
         if t == T - 1 and end_exit[i] > LSMALL:
             lat.arcs.append(LArc(id=aid, start=nid, end=end_id,
                                  aclike=0.0, lmlike=float(end_exit[i])))

@@ -118,6 +118,7 @@ class HMMDef:
     nstates: int = 0
     states: List[StateInfo] = field(default_factory=list)  # len N-2
     transp: Optional[np.ndarray] = None  # (N, N) probs (not logs) in file
+    dur: Optional[np.ndarray] = None  # model-level <DURATION> vector
 
 
 @dataclass
@@ -459,7 +460,10 @@ class _Parser:
         if t is not None and t.kind == _Tok.KW and t.val == "DURATION":
             self.next()
             n = self.next_int()
-            self.read_vector(n)
+            h.dur = self.read_vector(n)
+        elif t is not None and t.kind == _Tok.MACRO and t.val == "d":
+            self.next()
+            h.dur = self._macro_ref("d")
         self.expect_kw("ENDHMM")
         return h
 
@@ -710,6 +714,12 @@ class _Writer:
             self.w(f"<STATE> {i + 2}\n")
             self.write_state(si)
         self.write_transp(h.transp)
+        if h.dur is not None:
+            ref = self.shared.get(id(h.dur))
+            if ref and ref[0] == "d":
+                self.w(f'~d "{ref[1]}"\n')
+            else:
+                self.w(f"<DURATION> {len(h.dur)}\n{_fmt_vec(h.dur)}\n")
         self.w("<ENDHMM>\n")
 
     def write_all(self):

@@ -160,7 +160,10 @@ def run(argv: List[str]) -> int:
                                   speaker_from_mask)
         from ..models.hmmset import write_back
 
-        if spk_mask and len(xforms) > 1:
+        # -h given: always resolve the speaker, even with one TMF loaded —
+        # a single speaker-specific TMF must not silently apply to other
+        # speakers' utterances
+        if spk_mask:
             spk = speaker_from_mask(spk_mask, logical)
             spk_chain = xforms.get(spk)
             if spk_chain is None:

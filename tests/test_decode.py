@@ -216,3 +216,41 @@ class TestWordPairGrammar:
             assert ws[-1] == "I"  # only I may precede !EXIT
             for a, b in zip(ws, ws[1:]):
                 assert (a, b) in allowed
+
+
+class TestGenerateLattice:
+    def _lat(self, lattice_beam):
+        from htk_tpu.algo.decode import generate_lattice
+
+        comp = separable_set()
+        net = TestDecode().make_net(comp)
+        seq = ["sil", "aa", "iy", "aa", "iy", "sil"]
+        feats = emit_frames(seq, seed=11)
+        lat, res = generate_lattice(net, comp, feats,
+                                    lattice_beam=lattice_beam,
+                                    want_result=True)
+        return lat, res
+
+    def test_tight_beam_never_reroutes_to_start(self):
+        """A record whose predecessor fell below the per-frame lattice
+        beam must have the predecessor resurrected (or the arc dropped),
+        never rerouted to the start node with aclike ~ -LZERO."""
+        lat, _ = self._lat(lattice_beam=0.5)
+        assert lat is not None
+        start = lat.start_node()
+        for a in lat.arcs:
+            assert abs(a.aclike) < 1e8, (
+                f"arc {a.id} has pruned-predecessor garbage aclike {a.aclike}")
+            if a.start == start:
+                # genuine start arcs only leave from first-word records
+                assert lat.nodes[a.end].time <= 0.20
+
+    def test_tight_beam_best_path_matches_1best(self):
+        from htk_tpu.algo.latops import best_path
+
+        lat, res = self._lat(lattice_beam=0.5)
+        score, path = best_path(lat)
+        # res.words applies output suppression (S has out_sym "");
+        # the lattice keeps the S word nodes, so drop them for comparison
+        words = [w for (w, _t, _a) in path if w not in ("!NULL", "", "S")]
+        assert words == list(res.words)

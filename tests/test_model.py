@@ -111,6 +111,21 @@ class TestMMF:
     def test_varfloor_macro(self, hset):
         np.testing.assert_allclose(hset.macros["v"]["varFloor1"], [0.01] * 4)
 
+    def test_hmm_duration_roundtrip(self, hset, tmp_path):
+        """Model-level <DURATION> after <TRANSP> survives a round trip."""
+        text = MMF_TEXT.replace(
+            "<ENDHMM>\n~h \"eh\"",
+            "<DURATION> 2\n 3.5 1.25\n<ENDHMM>\n~h \"eh\"")
+        p = tmp_path / "dur.mmf"
+        p.write_text(text)
+        h1 = load_mmf(str(p))
+        np.testing.assert_allclose(h1.hmms["ax"].dur, [3.5, 1.25])
+        out = tmp_path / "dur_out.mmf"
+        save_mmf(h1, str(out))
+        h2 = load_mmf(str(out))
+        np.testing.assert_allclose(h2.hmms["ax"].dur, [3.5, 1.25])
+        assert h2.hmms["eh"].dur is None
+
 
 class TestCompile:
     def test_compile_shapes_and_tying(self, hset):

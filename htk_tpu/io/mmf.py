@@ -19,9 +19,12 @@ Macro types supported: ~o options, ~h hmm, ~s state, ~m mixpdf, ~u mean,
 (Adaptation macros ~r/~a/~b/~j and ANN macros ~L/~N/~F are handled by
 their own modules.)
 
-Binary MMFs (HTK's -B flag writes keyword codes after a ':' marker) are
-handled by this framework's own binary form (see load_mmf); text MMFs
-remain the recipe interchange surface (SURVEY.md §5.4). [LC]
+Binary MMFs (HTK's -B flag) use the ':'-code form: ASCII macro headers,
+keywords as ':' + Symbol-enum byte, counts as big-endian int16, values
+as big-endian float32 (HModel.c PutSymbol/GetToken/WriteVector). One
+tokenizer serves both forms, binary-ness decided per keyword token just
+like HModel.c's binForm flag. [LC: exact symbol codes reconstructed from
+canonical HTK 3.4.1; byte-check against the reference when it appears.]
 """
 
 from __future__ import annotations
@@ -156,12 +159,36 @@ class HMMSet:
 # Tokenizer
 # ---------------------------------------------------------------------------
 
-# atoms must stop at '<', '~' and '"' — HTK writes keywords without
-# surrounding whitespace (e.g. `<VECSIZE> 4<NULLD><MFCC_E><DIAGC>`).
-_TOKEN_RE = re.compile(
-    r"""<(?P<kw>[^>]+)>|~(?P<mac>[a-zA-Z])|"(?P<qstr>[^"]*)"|(?P<atom>[^\s<~"]+)""",
-    re.VERBOSE,
-)
+# HTK binary MMFs (HModel.c : PutSymbol/GetToken) interleave ASCII macro
+# headers (~h "name") with binary keyword tokens: a ':' byte followed by
+# one byte holding the Symbol enum value, after which counts are raw
+# big-endian int16 and values raw big-endian float32. The symbol codes
+# below follow HModel.c's Symbol enum (0-30 core block; adaptation block
+# from 90; PARMKIND=120) with each symbol's TEXT keyword name, so one
+# parser serves both forms. [LC: byte parity unverifiable while the
+# reference mount is empty — codes reconstructed from canonical HTK 3.4.1.]
+_SYM2KW = {
+    0: "BEGINHMM", 1: "USEMAC", 2: "ENDHMM", 3: "NUMMIXES",
+    4: "NUMSTATES", 5: "STREAMINFO", 6: "VECSIZE",
+    7: "NULLD", 8: "POISSOND", 9: "GAMMAD", 10: "RELD", 11: "GEND",
+    12: "DIAGC", 13: "FULLC", 14: "XFORMC", 15: "STATE",
+    16: "TMIX", 17: "MIXTURE", 18: "STREAM", 19: "SWEIGHTS",
+    20: "MEAN", 21: "VARIANCE", 22: "INVCOVAR", 23: "XFORM",
+    24: "GCONST", 25: "DURATION", 26: "INVDIAGC", 27: "TRANSP",
+    28: "DPROB", 29: "LLTC", 30: "LLTCOVAR",
+    90: "XFORMKIND", 91: "PARENTXFORM", 92: "NUMXFORMS", 93: "XFORMSET",
+    94: "LINXFORM", 95: "OFFSET", 96: "BIAS", 97: "LOGDET",
+    98: "BLOCKINFO", 99: "BLOCK", 100: "BASECLASS", 101: "CLASS",
+    102: "XFORMWGTSET", 103: "CLASSXFORM", 104: "MMFIDMASK",
+    105: "PARAMETERS", 106: "NUMCLASSES", 107: "ADAPTKIND",
+    108: "PREQUAL", 109: "INPUTXFORM",
+    110: "RCLASS", 111: "REGTREE", 112: "NODE", 113: "TNODE",
+    119: "HMMSETID", 120: "PARMKIND", 121: "MACRO", 122: "EOFSYM",
+    123: "NULLSYM",
+}
+_KW2SYM = {v: k for k, v in _SYM2KW.items()}
+
+_WS = b" \t\r\n"
 
 
 class _Tok:
@@ -170,40 +197,127 @@ class _Tok:
     STR = "str"
     ATOM = "atom"
 
-    def __init__(self, kind: str, val: str):
+    def __init__(self, kind: str, val: str, binary: bool = False):
         self.kind = kind
         self.val = val
+        self.binary = binary
 
     def __repr__(self):
-        return f"{self.kind}:{self.val}"
+        return f"{self.kind}:{self.val}" + ("[bin]" if self.binary else "")
 
 
-def _tokenize(text: str):
-    for m in _TOKEN_RE.finditer(text):
-        if m.group("kw") is not None:
-            yield _Tok(_Tok.KW, m.group("kw").strip().upper())
-        elif m.group("mac") is not None:
-            yield _Tok(_Tok.MACRO, m.group("mac"))
-        elif m.group("qstr") is not None:
-            yield _Tok(_Tok.STR, m.group("qstr"))
-        else:
-            yield _Tok(_Tok.ATOM, m.group("atom"))
+class _Lexer:
+    """Byte-stream tokenizer serving both text and ':'-code binary MMFs.
+
+    Tokens are produced lazily because binary numeric payloads follow
+    their keyword token as raw bytes — they must be consumed by the
+    parser (read_short/read_floats), never tokenized.
+    """
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.p = 0
+
+    def _skip_ws(self):
+        d, n = self.d, len(self.d)
+        while self.p < n and d[self.p] in _WS:
+            self.p += 1
+
+    def next_tok(self) -> Optional[_Tok]:
+        self._skip_ws()
+        d, n = self.d, len(self.d)
+        if self.p >= n:
+            return None
+        c = d[self.p]
+        if c == 0x3C:  # '<' text keyword
+            end = d.find(b">", self.p + 1)
+            if end < 0:
+                HError(7050, "MMF parse: unterminated keyword")
+            kw = d[self.p + 1 : end].decode("latin-1").strip().upper()
+            self.p = end + 1
+            return _Tok(_Tok.KW, kw)
+        if c == 0x3A:  # ':' binary symbol
+            if self.p + 1 >= n:
+                HError(7050, "MMF parse: truncated binary symbol")
+            sym = d[self.p + 1]
+            self.p += 2
+            if sym == 122:  # EOFSYM
+                return None
+            kw = _SYM2KW.get(sym)
+            if kw is None:
+                HError(7050, "MMF parse: unknown binary symbol %d", sym)
+            if kw == "PARMKIND":
+                # ':' 120 is followed by a binary short holding the kind
+                # code; surface it as the text-form kind keyword
+                kind = self.read_short()
+                return _Tok(_Tok.KW, pk.parmkind2str(kind), binary=True)
+            return _Tok(_Tok.KW, kw, binary=True)
+        if c == 0x7E:  # '~' macro type
+            if self.p + 1 >= n:
+                HError(7050, "MMF parse: truncated macro marker")
+            mac = chr(d[self.p + 1])
+            self.p += 2
+            return _Tok(_Tok.MACRO, mac)
+        if c == 0x22:  # '"' quoted string
+            end = d.find(b'"', self.p + 1)
+            if end < 0:
+                HError(7050, "MMF parse: unterminated string")
+            s = d[self.p + 1 : end].decode("latin-1")
+            self.p = end + 1
+            return _Tok(_Tok.STR, s)
+        # plain atom: runs to whitespace or a structural byte — HTK writes
+        # keywords without surrounding whitespace (`<VECSIZE> 4<NULLD>...`)
+        start = self.p
+        while self.p < n and d[self.p] not in _WS and d[self.p] not in b'<~":':
+            self.p += 1
+        return _Tok(_Tok.ATOM, d[start : self.p].decode("latin-1"))
+
+    # raw binary payload reads (big-endian, HTK's default write order)
+    def read_short(self) -> int:
+        v = int(np.frombuffer(self.d, dtype=">i2", count=1, offset=self.p)[0])
+        self.p += 2
+        return v
+
+    def read_shorts(self, n: int) -> np.ndarray:
+        v = np.frombuffer(self.d, dtype=">i2", count=n, offset=self.p)
+        self.p += 2 * n
+        return v.astype(np.int32)
+
+    def read_float(self) -> float:
+        v = float(np.frombuffer(self.d, dtype=">f4", count=1, offset=self.p)[0])
+        self.p += 4
+        return v
+
+    def read_floats(self, n: int) -> np.ndarray:
+        v = np.frombuffer(self.d, dtype=">f4", count=n, offset=self.p)
+        self.p += 4 * n
+        return v.astype(np.float32)
 
 
 class _Parser:
-    def __init__(self, text: str, hset: HMMSet):
-        self.toks = list(_tokenize(text))
-        self.pos = 0
+    def __init__(self, data, hset: HMMSet):
+        if isinstance(data, str):
+            data = data.encode("latin-1")
+        self.lex = _Lexer(data)
+        self._ahead: Optional[_Tok] = None
         self.hset = hset
+        # binary flag of the most recently consumed keyword: numeric
+        # payloads directly follow their keyword, so this selects between
+        # text atoms and raw big-endian reads (HModel.c token binForm)
+        self.bin = False
 
     def peek(self) -> Optional[_Tok]:
-        return self.toks[self.pos] if self.pos < len(self.toks) else None
+        if self._ahead is None:
+            self._ahead = self.lex.next_tok()
+        return self._ahead
 
     def next(self) -> _Tok:
         t = self.peek()
         if t is None:
             HError(7050, "MMF parse: unexpected end of file")
-        self.pos += 1
+        self._ahead = None
+        if t.kind == _Tok.KW:
+            self.bin = t.binary
         return t
 
     def expect_kw(self, kw: str) -> None:
@@ -212,6 +326,8 @@ class _Parser:
             HError(7050, "MMF parse: expected <%s>, got %r", kw, t)
 
     def next_int(self) -> int:
+        if self.bin:
+            return self.lex.read_short()
         t = self.next()
         try:
             return int(t.val)
@@ -219,6 +335,8 @@ class _Parser:
             HError(7050, "MMF parse: expected integer, got %r", t)
 
     def next_float(self) -> float:
+        if self.bin:
+            return self.lex.read_float()
         t = self.next()
         try:
             return float(t.val)
@@ -232,6 +350,8 @@ class _Parser:
         return t.val
 
     def read_vector(self, n: int) -> np.ndarray:
+        if self.bin:
+            return self.lex.read_floats(n)
         return np.array([self.next_float() for _ in range(n)], dtype=np.float32)
 
     def read_matrix(self, r: int, c: int) -> np.ndarray:
@@ -241,9 +361,9 @@ class _Parser:
         """Upper-triangular (row i has n-i entries) -> full symmetric."""
         M = np.zeros((n, n), dtype=np.float32)
         for i in range(n):
-            for j in range(i, n):
-                M[i, j] = self.next_float()
-                M[j, i] = M[i, j]
+            row = self.read_vector(n - i)
+            M[i, i:] = row
+            M[i:, i] = row
         return M
 
     # -- global options (~o) --------------------------------------------
@@ -375,9 +495,14 @@ class _Parser:
             m = nmix[s]
             t = self.peek()
             if t is not None and t.kind == _Tok.KW and t.val == "DPROB":
-                # discrete stream: m short-coded codeword probs with
-                # HTK's value*repeat run-length syntax
                 self.next()
+                if self.bin:
+                    # binary: m raw shorts, no run-length coding
+                    se.dprobs = self.lex.read_shorts(m)
+                    si.streams.append(se)
+                    continue
+                # text: m short-coded codeword probs with HTK's
+                # value*repeat run-length syntax
                 vals: List[int] = []
                 while len(vals) < m:
                     tok = self.next()
@@ -521,45 +646,33 @@ class _Parser:
                 HError(7050, "MMF parse: unsupported macro type ~%s", mac)
 
 
-_BMMF_MAGIC = b"#!HTK-TPU-BMMF!#"
+_OLD_PICKLE_MAGIC = b"#!HTK-TPU-BMMF!#"  # round-1 format, now rejected
 
 
 def load_mmf(paths, hset: Optional[HMMSet] = None) -> HMMSet:
     """Load one or more MMF files into an HMMSet (HModel.c : LoadHMMSet).
 
-    Binary MMFs (written with -B) are auto-detected by magic. [LC] The
-    binary layout is this framework's own (pickled structure preserving
-    macro sharing), not HTK's ':'-code binary — flagged in the header so
-    a mismatch fails loudly rather than misparsing.
+    Text and ':'-code binary MMFs share one tokenizer; binary keywords
+    are detected per token, exactly like HModel.c's GetToken, so mixed
+    files also parse. The round-1 pickle format is rejected loudly
+    (loading pickles from model files would execute arbitrary code).
     """
     if isinstance(paths, str):
         paths = [paths]
     hset = hset or HMMSet()
     for p in paths:
         try:
-            head = open(p, "rb").read(len(_BMMF_MAGIC))
+            data = open(p, "rb").read()
         except OSError as e:
             HError(7010, "load_mmf: cannot open %s (%s)", p, e)
-        if head == _BMMF_MAGIC:
-            import pickle
-
-            with open(p, "rb") as f:
-                f.read(len(_BMMF_MAGIC))
-                other: HMMSet = pickle.load(f)
-            hset.vec_size = hset.vec_size or other.vec_size
-            hset.parm_kind = hset.parm_kind or other.parm_kind
-            hset.cov_kind = other.cov_kind
-            hset.dur_kind = other.dur_kind
-            hset.stream_widths = hset.stream_widths or other.stream_widths
-            hset.hmms.update(other.hmms)
-            for mac, table in other.macros.items():
-                hset.macros.setdefault(mac, {}).update(table)
-            continue
-        try:
-            text = open(p, "r").read()
-        except OSError as e:
-            HError(7010, "load_mmf: cannot open %s (%s)", p, e)
-        _Parser(text, hset).parse()
+        if data.startswith(_OLD_PICKLE_MAGIC):
+            HError(
+                7050,
+                "load_mmf: %s is a round-1 pickle MMF; that format is no "
+                "longer read (unsafe). Re-save it as text or ':'-code "
+                "binary with save_mmf.", p,
+            )
+        _Parser(data, hset).parse()
     return hset
 
 
@@ -585,7 +698,11 @@ def _fmt_vec(v: np.ndarray) -> str:
 
 
 class _Writer:
-    def __init__(self, hset: HMMSet, f: TextIO):
+    """Text MMF writer. Leaf emissions go through the kw0/kwn/kwflt/
+    kw_int_flt/vec/vec_nl/dprob primitives so _BinWriter can override
+    just those and share the whole macro/tying traversal."""
+
+    def __init__(self, hset: HMMSet, f):
         self.hset = hset
         self.f = f
         # object id -> (macro type, name), for emitting refs at use sites
@@ -599,6 +716,37 @@ class _Writer:
     def w(self, s: str):
         self.f.write(s)
 
+    # -- leaf emission primitives (overridden by _BinWriter) -------------
+
+    def kw0(self, name: str):
+        self.w(f"<{name}>\n")
+
+    def kwn(self, name: str, *ints: int):
+        self.w(f"<{name}> " + " ".join(str(x) for x in ints) + "\n")
+
+    def kwflt(self, name: str, x: float):
+        self.w(f"<{name}> %.6e\n" % x)
+
+    def kw_int_flt(self, name: str, i: int, x: float):
+        self.w(f"<{name}> {i} %.6e\n" % x)
+
+    def vec_nl(self, v):
+        """A vector/matrix-row payload on its own line (text form)."""
+        self.w(_fmt_vec(v) + "\n")
+
+    def dprob(self, vals):
+        # run-length encode consecutive repeats (HTK x*n form)
+        out = []
+        vals = [int(v) for v in vals]
+        i = 0
+        while i < len(vals):
+            j = i
+            while j + 1 < len(vals) and vals[j + 1] == vals[i]:
+                j += 1
+            out.append(f"{vals[i]}*{j - i + 1}" if j > i else str(vals[i]))
+            i = j + 1
+        self.w("<DPROB> " + " ".join(out) + "\n")
+
     def write_options(self):
         hs = self.hset
         self.w("~o\n")
@@ -608,41 +756,54 @@ class _Writer:
             f"<VECSIZE> {hs.vec_size}<{hs.dur_kind}><{hs.parm_kind_str}><{hs.cov_kind}>\n"
         )
 
-    def write_mean(self, mean, indent=""):
+    def end_macro(self):
+        """Separator after each top-level macro body (binary adds '\\n')."""
+
+    # -- structure (shared between text and binary) ----------------------
+
+    def write_mean(self, mean):
         ref = self.shared.get(id(mean))
         if ref and ref[0] == "u":
-            self.w(f'{indent}~u "{ref[1]}"\n')
+            self.w(f'~u "{ref[1]}"\n')
         else:
-            self.w(f"{indent}<MEAN> {len(mean)}\n{_fmt_vec(mean)}\n")
+            self._write_mean_body(mean)
 
-    def write_var(self, var, cov_kind, indent=""):
+    def _write_mean_body(self, mean):
+        self.kwn("MEAN", len(mean))
+        self.vec_nl(mean)
+
+    def write_var(self, var, cov_kind):
         ref = self.shared.get(id(var))
         if ref and ref[0] in ("v", "i"):
-            self.w(f'{indent}~{ref[0]} "{ref[1]}"\n')
+            self.w(f'~{ref[0]} "{ref[1]}"\n')
             return
+        self._write_var_body(var, cov_kind)
+
+    def _write_var_body(self, var, cov_kind):
         if cov_kind == "DIAGC":
-            self.w(f"{indent}<VARIANCE> {len(var)}\n{_fmt_vec(var)}\n")
+            self.kwn("VARIANCE", len(var))
+            self.vec_nl(var)
         elif cov_kind in ("FULLC", "LLTC"):
             kw = "INVCOVAR" if cov_kind == "FULLC" else "LLTCOVAR"
             n = var.shape[0]
-            self.w(f"{indent}<{kw}> {n}\n")
+            self.kwn(kw, n)
             for i in range(n):
-                self.w(_fmt_vec(var[i, i:]) + "\n")
+                self.vec_nl(var[i, i:])
         else:
             HError(7032, "write_var: unsupported cov kind %s", cov_kind)
 
-    def write_mixpdf(self, mp: MixPDF, indent=""):
+    def write_mixpdf(self, mp: MixPDF):
         ref = self.shared.get(id(mp))
         if ref and ref[0] == "m":
-            self.w(f'{indent}~m "{ref[1]}"\n')
+            self.w(f'~m "{ref[1]}"\n')
             return
-        self._write_mixpdf_body(mp, indent)
+        self._write_mixpdf_body(mp)
 
-    def _write_mixpdf_body(self, mp: MixPDF, indent=""):
-        self.write_mean(mp.mean, indent)
-        self.write_var(mp.var, mp.cov_kind, indent)
+    def _write_mixpdf_body(self, mp: MixPDF):
+        self.write_mean(mp.mean)
+        self.write_var(mp.var, mp.cov_kind)
         if mp.gconst is not None:
-            self.w(f"{indent}<GCONST> %.6e\n" % mp.gconst)
+            self.kwflt("GCONST", mp.gconst)
 
     def _write_state_body(self, si: StateInfo):
         hs = self.hset
@@ -652,29 +813,19 @@ class _Writer:
             for se in si.streams
         ]
         if any(m > 1 for m in nmix):
-            self.w("<NUMMIXES> " + " ".join(str(m) for m in nmix) + "\n")
+            self.kwn("NUMMIXES", *nmix)
         if si.stream_weights is not None:
             ref = self.shared.get(id(si.stream_weights))
             if ref and ref[0] == "w":
                 self.w(f'~w "{ref[1]}"\n')
             else:
-                self.w(f"<SWEIGHTS> {len(si.stream_weights)}\n{_fmt_vec(si.stream_weights)}\n")
+                self.kwn("SWEIGHTS", len(si.stream_weights))
+                self.vec_nl(si.stream_weights)
         for s, se in enumerate(si.streams):
             if nstreams > 1:
-                self.w(f"<STREAM> {s + 1}\n")
+                self.kwn("STREAM", s + 1)
             if se.dprobs is not None:
-                # run-length encode consecutive repeats (HTK x*n form)
-                out = []
-                vals = [int(v) for v in se.dprobs]
-                i = 0
-                while i < len(vals):
-                    j = i
-                    while j + 1 < len(vals) and vals[j + 1] == vals[i]:
-                        j += 1
-                    out.append(f"{vals[i]}*{j - i + 1}" if j > i
-                               else str(vals[i]))
-                    i = j + 1
-                self.w("<DPROB> " + " ".join(out) + "\n")
+                self.dprob(se.dprobs)
                 continue
             if len(se.mixes) == 1:
                 self.write_mixpdf(se.mixes[0])
@@ -682,10 +833,11 @@ class _Writer:
                 for mi, (wt, mp) in enumerate(zip(se.weights, se.mixes)):
                     if mp is None or wt < MINMIX:
                         continue
-                    self.w(f"<MIXTURE> {mi + 1} %.6e\n" % wt)
+                    self.kw_int_flt("MIXTURE", mi + 1, wt)
                     self.write_mixpdf(mp)
         if si.dur is not None:
-            self.w(f"<DURATION> {len(si.dur)}\n{_fmt_vec(si.dur)}\n")
+            self.kwn("DURATION", len(si.dur))
+            self.vec_nl(si.dur)
 
     def write_state(self, si: StateInfo):
         ref = self.shared.get(id(si))
@@ -696,9 +848,9 @@ class _Writer:
 
     def _write_transp_body(self, tp: np.ndarray):
         n = tp.shape[0]
-        self.w(f"<TRANSP> {n}\n")
+        self.kwn("TRANSP", n)
         for i in range(n):
-            self.w(_fmt_vec(tp[i]) + "\n")
+            self.vec_nl(tp[i])
 
     def write_transp(self, tp: np.ndarray):
         ref = self.shared.get(id(tp))
@@ -708,10 +860,10 @@ class _Writer:
         self._write_transp_body(tp)
 
     def write_hmm(self, h: HMMDef):
-        self.w("<BEGINHMM>\n")
-        self.w(f"<NUMSTATES> {h.nstates}\n")
+        self.kw0("BEGINHMM")
+        self.kwn("NUMSTATES", h.nstates)
         for i, si in enumerate(h.states):
-            self.w(f"<STATE> {i + 2}\n")
+            self.kwn("STATE", i + 2)
             self.write_state(si)
         self.write_transp(h.transp)
         if h.dur is not None:
@@ -719,12 +871,14 @@ class _Writer:
             if ref and ref[0] == "d":
                 self.w(f'~d "{ref[1]}"\n')
             else:
-                self.w(f"<DURATION> {len(h.dur)}\n{_fmt_vec(h.dur)}\n")
-        self.w("<ENDHMM>\n")
+                self.kwn("DURATION", len(h.dur))
+                self.vec_nl(h.dur)
+        self.kw0("ENDHMM")
 
     def write_all(self):
         hs = self.hset
         self.write_options()
+        self.end_macro()
         # shared macro definitions first, in HTK's conventional order
         for mac in ("u", "v", "i", "w", "d", "m", "t", "s"):
             for name, obj in hs.macros.get(mac, {}).items():
@@ -736,35 +890,105 @@ class _Writer:
                 elif mac == "t":
                     self._write_transp_body(obj)
                 elif mac == "u":
-                    self.w(f"<MEAN> {len(obj)}\n{_fmt_vec(obj)}\n")
-                elif mac in ("v",):
-                    self.w(f"<VARIANCE> {len(obj)}\n{_fmt_vec(obj)}\n")
+                    self._write_mean_body(obj)
+                elif mac == "v":
+                    self._write_var_body(obj, "DIAGC")
                 elif mac == "i":
-                    n = obj.shape[0]
-                    self.w(f"<INVCOVAR> {n}\n")
-                    for i in range(n):
-                        self.w(_fmt_vec(obj[i, i:]) + "\n")
+                    self._write_var_body(obj, "FULLC")
                 elif mac == "w":
-                    self.w(f"<SWEIGHTS> {len(obj)}\n{_fmt_vec(obj)}\n")
+                    self.kwn("SWEIGHTS", len(obj))
+                    self.vec_nl(obj)
                 elif mac == "d":
-                    self.w(f"<DURATION> {len(obj)}\n{_fmt_vec(obj)}\n")
+                    self.kwn("DURATION", len(obj))
+                    self.vec_nl(obj)
+                self.end_macro()
         for name, h in hs.hmms.items():
             self.w(f'~h "{name}"\n')
             self.write_hmm(h)
+            self.end_macro()
+
+
+class _BinWriter(_Writer):
+    """':'-code binary MMF writer (HModel.c : SaveHMMSet binary mode).
+
+    Macro headers stay ASCII (`~s "name"`); keywords become ':' + the
+    Symbol code byte; counts are raw big-endian int16 and values raw
+    big-endian float32 — HTK's PutSymbol/WriteShort/WriteVector layout.
+    [LC: byte parity pending a populated reference mount.]
+    """
+
+    def _sym(self, name: str):
+        self.w(":" + chr(_KW2SYM[name]))
+
+    def _short(self, x: int):
+        self.f.write_bytes(np.asarray([x], ">i2").tobytes())
+
+    def _flt(self, x: float):
+        self.f.write_bytes(np.asarray([x], ">f4").tobytes())
+
+    def kw0(self, name: str):
+        self._sym(name)
+
+    def kwn(self, name: str, *ints: int):
+        self._sym(name)
+        for x in ints:
+            self._short(x)
+
+    def kwflt(self, name: str, x: float):
+        self._sym(name)
+        self._flt(x)
+
+    def kw_int_flt(self, name: str, i: int, x: float):
+        self._sym(name)
+        self._short(i)
+        self._flt(x)
+
+    def vec_nl(self, v):
+        self.f.write_bytes(
+            np.asarray(v, np.float32).reshape(-1).astype(">f4").tobytes())
+
+    def dprob(self, vals):
+        self._sym("DPROB")
+        self.f.write_bytes(np.asarray(vals, ">i2").tobytes())
+
+    def write_options(self):
+        hs = self.hset
+        self.w("~o ")
+        sw = hs.swidth
+        self.kwn("STREAMINFO", len(sw), *sw)
+        self.kwn("VECSIZE", hs.vec_size)
+        self._sym(hs.dur_kind)
+        self._sym("PARMKIND")
+        self._short(hs.parm_kind)
+        self._sym(hs.cov_kind)
+
+    def end_macro(self):
+        self.w("\n")
+
+
+class _BinFile:
+    """Tiny adapter: text fragments via write(str), raw via write_bytes."""
+
+    def __init__(self, f):
+        self.f = f
+
+    def write(self, s: str):
+        self.f.write(s.encode("latin-1"))
+
+    def write_bytes(self, b: bytes):
+        self.f.write(b)
 
 
 def save_mmf(hset: HMMSet, path: str, binary: bool = False) -> None:
     """Write the complete HMMSet as one MMF (HModel.c : SaveHMMSet).
 
-    binary=True (the tools' -B flag) writes the fast binary form — see
-    load_mmf for the format caveat.
+    binary=True (the tools' -B flag) writes HTK's ':'-code binary form:
+    same macro structure, keywords as symbol bytes, parameters as raw
+    big-endian shorts/floats.
     """
     if binary:
-        import pickle
-
         with open(path, "wb") as f:
-            f.write(_BMMF_MAGIC)
-            pickle.dump(hset, f, protocol=4)
+            _BinWriter(hset, _BinFile(f)).write_all()
         return
     with open(path, "w") as f:
         _Writer(hset, f).write_all()

@@ -203,3 +203,65 @@ class TestProto:
     def test_transp_rows_sum_to_one(self):
         tp = left_to_right_transp(5)
         np.testing.assert_allclose(tp[:-1].sum(axis=1), 1.0, rtol=1e-6)
+
+
+class TestBinaryMMF:
+    """HTK ':'-code binary MMFs (HModel.c SaveHMMSet binary mode)."""
+
+    def _assert_equiv_text(self, h1, h2, tmp_path):
+        """Both sets must re-serialise to bit-identical text."""
+        p1, p2 = tmp_path / "a.mmf", tmp_path / "b.mmf"
+        save_mmf(h1, str(p1))
+        save_mmf(h2, str(p2))
+        assert p1.read_text() == p2.read_text()
+
+    def test_binary_roundtrip_with_macros(self, hset, tmp_path):
+        pb = tmp_path / "bin.mmf"
+        save_mmf(hset, str(pb), binary=True)
+        raw = pb.read_bytes()
+        assert raw.startswith(b"~o :")  # ':'-code symbols, not pickle
+        h2 = load_mmf(str(pb))
+        # tying preserved through the binary form
+        assert h2.hmms["ax"].states[1] is h2.hmms["eh"].states[0]
+        self._assert_equiv_text(hset, h2, tmp_path)
+
+    def test_binary_multimix_gconst(self, tmp_path):
+        cl = clone_proto(make_proto(nstates=4, dim=5, parm_kind="MFCC_E",
+                                    nmix=3), "proto", ["aa", "iy"])
+        rng = np.random.default_rng(0)
+        for h in cl.hmms.values():
+            for si in h.states:
+                for mp in si.streams[0].mixes:
+                    mp.mean = rng.normal(size=5).astype(np.float32)
+                    mp.var = (0.5 + rng.random(5)).astype(np.float32)
+                    mp.fix_gconst()
+        pb = tmp_path / "m.mmf"
+        save_mmf(cl, str(pb), binary=True)
+        h2 = load_mmf(str(pb))
+        m1 = cl.hmms["aa"].states[0].streams[0].mixes[2]
+        m2 = h2.hmms["aa"].states[0].streams[0].mixes[2]
+        np.testing.assert_allclose(m1.mean, m2.mean, rtol=1e-6)
+        assert m2.gconst == pytest.approx(m1.gconst, rel=1e-6)
+        w1 = cl.hmms["aa"].states[0].streams[0].weights
+        w2 = h2.hmms["aa"].states[0].streams[0].weights
+        np.testing.assert_allclose(w1, w2, rtol=1e-6)
+
+    def test_binary_discrete_dprobs(self, tmp_path):
+        from htk_tpu.models.proto import make_discrete_proto
+
+        cl = clone_proto(make_discrete_proto(nstates=4, codebook_sizes=[8]),
+                         "proto", ["dd"])
+        pb = tmp_path / "d.mmf"
+        save_mmf(cl, str(pb), binary=True)
+        h2 = load_mmf(str(pb))
+        s1 = cl.hmms["dd"].states[0].streams[0].dprobs
+        s2 = h2.hmms["dd"].states[0].streams[0].dprobs
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+    def test_old_pickle_format_rejected(self, tmp_path):
+        from htk_tpu.utils.errors import HTKError
+
+        p = tmp_path / "evil.mmf"
+        p.write_bytes(b"#!HTK-TPU-BMMF!#" + b"\x80\x04whatever")
+        with pytest.raises(HTKError):
+            load_mmf(str(p))

@@ -137,14 +137,118 @@ def decode_scan(
     return (v, wn, wt), (WEs, pwns, pwts)
 
 
+def decode_scan_uniform(
+    outp_states,  # (T, Ns) with Ns = C * S (uniform padded rows)
+    band,  # (K, Ns)
+    a0,  # (Ns,)
+    aE,  # (Ns,)
+    S: int,  # uniform chain width
+    entry_bonus_row,  # (C,) log pron prob per row
+    trans,  # (C, C) scaled LM matrix (rows = nodes = chains)
+    start_entry,  # (C,)
+    word_pen: float,
+    beam: Optional[float] = None,
+    max_active: Optional[int] = None,
+):
+    """Uniform-width token-passing update (the HLVRec-scale path).
+
+    Same recursion as decode_scan but for lvnet.py networks where every
+    chain is padded to S states and node == chain: the word-end
+    reduction is a reshape + row max (the (Nn, Ns) node mask of the
+    general path is the scaling wall: 1.4 G elements at 5k words), word
+    entry is a row broadcast, and record selection uses a one-hot mask —
+    no gathers anywhere.
+
+    `beam`: HRec genBeam — states scoring below (best - beam) die each
+    frame. `max_active`: HLVRec histogram/maxModel pruning — only the
+    top `max_active` word-end rows propagate across words this frame
+    (exact whenever it covers every live word end, tested).
+    """
+    T, Ns = outp_states.shape
+    C = Ns // S
+    K = band.shape[0]
+    neg = jnp.asarray(LZERO, outp_states.dtype)
+    IMIN = jnp.iinfo(jnp.int32).min
+    col = jnp.arange(S, dtype=jnp.int32)[None, :]
+
+    def step(carry, inp):
+        v, wn, wt = carry
+        outp_t, t = inp
+
+        # 1. word-end scores: row max over the padded width
+        ev = (v + aE).reshape(C, S)
+        WE = jnp.max(ev, axis=1)
+        best_s = jnp.argmax(ev, axis=1)
+        onehot = best_s[:, None] == col
+        ok = WE > LSMALL
+        pwn = jnp.where(
+            ok, jnp.max(jnp.where(onehot, wn.reshape(C, S), IMIN), axis=1), -1)
+        pwt = jnp.where(
+            ok, jnp.max(jnp.where(onehot, wt.reshape(C, S), IMIN), axis=1), -1)
+
+        # 2. cross-word max-plus matvec, optionally top-A pruned
+        if max_active is not None and max_active < C:
+            vals, idxs = jax.lax.top_k(WE, max_active)
+            rows = trans[idxs]  # (A, C) contiguous row gather
+            cand = vals[:, None] + rows
+            entry_n = jnp.max(cand, axis=0) + word_pen
+            an = idxs[jnp.argmax(cand, axis=0)].astype(jnp.int32)
+        else:
+            cand = WE[:, None] + trans
+            entry_n = jnp.max(cand, axis=0) + word_pen
+            an = jnp.argmax(cand, axis=0).astype(jnp.int32)
+        entry_n = jnp.where(t == 0, start_entry, entry_n)
+        an = jnp.where(t == 0, -1, an)
+
+        entry_s = (entry_n + entry_bonus_row)[:, None]  # (C, 1) row bcast
+        entry_flat = (entry_s + a0.reshape(C, S)).reshape(Ns)
+        an_flat = jnp.broadcast_to(an[:, None], (C, S)).reshape(Ns)
+
+        # 3. within-word banded update (band masks row boundaries)
+        cands = jnp.stack(
+            [_shift_down(v, k, LZERO) + band[k] for k in range(K)], axis=0
+        )
+        within = jnp.max(cands, axis=0)
+        argk = jnp.argmax(cands, axis=0).astype(jnp.int32)
+        wwn = jnp.full_like(wn, -1)
+        wwt = jnp.full_like(wt, -1)
+        for k in range(K):
+            sel = argk == k
+            wwn = jnp.where(sel, _shift_down(wn, k, -1), wwn)
+            wwt = jnp.where(sel, _shift_down(wt, k, -1), wwt)
+
+        # 4. combine + prune
+        use_entry = entry_flat > within
+        new_v = jnp.maximum(within, entry_flat) + outp_t
+        if beam is not None:
+            new_v = jnp.where(new_v < jnp.max(new_v) - beam, neg, new_v)
+        new_wn = jnp.where(use_entry, an_flat, wwn)
+        new_wt = jnp.where(use_entry, t - 1, wwt)
+        dead = new_v <= LSMALL
+        new_wn = jnp.where(dead, -1, new_wn)
+        new_wt = jnp.where(dead, -1, new_wt)
+
+        return (new_v, new_wn, new_wt), (WE, pwn, pwt)
+
+    init = (
+        jnp.full((Ns,), LZERO, outp_states.dtype),
+        jnp.full((Ns,), -1, jnp.int32),
+        jnp.full((Ns,), -1, jnp.int32),
+    )
+    return jax.lax.scan(step, init, (outp_states, jnp.arange(T)))
+
+
 def run_decode_batch(
     outp_states,  # (B, T, Ns)
     net: DecodeNetwork,
     lm_scale: float,
     word_pen: float,
+    beam: Optional[float] = None,
+    max_active: Optional[int] = None,
 ):
-    """Dispatch the decode recursion: fused Pallas kernel on TPU, the
-    lax.scan reference elsewhere. Outputs are identical (tested)."""
+    """Dispatch the decode recursion: uniform-row scan for lvnet
+    networks, fused Pallas kernel on TPU, the lax.scan reference
+    elsewhere. Outputs are identical (tested)."""
     node_of_state = jnp.asarray(net.node_of_chain[net.chain_of])
     entry_bonus = jnp.asarray(net.chain_pron_prob[net.chain_of])
     trans = jnp.asarray(net.trans * lm_scale)
@@ -152,6 +256,13 @@ def run_decode_batch(
     band = jnp.asarray(net.band)
     a0 = jnp.asarray(net.a0)
     aE = jnp.asarray(net.aE)
+    if net.uniform_width:
+        fn = lambda o: decode_scan_uniform(  # noqa: E731
+            o, band, a0, aE, net.uniform_width,
+            jnp.asarray(net.chain_pron_prob), trans, start_entry,
+            float(word_pen), beam, max_active,
+        )
+        return jax.vmap(fn)(outp_states)
     if jax.default_backend() == "tpu":
         from ..ops.decode_pallas import decode_scan_pallas, make_maskf
 
@@ -249,6 +360,8 @@ def decode(
     word_pen: float = 0.0,
     precision: str = "highest",
     state_scores: Optional[np.ndarray] = None,
+    beam: Optional[float] = None,
+    max_active: Optional[int] = None,
 ) -> Optional[DecodeResult]:
     """Decode one utterance; returns None if no complete path survives.
 
@@ -263,7 +376,8 @@ def decode(
         outp_states = _net_outp(net, comp, feats, precision)
 
     (vb, wnb, wtb), (WEs, pwns, pwts) = run_decode_batch(
-        outp_states[None, :, :], net, lm_scale, word_pen
+        outp_states[None, :, :], net, lm_scale, word_pen,
+        beam=beam, max_active=max_active,
     )
     WE_fin, pwn_fin, pwt_fin = _final_records(net, vb[0], wnb[0], wtb[0])
     return _finalize(net, np.asarray(WEs[0]), np.asarray(pwns[0]),
@@ -279,6 +393,8 @@ def decode_batch(
     word_pen: float = 0.0,
     precision: str = "highest",
     pad_to: int = 128,
+    beam: Optional[float] = None,
+    max_active: Optional[int] = None,
 ) -> List[Optional[DecodeResult]]:
     """Decode a batch of utterances through ONE kernel launch.
 
@@ -301,7 +417,7 @@ def decode_batch(
     outp = jax.vmap(lambda x: _net_outp(net, comp, x, precision))(
         jnp.asarray(fb))
     (vb, wnb, wtb), (WEb, pwnb, pwtb) = run_decode_batch(
-        outp, net, lm_scale, word_pen)
+        outp, net, lm_scale, word_pen, beam=beam, max_active=max_active)
     WEb = np.asarray(WEb)
     pwnb = np.asarray(pwnb)
     pwtb = np.asarray(pwtb)
@@ -333,6 +449,8 @@ def generate_lattice(
     precision: str = "highest",
     state_scores: Optional[np.ndarray] = None,
     want_result: bool = False,
+    beam: Optional[float] = None,
+    max_active: Optional[int] = None,
 ):
     """Decode and emit a word lattice (HVite -z).
 
@@ -356,7 +474,8 @@ def generate_lattice(
         outp_states = _net_outp(net, comp, feats, precision)
 
     (vb, wnb, wtb), (WEb, pwnb, pwtb) = run_decode_batch(
-        outp_states[None, :, :], net, lm_scale, word_pen
+        outp_states[None, :, :], net, lm_scale, word_pen,
+        beam=beam, max_active=max_active,
     )
     v, wn, wt = vb[0], wnb[0], wtb[0]
     WEs = np.asarray(WEb[0])  # scan step t holds ends at time t-1

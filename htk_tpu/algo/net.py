@@ -69,6 +69,9 @@ class DecodeNetwork:
     n_states: int = 0
     n_chains: int = 0
     n_nodes: int = 0
+    # set by algo/lvnet.py: every chain padded to this many states and
+    # node == chain (rows). Enables the gather-free uniform decode scan.
+    uniform_width: Optional[int] = None
 
 
 def _maxplus_closure(null_arcs: np.ndarray) -> np.ndarray:

@@ -1,0 +1,141 @@
+"""LVCSR decode path: uniform-row networks (algo/lvnet), pruning,
+equivalence with the general decoder, lattices, batching."""
+
+import numpy as np
+import pytest
+
+from htk_tpu.algo.decode import decode, decode_batch, generate_lattice
+from htk_tpu.algo.lvnet import compile_lv_loop, lm_loop_matrices
+from htk_tpu.algo.net import compile_network
+from htk_tpu.io.dictionary import Vocab
+from htk_tpu.io.lm import NGramLM
+from htk_tpu.tools.hbuild import bigram_lattice, word_loop_lattice
+
+from test_decode import emit_frames, separable_set
+
+
+def make_vocab():
+    v = Vocab()
+    v.add_pron("A", ["aa"])
+    v.add_pron("I", ["iy"])
+    v.add_pron("S", ["sil"], out_sym="")
+    return v
+
+
+def make_lm(words=("A", "I", "S")):
+    """Back-off bigram LM whose explicit bigrams dominate the back-off
+    path, so network max-semantics == LM replace-semantics."""
+    lm = NGramLM(order=2)
+    n = len(words)
+    for w in words:
+        lm.unigrams[w] = (np.log(0.5 / n), np.log(0.1))
+    lm.unigrams["!ENTER"] = (-99.0, np.log(0.2))
+    lm.unigrams["!EXIT"] = (np.log(0.2), 0.0)
+    for w1 in list(words) + ["!ENTER"]:
+        for w2 in list(words) + ["!EXIT"]:
+            if w2 == "!ENTER" or w1 == "!EXIT":
+                continue
+            lm.bigrams[(w1, w2)] = (np.log(0.9 / (n + 1)), 0.0)
+    return lm
+
+
+class TestLVLoop:
+    def test_matches_general_decoder_no_lm(self):
+        comp = separable_set()
+        v = make_vocab()
+        words = ["A", "I", "S"]
+        net_g = compile_network(word_loop_lattice(words, probs=[0.0] * 3),
+                                v, comp)
+        net_lv = compile_lv_loop(words, v, comp)
+        assert net_lv.uniform_width is not None
+        for seed, seq in ((3, ["sil", "aa", "iy", "aa", "sil"]),
+                          (5, ["iy", "sil", "iy"])):
+            feats = emit_frames(seq, seed=seed)
+            rg = decode(net_g, comp, feats)
+            rl = decode(net_lv, comp, feats)
+            assert rg is not None and rl is not None
+            assert rl.words == rg.words
+            assert rl.times == rg.times
+            assert rl.score == pytest.approx(rg.score, rel=1e-6)
+
+    def test_matches_bigram_network(self):
+        comp = separable_set()
+        v = make_vocab()
+        words = ["A", "I", "S"]
+        lm = make_lm()
+        net_g = compile_network(
+            bigram_lattice(words, lm, "!ENTER", "!EXIT"), v, comp)
+        net_lv = compile_lv_loop(words, v, comp, lm=lm)
+        feats = emit_frames(["sil", "aa", "iy", "aa", "sil"], seed=3)
+        rg = decode(net_g, comp, feats, lm_scale=1.0)
+        rl = decode(net_lv, comp, feats, lm_scale=1.0)
+        assert rg is not None and rl is not None
+        assert rl.words == rg.words
+        assert rl.score == pytest.approx(rg.score, rel=1e-6)
+
+    def test_lm_loop_matrices_backoff(self):
+        lm = make_lm()
+        lm.bigrams.pop(("A", "I"))  # force back-off for this pair
+        tr, se, ee = lm_loop_matrices(["A", "I", "S"], lm)
+        assert tr[0, 1] == pytest.approx(lm.logp_bi("A", "I"))
+        assert tr[0, 2] == pytest.approx(lm.logp_bi("A", "S"))
+        assert se[1] == pytest.approx(lm.logp_bi("!ENTER", "I"))
+        assert ee[0] == pytest.approx(lm.logp_bi("A", "!EXIT"))
+
+
+class TestLVPruning:
+    def _nets(self):
+        comp = separable_set()
+        net = compile_lv_loop(["A", "I", "S"], make_vocab(), comp,
+                              lm=make_lm())
+        feats = emit_frames(["sil", "aa", "iy", "aa", "iy", "sil"], seed=11)
+        return comp, net, feats
+
+    def test_nonbinding_beams_exact(self):
+        """genBeam and maxActive that don't bind leave the result
+        bit-identical to the unpruned decode."""
+        comp, net, feats = self._nets()
+        r0 = decode(net, comp, feats)
+        r1 = decode(net, comp, feats, beam=1e9, max_active=net.n_nodes)
+        r2 = decode(net, comp, feats, beam=500.0, max_active=2)
+        assert r1.words == r0.words and r1.score == pytest.approx(
+            r0.score, rel=1e-9)
+        # 3 words but only 2 can be alive at once here; top-2 is exact
+        assert r2.words == r0.words and r2.score == pytest.approx(
+            r0.score, rel=1e-6)
+
+    def test_binding_beam_still_decodes(self):
+        comp, net, feats = self._nets()
+        r = decode(net, comp, feats, beam=30.0, max_active=1)
+        assert r is not None and len(r.words) >= 1
+
+
+class TestLVLattice:
+    def test_lattice_best_path_matches(self):
+        from htk_tpu.algo.latops import best_path
+
+        comp = separable_set()
+        net = compile_lv_loop(["A", "I", "S"], make_vocab(), comp,
+                              lm=make_lm())
+        feats = emit_frames(["sil", "aa", "iy", "sil"], seed=7)
+        lat, res = generate_lattice(net, comp, feats, want_result=True)
+        assert lat is not None and res is not None
+        score, path = best_path(lat)
+        words = [w for (w, _t, _a) in path if w not in ("!NULL", "", "S")]
+        assert words == list(res.words)
+
+
+class TestLVBatch:
+    def test_batched_equals_sequential(self):
+        comp = separable_set()
+        net = compile_lv_loop(["A", "I", "S"], make_vocab(), comp,
+                              lm=make_lm())
+        seqs = [["sil", "aa", "iy", "aa", "sil"],
+                ["sil", "iy", "sil"],
+                ["aa", "iy", "aa", "iy"]]
+        feats = [emit_frames(s, seed=i + 1) for i, s in enumerate(seqs)]
+        batch = decode_batch(net, comp, feats, pad_to=16)
+        for f, rb in zip(feats, batch):
+            rs = decode(net, comp, f)
+            assert rb.words == rs.words and rb.times == rs.times
+            assert rb.score == pytest.approx(rs.score, rel=1e-6)

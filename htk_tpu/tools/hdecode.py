@@ -3,14 +3,24 @@
 Mirrors `HTKLVRec/HDecode.c`'s role (SURVEY.md §2.4) with a TPU-shaped
 two-pass architecture instead of HLVRec's token-level LM states:
 
-  pass 1: the dense word-network scan (algo/decode) over a full-vocabulary
-          loop weighted by the LM's bigram component, generating a word
-          lattice per utterance;
+  pass 1: a dense full-vocabulary back-off bigram word loop scanned on
+          device (algo/lvnet uniform-row network for large vocabularies,
+          algo/net dense network below the LV threshold), with HLVRec's
+          pruning controls mapped onto dense compute: -t genBeam kills
+          states below the per-frame best, -u (maxModel/histogram role)
+          lets only the top-N word-ends propagate across words. A word
+          lattice is generated per utterance.
   pass 2: exact trigram best-path over that lattice
-          (algo/latops.best_path_trigram).
+          (algo/latops.best_path_trigram). With HNET: FORCECXTEXP = T
+          the lattice is first re-decoded through a lattice-constrained
+          cross-word triphone expansion (compile_network cross_word=True
+          on the pass-1 lattice), so cross-word acoustics are exact on
+          the lattice — the TPU answer to HLVNet's static cross-word
+          layers, which would need |contexts|^2 interior duplicates in a
+          dense layout.
 
-This mirrors how LVCSR systems actually deploy (bigram/lookahead search +
-n-gram rescoring); HLVRec's single-pass trigram tokens are an
+This mirrors how LVCSR systems actually deploy (bigram/lookahead search
++ n-gram rescoring); HLVRec's single-pass trigram tokens are an
 implementation detail of scalar CPUs, not a capability difference. The
 lattice beam bounds the approximation and is configurable.
 
@@ -21,9 +31,15 @@ Usage: HDecode [options] dictFile hmmList testFiles...
   -s f      LM scale      -p f  word insertion penalty
   -i mlf    output MLF    -l dir  output/lattice dir
   -z ext    also write the pass-1 lattices
-  -t f      lattice beam (default 250)
+  -t f      main beam (genBeam; 0 = off)
+  -u n      max active word-ends per frame (histogram pruning; 0 = off)
+  -n f      lattice beam (default 250)
   -o flags  output label format (accepted)
   Standard: -A -C -D -S -T -V
+
+Config: HTKTPU: LVDECODE = T/F forces/disables the uniform-row LV
+network (default: auto, on when the vocabulary has >= 800 words);
+HNET: FORCECXTEXP enables the cross-word pass as in HVite.
 """
 
 from __future__ import annotations
@@ -35,6 +51,7 @@ import numpy as np
 
 from ..algo.decode import generate_lattice
 from ..algo.latops import best_path_trigram
+from ..algo.lvnet import compile_lv_loop
 from ..algo.net import compile_network, word_internal_phone_map
 from ..io.dictionary import read_dict
 from ..io.lm import read_arpa
@@ -57,9 +74,13 @@ OPTS = {
     "i": Option("i", 1, "output MLF"),
     "l": Option("l", 1, "output dir"),
     "z": Option("z", 1, "lattice extension"),
-    "t": Option("t", 1, "lattice beam", typ=float),
+    "t": Option("t", 1, "main beam (genBeam)", typ=float),
+    "u": Option("u", 1, "max active word-ends", typ=int),
+    "n": Option("n", 1, "lattice beam", typ=float),
     "o": Option("o", 1, "output format flags"),
 }
+
+LV_VOCAB_THRESHOLD = 800
 
 
 def run(argv: List[str]) -> int:
@@ -87,27 +108,41 @@ def run(argv: List[str]) -> int:
     words = [w for w in lm.vocab if w in vocab.words]
     if not words:
         HError(8621, "HDecode: no LM words found in dictionary")
-    lat_net = bigram_lattice(words, lm, "!ENTER", "!EXIT")
     # HTK's HDecode assumes a cross-word-trained set; forcing cross-word
     # expansion on a word-internal set silently swaps word-edge models
     # for ones trained in other positions (FindModel fallback), so here
     # cross-word is opt-in: HNET: FORCECXTEXP = T. CFPHONES lists
     # transparent phones [LC].
     want_x = cfg.bool_("FORCECXTEXP", False, module="HNET") or False
-    if want_x:
-        cfp = (cfg.str_("CFPHONES", "sp", module="HNET") or "sp").split()
+    cfp = (cfg.str_("CFPHONES", "sp", module="HNET") or "sp").split()
+    lv_cfg = cfg.bool_("LVDECODE", None, module="HTKTPU")
+    use_lv = (len(words) >= LV_VOCAB_THRESHOLD
+              if lv_cfg is None else bool(lv_cfg))
+    pmap = word_internal_phone_map(comp.names)
+    if use_lv:
+        # uniform-row LV loop; cross-word exactness comes from the
+        # lattice-constrained pass 2 below
+        net = compile_lv_loop(words, vocab, comp, lm=lm, phone_map=pmap)
+        x_static = False
+    elif want_x:
+        lat_net = bigram_lattice(words, lm, "!ENTER", "!EXIT")
         net = compile_network(lat_net, vocab, comp, cross_word=True,
                               cf_phones=cfp)
+        x_static = True
     else:
-        pmap = word_internal_phone_map(comp.names)
+        lat_net = bigram_lattice(words, lm, "!ENTER", "!EXIT")
         net = compile_network(lat_net, vocab, comp, phone_map=pmap)
+        x_static = False
     if ta.trace:
         print(f"HDecode: vocab {len(words)}, network {net.n_states} states, "
-              f"{net.n_chains} chains")
+              f"{net.n_chains} chains"
+              + (" [LV uniform rows]" if use_lv else ""))
 
     lm_scale = float(ta.get("s", 1.0) or 1.0)
     word_pen = float(ta.get("p", 0.0) or 0.0)
-    beam = float(ta.get("t", 250.0) or 250.0)
+    main_beam = float(ta.get("t", 0.0) or 0.0) or None
+    max_active = int(ta.get("u", 0) or 0) or None
+    lat_beam = float(ta.get("n", 250.0) or 250.0)
     period = int(cfg.flt_("TARGETRATE", 100000.0, module="HPARM"))
     out_dir = ta.get("l")
     out_mlf_path = ta.get("i")
@@ -116,14 +151,26 @@ def run(argv: List[str]) -> int:
     for fn in files:
         data, _p, _k, e = open_speech_file(fn, cfg)
         lat = generate_lattice(
-            net, comp, data, lm_scale, word_pen, lattice_beam=beam,
-            frame_period_s=period / 1e7,
+            net, comp, data, lm_scale, word_pen, lattice_beam=lat_beam,
+            frame_period_s=period / 1e7, beam=main_beam,
+            max_active=max_active,
         )
         stem = os.path.splitext(os.path.basename(e.logical))[0]
         tr = Transcription(alternatives=[[]])
         if lat is None:
             HRError(8522, "HDecode: no paths for %s", e.logical)
         else:
+            if want_x and not x_static:
+                # pass 2a: lattice-constrained cross-word re-decode —
+                # context variants are bounded by the lattice's actual
+                # arcs, so the expansion stays small at any vocabulary
+                xnet = compile_network(lat, vocab, comp, cross_word=True,
+                                       cf_phones=cfp)
+                lat2 = generate_lattice(
+                    xnet, comp, data, lm_scale, word_pen,
+                    lattice_beam=lat_beam, frame_period_s=period / 1e7)
+                if lat2 is not None:
+                    lat = lat2
             if ta.has("z"):
                 lat.utterance = stem
                 write_slf(lat, os.path.join(out_dir or ".",

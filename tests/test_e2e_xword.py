@@ -102,3 +102,42 @@ def test_hdecode_cross_word_expansion(trained, capsys):
     assert hresults.run(["-I", "words.mlf", "monophones", "rechd.mlf"]) == 0
     out = capsys.readouterr().out
     assert "WORD: %Corr=100.00" in out
+
+
+def test_hdecode_lv_two_pass(trained, capsys):
+    """LVDECODE=T: uniform-row pass-1 loop + lattice-constrained
+    cross-word rescore must still decode the tiny corpus at 100%."""
+    from htk_tpu.tools import hhed, lbuild, hdecode, hresults
+
+    ctx = ["aa", "iy", "sil"]
+    tris = [f"{l}-{p}+{r}" for p in ("aa", "iy") for l in ctx for r in ctx]
+    open("trilist", "w").write("\n".join(["aa", "iy", "sil"] + tris) + "\n")
+    open("cl.hed", "w").write("CL trilist\n")
+    assert hhed.run(["-H", "hmm2/hmmdefs", "-M", "tri0",
+                     "cl.hed", "monophones"]) == 0
+
+    sents, cur = [], []
+    for ln in open("words.mlf"):
+        ln = ln.strip()
+        if ln.startswith('"'):
+            cur = []
+        elif ln == ".":
+            sents.append(" ".join(cur))
+        elif ln and ln != "#!MLF!#":
+            cur.append(ln)
+    open("words.txt", "w").write("\n".join(sents) + "\n")
+    assert lbuild.run(["-n", "2", "wlist", "lm2.arpa", "words.txt"]) == 0
+
+    open("cfglv", "w").write(
+        "TARGETKIND = MFCC_E_D_A\nHNET: FORCECXTEXP = T\n"
+        "HTKTPU: LVDECODE = T\n")
+    # with pruning flags on (generous beams: must not change the result)
+    assert hdecode.run(["-C", "cfglv", "-T", "1", "-w", "lm2.arpa",
+                        "-p", "-8", "-t", "500.0", "-u", "8",
+                        "-i", "reclv.mlf", "-H", "tri0/hmmdefs",
+                        "-S", "train.scp", "dict", "trilist"]) == 0
+    out = capsys.readouterr().out
+    assert "[LV uniform rows]" in out
+    assert hresults.run(["-I", "words.mlf", "monophones", "reclv.mlf"]) == 0
+    out = capsys.readouterr().out
+    assert "WORD: %Corr=100.00" in out

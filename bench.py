@@ -1,26 +1,39 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
 Headline metric: HVite-style word-loop Viterbi decode real-time factor
-(xRT) per chip on a synthetic RM-like task (100-word loop, 40 monophone
-8-mix 39-dim GMM-HMMs, 5 s utterances). BASELINE.md north star:
-< 0.01 xRT per chip on TPU v5e; `vs_baseline` reports target/actual so
-values > 1.0 beat the target.
+(xRT) per chip at BASELINE config #4 scale: 1,000-word vocabulary,
+back-off bigram LM on the links, tied-state 8-mixture word-internal
+triphones (2,000 physical tied states, 39-dim), 5 s utterances, decoded
+through the uniform-row LV network (algo/lvnet). BASELINE.md north
+star: < 0.01 xRT per chip on TPU v5e; `vs_baseline` reports
+target/actual so values > 1.0 beat the target.
 
-Also measures HERest Baum-Welch accumulation throughput (utterances/sec/
-chip) and reports it inside the JSON line's `extra` field.
+Extras inside the JSON line:
+  - hdecode_5kvocab_xrt:   config #5 scale (5,000 words, back-off bigram
+    pass-1 with word-end histogram pruning -u 256) — the LVCSR
+    feasibility number the round-1 verdict asked for.
+  - hvite_100w_loop_xrt:   the round-1 headline (kept for continuity).
+  - herest_bw_utt_per_sec_per_chip: Baum-Welch accumulation throughput.
 
-Run on the real chip (default env). Use JAX_PLATFORMS=cpu for a smoke run.
+Features are synthetic noise: xRT measures compute, not WER (WER
+pipelines are exercised in tests/ on synthesized speech).
+
+Run on the real chip (default env). Use JAX_PLATFORMS=cpu for a smoke
+run (BENCH_SMOKE=1 shrinks sizes).
 """
 
 from __future__ import annotations
 
 import json
 import math
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 
 
 def build_model(n_phones=40, nstates=5, dim=39, nmix=8, seed=0):
@@ -38,6 +51,121 @@ def build_model(n_phones=40, nstates=5, dim=39, nmix=8, seed=0):
                 mp.var = (0.5 + rng.random(dim)).astype(np.float32)
                 mp.fix_gconst()
     return compile_hmmset(cl), names
+
+
+def build_tied_triphone_system(n_words, n_phones=40, n_tied=2000, nmix=8,
+                               dim=39, seed=0):
+    """Synthetic tied-state word-internal triphone system at config-#4
+    scale: a pool of `n_tied` shared 8-mix states (the decision-tree
+    tying outcome), word-internal triphones drawing 3 emitting states
+    each from the pool, a random 3-5 phone lexicon, and a back-off
+    bigram LM. Vocab prons hold the triphone names directly."""
+    from htk_tpu.io.dictionary import Vocab
+    from htk_tpu.io.lm import NGramLM
+    from htk_tpu.io.mmf import HMMSet, HMMDef, MixPDF, StateInfo, StreamElem
+    from htk_tpu.io.parmkind import str2parmkind
+    from htk_tpu.models.hmmset import compile_hmmset
+    from htk_tpu.models.proto import left_to_right_transp
+
+    rng = np.random.default_rng(seed)
+    phones = [f"p{i}" for i in range(n_phones)]
+
+    # lexicon over monophone strings
+    lex = {}
+    words = []
+    for i in range(n_words):
+        w = f"w{i}"
+        n_ph = int(rng.integers(3, 6))
+        lex[w] = [phones[j] for j in rng.integers(0, n_phones, n_ph)]
+        words.append(w)
+
+    # word-internal triphone names per pron
+    def internal(ph):
+        out = []
+        n = len(ph)
+        for k, p in enumerate(ph):
+            l = ph[k - 1] if k > 0 else None
+            r = ph[k + 1] if k < n - 1 else None
+            if l and r:
+                out.append(f"{l}-{p}+{r}")
+            elif r:
+                out.append(f"{p}+{r}")
+            elif l:
+                out.append(f"{l}-{p}")
+            else:
+                out.append(p)
+        return out
+
+    vocab = Vocab()
+    tri_names = set()
+    for w in words:
+        tri = internal(lex[w])
+        vocab.add_pron(w, tri)
+        tri_names.update(tri)
+
+    # shared tied-state pool
+    pool = []
+    for _ in range(n_tied):
+        se = StreamElem(
+            weights=[1.0 / nmix] * nmix,
+            mixes=[
+                MixPDF(
+                    mean=(rng.normal(size=dim) * 2).astype(np.float32),
+                    var=(0.5 + rng.random(dim)).astype(np.float32),
+                )
+                for _ in range(nmix)
+            ],
+        )
+        for mp in se.mixes:
+            mp.fix_gconst()
+        pool.append(StateInfo(streams=[se]))
+    tp = left_to_right_transp(5)
+
+    hset = HMMSet(vec_size=dim, parm_kind=str2parmkind("MFCC_E_D_A"))
+    for name in sorted(tri_names):
+        picks = rng.integers(0, n_tied, 3)
+        hset.hmms[name] = HMMDef(
+            name=name, nstates=5,
+            states=[pool[k] for k in picks], transp=tp)
+    comp = compile_hmmset(hset)
+
+    # back-off bigram LM: each word has ~20 favoured successors
+    lm = NGramLM(order=2)
+    uni = math.log(0.5 / n_words)
+    for w in words:
+        lm.unigrams[w] = (uni, math.log(0.5))
+    lm.unigrams["!ENTER"] = (-99.0, math.log(0.5))
+    lm.unigrams["!EXIT"] = (uni, 0.0)
+    fanout = 20
+    for w in words:
+        succ = rng.integers(0, n_words, fanout)
+        for j in set(int(x) for x in succ):
+            lm.bigrams[(w, words[j])] = (math.log(0.4 / fanout), 0.0)
+    return comp, vocab, words, lm
+
+
+def bench_decode_lv(comp, vocab, words, lm, T=500, batch=8, n_batches=2,
+                    max_active=None, seed=2):
+    """Batched LV word-loop decode; returns xRT per chip (full pipeline:
+    OutP + scan + host traceback)."""
+    from htk_tpu.algo.decode import decode_batch
+    from htk_tpu.algo.lvnet import compile_lv_loop
+
+    net = compile_lv_loop(words, vocab, comp, lm=lm)
+    rng = np.random.default_rng(seed)
+    dim = comp.means.shape[1]
+    feats = [rng.normal(size=(T, dim)).astype(np.float32)
+             for _ in range(batch)]
+    out = decode_batch(net, comp, feats, lm_scale=8.0, word_pen=-10.0,
+                       max_active=max_active)  # warm up / compile
+    assert any(r is not None for r in out)
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        out = decode_batch(net, comp, feats, lm_scale=8.0, word_pen=-10.0,
+                           max_active=max_active)
+    dt = time.perf_counter() - t0
+    audio_seconds = n_batches * batch * T * 0.01
+    return dt / audio_seconds, net
 
 
 def build_net(comp, names, vocab_size=100, seed=1):
@@ -58,7 +186,7 @@ def build_net(comp, names, vocab_size=100, seed=1):
 
 
 def bench_decode(comp, net, n_utts=16, T=500, dim=39, batch=8, seed=2):
-    """Batched decode throughput; returns xRT per chip."""
+    """Batched decode throughput on the round-1 100-word loop."""
     from htk_tpu.algo.decode import run_decode_batch
     from htk_tpu.ops.outp import all_state_outp
 
@@ -81,22 +209,19 @@ def bench_decode(comp, net, n_utts=16, T=500, dim=39, batch=8, seed=2):
 
         return jax.vmap(one)(feats)
 
-    def decode_batch(feats):
-        # fused Pallas kernel on TPU, lax.scan elsewhere (algo/decode.py)
+    def decode_batch_(feats):
         return run_decode_batch(outp_batch(feats), net, 1.0, -10.0)
 
     feats = jnp.asarray(rng.normal(size=(batch, T, dim)).astype(np.float32))
-    # warm up / compile
-    out = decode_batch(feats)
+    out = decode_batch_(feats)
     jax.block_until_ready(out)
-
     n_batches = max(1, n_utts // batch)
     t0 = time.perf_counter()
     for _ in range(n_batches):
-        out = decode_batch(feats)
+        out = decode_batch_(feats)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    audio_seconds = n_batches * batch * T * 0.01  # 10 ms frames
+    audio_seconds = n_batches * batch * T * 0.01
     return dt / audio_seconds
 
 
@@ -124,23 +249,50 @@ def bench_herest(comp, names, n_utts=16, T=500, dim=39, seed=3):
 
 def main():
     backend = jax.default_backend()
-    comp, names = build_model()
-    net = build_net(comp, names)
-    xrt = bench_decode(comp, net)
-    utt_s = bench_herest(comp, names)
     target = 0.01
+
+    # headline: config #4 — 1k-vocab back-off bigram, tied 8-mix triphones
+    n1k = 100 if SMOKE else 1000
+    comp1, vocab1, words1, lm1 = build_tied_triphone_system(
+        n1k, n_tied=(200 if SMOKE else 2000))
+    T1 = 100 if SMOKE else 500
+    xrt_1k, net1 = bench_decode_lv(comp1, vocab1, words1, lm1, T=T1,
+                                   batch=(2 if SMOKE else 8))
+
+    # config #5 scale: 5k vocab with histogram pruning
+    n5k = 200 if SMOKE else 5000
+    comp5, vocab5, words5, lm5 = build_tied_triphone_system(
+        n5k, n_tied=(200 if SMOKE else 2000), seed=7)
+    xrt_5k, net5 = bench_decode_lv(
+        comp5, vocab5, words5, lm5, T=(100 if SMOKE else 300),
+        batch=(2 if SMOKE else 4), n_batches=1, max_active=256)
+
+    # round-1 continuity numbers
+    comp0, names0 = build_model()
+    net0 = build_net(comp0, names0)
+    xrt_100 = bench_decode(comp0, net0, T=(100 if SMOKE else 500),
+                           batch=(2 if SMOKE else 8))
+    utt_s = bench_herest(comp0, names0, n_utts=(4 if SMOKE else 16),
+                         T=(100 if SMOKE else 500))
+
     print(
         json.dumps(
             {
-                "metric": "hvite_decode_xrt_per_chip",
-                "value": round(xrt, 6),
+                "metric": "hvite_1kvocab_bigram_xrt_per_chip",
+                "value": round(xrt_1k, 6),
                 "unit": "xRT",
-                "vs_baseline": round(target / xrt, 3),
+                "vs_baseline": round(target / xrt_1k, 3),
                 "extra": {
+                    "hdecode_5kvocab_xrt": round(xrt_5k, 6),
+                    "hvite_100w_loop_xrt": round(xrt_100, 6),
                     "herest_bw_utt_per_sec_per_chip": round(utt_s, 2),
                     "backend": backend,
-                    "decode_network_states": int(net.n_states),
-                    "note": "vs_baseline = 0.01 xRT north-star target / measured",
+                    "net_1k_states": int(net1.n_states),
+                    "net_5k_states": int(net5.n_states),
+                    "note": "headline = BASELINE config #4 (1k-vocab "
+                            "back-off bigram, tied-state 8-mix "
+                            "triphones); vs_baseline = 0.01 xRT target "
+                            "/ measured",
                 },
             }
         )

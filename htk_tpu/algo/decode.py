@@ -336,6 +336,106 @@ def _finalize(net, WEs, pwns, pwts, WE_fin, pwn_fin, pwt_fin, T_real,
     )
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def _traceback_device(vb, wnb, wtb, WEb, pwnb, pwtb, aE, end_exit_s,
+                      t_reals, S: int):
+    """Batched ON-DEVICE record walk for uniform-row nets.
+
+    Shipping the (B, T, C) word-end planes to the host costs ~50 MB per
+    batch at LV sizes — orders of magnitude more bytes than the answer.
+    This walks the backpointers on device with a T-step scan (two scalar
+    gathers per step) and returns (B, T) int32 planes: per-step
+    (node, t_start, t_end) of the traceback in reverse order, -1 padded,
+    plus the final path score. Mirrors _finalize()'s host walk exactly.
+    """
+    B, T, C = WEb.shape
+    IMIN = jnp.iinfo(jnp.int32).min
+    col = jnp.arange(S, dtype=jnp.int32)[None, :]
+
+    def one(v, wn, wt, WEs, pwns, pwts, tr):
+        # final records: plane row tr when tr < T (ends at tr-1 are
+        # emitted by scan step tr), else computed from the final carry
+        ev = (v + aE).reshape(C, S)
+        WEl = jnp.max(ev, axis=1)
+        best_s = jnp.argmax(ev, axis=1)
+        onehot = best_s[:, None] == col
+        okl = WEl > LSMALL
+        pwnl = jnp.where(
+            okl, jnp.max(jnp.where(onehot, wn.reshape(C, S), IMIN), axis=1),
+            -1)
+        pwtl = jnp.where(
+            okl, jnp.max(jnp.where(onehot, wt.reshape(C, S), IMIN), axis=1),
+            -1)
+        use_last = tr >= T
+        trc = jnp.clip(tr, 0, T - 1)
+        WE_fin = jnp.where(use_last, WEl, WEs[trc])
+        pwn_fin = jnp.where(use_last, pwnl, pwns[trc])
+        pwt_fin = jnp.where(use_last, pwtl, pwts[trc])
+
+        final = WE_fin + end_exit_s
+        i0 = jnp.argmax(final).astype(jnp.int32)
+        score = final[i0]
+        ok = score > LSMALL
+
+        def step(carry, _):
+            node, t, pn, pt, alive = carry
+            out = (jnp.where(alive, node, -1),
+                   jnp.where(alive, pt + 1, -1),
+                   jnp.where(alive, t, -1))
+            stop = (pn < 0) | (pt < 0)
+            it = jnp.clip(pt + 1, 0, T - 1)
+            inn = jnp.clip(pn, 0, C - 1)
+            npn = jnp.where(stop, -1, pwns[it, inn])
+            npt = jnp.where(stop, -1, pwts[it, inn])
+            nnode = jnp.where(stop, node, pn)
+            nt = jnp.where(stop, t, pt)
+            return (nnode, nt, npn, npt, alive & ~stop), out
+
+        init = (i0, tr - 1,
+                jnp.where(ok, pwn_fin[i0], -1),
+                jnp.where(ok, pwt_fin[i0], -1), ok)
+        _c, (nodes, t0s, t1s) = jax.lax.scan(step, init, None, length=T)
+        return nodes, t0s, t1s, score
+
+    return jax.vmap(one)(vb, wnb, wtb, WEb, pwnb, pwtb, t_reals)
+
+
+def _finalize_uniform_batch(net, carry, planes, t_reals, lm_scale):
+    """Device traceback + tiny transfer for uniform-row nets."""
+    (vb, wnb, wtb) = carry
+    (WEb, pwnb, pwtb) = planes
+    nodes_b, t0_b, t1_b, scores_b = _traceback_device(
+        vb, wnb, wtb, WEb, pwnb, pwtb, jnp.asarray(net.aE),
+        jnp.asarray(net.end_exit * lm_scale),
+        jnp.asarray(t_reals, jnp.int32), S=net.uniform_width)
+    nodes_b = np.asarray(nodes_b)
+    t0_b = np.asarray(t0_b)
+    t1_b = np.asarray(t1_b)
+    scores_b = np.asarray(scores_b)
+    out: List[Optional[DecodeResult]] = []
+    for b in range(nodes_b.shape[0]):
+        if scores_b[b] <= LSMALL:
+            out.append(None)
+            continue
+        words, nds, times, wscores = [], [], [], []
+        valid = nodes_b[b] >= 0
+        for k in range(int(valid.sum()) - 1, -1, -1):  # reverse order
+            node = int(nodes_b[b, k])
+            sym = net.node_out[node]
+            sym = net.node_words[node] if sym is None else sym
+            if sym:
+                words.append(sym)
+                nds.append(node)
+                times.append((int(t0_b[b, k]), int(t1_b[b, k])))
+                wscores.append(0.0)
+        out.append(DecodeResult(words=words, word_nodes=nds, times=times,
+                                score=float(scores_b[b]), scores=wscores))
+    return out
+
+
 def _net_outp(net, comp, feats, precision):
     """(T, Ns) network-state observation log-likelihoods."""
     logb, _ = all_state_outp(
@@ -379,6 +479,9 @@ def decode(
         outp_states[None, :, :], net, lm_scale, word_pen,
         beam=beam, max_active=max_active,
     )
+    if net.uniform_width:
+        return _finalize_uniform_batch(
+            net, (vb, wnb, wtb), (WEs, pwns, pwts), [T], lm_scale)[0]
     WE_fin, pwn_fin, pwt_fin = _final_records(net, vb[0], wnb[0], wtb[0])
     return _finalize(net, np.asarray(WEs[0]), np.asarray(pwns[0]),
                      np.asarray(pwts[0]), WE_fin, pwn_fin, pwt_fin, T,
@@ -418,6 +521,9 @@ def decode_batch(
         jnp.asarray(fb))
     (vb, wnb, wtb), (WEb, pwnb, pwtb) = run_decode_batch(
         outp, net, lm_scale, word_pen, beam=beam, max_active=max_active)
+    if net.uniform_width:
+        return _finalize_uniform_batch(
+            net, (vb, wnb, wtb), (WEb, pwnb, pwtb), lens, lm_scale)
     WEb = np.asarray(WEb)
     pwnb = np.asarray(pwnb)
     pwtb = np.asarray(pwtb)

@@ -43,6 +43,9 @@ class DecodeResult:
     scores: List[float]  # per-word segment scores
 
 
+_BEAM_OFF = 1e30  # genBeam "off": never binds (scores live above LZERO)
+
+
 def _shift_down(x, k, fill):
     """y[s] = x[s-k] with fill for s < k."""
     if k == 0:
@@ -146,8 +149,8 @@ def decode_scan_uniform(
     entry_bonus_row,  # (C,) log pron prob per row
     trans,  # (C, C) scaled LM matrix (rows = nodes = chains)
     start_entry,  # (C,)
-    word_pen: float,
-    beam: Optional[float] = None,
+    word_pen,
+    beam=1e30,
     max_active: Optional[int] = None,
 ):
     """Uniform-width token-passing update (the HLVRec-scale path).
@@ -160,9 +163,11 @@ def decode_scan_uniform(
     no gathers anywhere.
 
     `beam`: HRec genBeam — states scoring below (best - beam) die each
-    frame. `max_active`: HLVRec histogram/maxModel pruning — only the
-    top `max_active` word-end rows propagate across words this frame
-    (exact whenever it covers every live word end, tested).
+    frame; may be a traced scalar (1e30 = off, same jaxpr either way).
+    `max_active`: HLVRec histogram/maxModel pruning — only the top
+    `max_active` word-end rows propagate across words this frame (exact
+    whenever it covers every live word end, tested). lm_scale/word_pen/
+    beam are traced so one compiled program serves all values.
     """
     T, Ns = outp_states.shape
     C = Ns // S
@@ -220,8 +225,7 @@ def decode_scan_uniform(
         # 4. combine + prune
         use_entry = entry_flat > within
         new_v = jnp.maximum(within, entry_flat) + outp_t
-        if beam is not None:
-            new_v = jnp.where(new_v < jnp.max(new_v) - beam, neg, new_v)
+        new_v = jnp.where(new_v < jnp.max(new_v) - beam, neg, new_v)
         new_wn = jnp.where(use_entry, an_flat, wwn)
         new_wt = jnp.where(use_entry, t - 1, wwt)
         dead = new_v <= LSMALL
@@ -238,6 +242,34 @@ def decode_scan_uniform(
     return jax.lax.scan(step, init, (outp_states, jnp.arange(T)))
 
 
+def _net_dev(net: DecodeNetwork) -> dict:
+    """Per-network device-array cache.
+
+    Host->device transfer runs at ~50 MB/s through this box's tunnel (a
+    5k-word trans matrix is 121 MB); on any hardware re-uploading the
+    static network every call is waste. Arrays are pushed once and the
+    jitted callables built against them are cached alongside.
+    """
+    d = getattr(net, "_dev_cache", None)
+    if d is None:
+        d = {
+            "band": jnp.asarray(net.band),
+            "a0": jnp.asarray(net.a0),
+            "aE": jnp.asarray(net.aE),
+            "trans": jnp.asarray(net.trans),
+            "start": jnp.asarray(net.start_entry),
+            "bonus": jnp.asarray(net.chain_pron_prob),
+            "node_of_state": jnp.asarray(net.node_of_chain[net.chain_of]),
+            "entry_bonus": jnp.asarray(
+                net.chain_pron_prob[net.chain_of]),
+            "comp_state": jnp.asarray(net.comp_state),
+            "end_exit": jnp.asarray(net.end_exit),
+            "jits": {},
+        }
+        net._dev_cache = d
+    return d
+
+
 def run_decode_batch(
     outp_states,  # (B, T, Ns)
     net: DecodeNetwork,
@@ -249,20 +281,30 @@ def run_decode_batch(
     """Dispatch the decode recursion: uniform-row scan for lvnet
     networks, fused Pallas kernel on TPU, the lax.scan reference
     elsewhere. Outputs are identical (tested)."""
-    node_of_state = jnp.asarray(net.node_of_chain[net.chain_of])
-    entry_bonus = jnp.asarray(net.chain_pron_prob[net.chain_of])
-    trans = jnp.asarray(net.trans * lm_scale)
-    start_entry = jnp.asarray(net.start_entry * lm_scale)
-    band = jnp.asarray(net.band)
-    a0 = jnp.asarray(net.a0)
-    aE = jnp.asarray(net.aE)
+    d = _net_dev(net)
     if net.uniform_width:
-        fn = lambda o: decode_scan_uniform(  # noqa: E731
-            o, band, a0, aE, net.uniform_width,
-            jnp.asarray(net.chain_pron_prob), trans, start_entry,
-            float(word_pen), beam, max_active,
-        )
-        return jax.vmap(fn)(outp_states)
+        key = ("scan", max_active)
+        fn = d["jits"].get(key)
+        if fn is None:
+            S = net.uniform_width
+
+            def scan_all(outp, lm_scale_, word_pen_, beam_):
+                one = lambda o: decode_scan_uniform(  # noqa: E731
+                    o, d["band"], d["a0"], d["aE"], S, d["bonus"],
+                    d["trans"] * lm_scale_, d["start"] * lm_scale_,
+                    word_pen_, beam_, max_active,
+                )
+                return jax.vmap(one)(outp)
+
+            fn = jax.jit(scan_all)
+            d["jits"][key] = fn
+        return fn(outp_states, float(lm_scale), float(word_pen),
+                  _BEAM_OFF if beam is None else float(beam))
+    trans = d["trans"] * lm_scale
+    start_entry = d["start"] * lm_scale
+    node_of_state = d["node_of_state"]
+    entry_bonus = d["entry_bonus"]
+    band, a0, aE = d["band"], d["a0"], d["aE"]
     if jax.default_backend() == "tpu":
         from ..ops.decode_pallas import decode_scan_pallas, make_maskf
 
@@ -403,18 +445,55 @@ def _traceback_device(vb, wnb, wtb, WEb, pwnb, pwtb, aE, end_exit_s,
     return jax.vmap(one)(vb, wnb, wtb, WEb, pwnb, pwtb, t_reals)
 
 
-def _finalize_uniform_batch(net, carry, planes, t_reals, lm_scale):
-    """Device traceback + tiny transfer for uniform-row nets."""
-    (vb, wnb, wtb) = carry
-    (WEb, pwnb, pwtb) = planes
-    nodes_b, t0_b, t1_b, scores_b = _traceback_device(
-        vb, wnb, wtb, WEb, pwnb, pwtb, jnp.asarray(net.aE),
-        jnp.asarray(net.end_exit * lm_scale),
-        jnp.asarray(t_reals, jnp.int32), S=net.uniform_width)
-    nodes_b = np.asarray(nodes_b)
-    t0_b = np.asarray(t0_b)
-    t1_b = np.asarray(t1_b)
-    scores_b = np.asarray(scores_b)
+def _lv_pipeline(net, comp, precision, max_active, state_mode=False):
+    """ONE jitted program per net: OutP -> scan -> device traceback.
+
+    Through the dev tunnel every eager dispatch costs ~1 ms and every
+    host->device upload ~50 MB/s; fusing the whole decode into a single
+    compiled call (network arrays cached on device, model params baked
+    as constants) is what actually delivers the scan's measured speed.
+    lm_scale / word_pen / beam are traced operands, so one executable
+    serves all settings; max_active changes the program (static).
+    """
+    d = _net_dev(net)
+    key = ("pipe", precision, max_active, state_mode,
+           id(comp) if comp is not None else None)
+    fn = d["jits"].get(key)
+    if fn is None:
+        S = net.uniform_width
+
+        def pipe(x, t_reals, lm_scale, word_pen, beam):
+            if state_mode:  # x = (B, T, S_phys) external state scores
+                outp = x[:, :, d["comp_state"]]
+            else:  # x = (B, T, D) features
+                outp = jax.vmap(
+                    lambda f: _net_outp(net, comp, f, precision))(x)
+            one = lambda o: decode_scan_uniform(  # noqa: E731
+                o, d["band"], d["a0"], d["aE"], S, d["bonus"],
+                d["trans"] * lm_scale, d["start"] * lm_scale,
+                word_pen, beam, max_active,
+            )
+            (vb, wnb, wtb), (WEs, pwns, pwts) = jax.vmap(one)(outp)
+            return _traceback_device(
+                vb, wnb, wtb, WEs, pwns, pwts, d["aE"],
+                d["end_exit"] * lm_scale, t_reals, S=S)
+
+        fn = jax.jit(pipe)
+        d["jits"][key] = fn
+    return fn
+
+
+def _decode_uniform(net, comp, x, t_reals, lm_scale, word_pen, beam,
+                    max_active, precision, state_mode=False):
+    fn = _lv_pipeline(net, comp, precision, max_active, state_mode)
+    nodes, t0s, t1s, scores = fn(
+        x, jnp.asarray(t_reals, jnp.int32), float(lm_scale),
+        float(word_pen), _BEAM_OFF if beam is None else float(beam))
+    return _format_uniform_results(net, np.asarray(nodes), np.asarray(t0s),
+                                   np.asarray(t1s), np.asarray(scores))
+
+
+def _format_uniform_results(net, nodes_b, t0_b, t1_b, scores_b):
     out: List[Optional[DecodeResult]] = []
     for b in range(nodes_b.shape[0]):
         if scores_b[b] <= LSMALL:
@@ -469,6 +548,15 @@ def decode(
     model — the hybrid-decoding hook (ANN log-posterior/prior scores).
     """
     T = feats.shape[0]
+    if net.uniform_width:
+        if state_scores is not None:
+            x = jnp.asarray(state_scores, jnp.float32)[None]
+            return _decode_uniform(net, None, x, [T], lm_scale, word_pen,
+                                   beam, max_active, precision,
+                                   state_mode=True)[0]
+        x = jnp.asarray(feats, jnp.float32)[None]
+        return _decode_uniform(net, comp, x, [T], lm_scale, word_pen,
+                               beam, max_active, precision)[0]
     if state_scores is not None:
         logb = jnp.asarray(state_scores, jnp.float32)
         outp_states = logb[:, jnp.asarray(net.comp_state)]
@@ -479,9 +567,6 @@ def decode(
         outp_states[None, :, :], net, lm_scale, word_pen,
         beam=beam, max_active=max_active,
     )
-    if net.uniform_width:
-        return _finalize_uniform_batch(
-            net, (vb, wnb, wtb), (WEs, pwns, pwts), [T], lm_scale)[0]
     WE_fin, pwn_fin, pwt_fin = _final_records(net, vb[0], wnb[0], wtb[0])
     return _finalize(net, np.asarray(WEs[0]), np.asarray(pwns[0]),
                      np.asarray(pwts[0]), WE_fin, pwn_fin, pwt_fin, T,
@@ -517,13 +602,13 @@ def decode_batch(
     for b, f in enumerate(feats_list):
         fb[b, : lens[b]] = f
 
+    if net.uniform_width:
+        return _decode_uniform(net, comp, jnp.asarray(fb), lens, lm_scale,
+                               word_pen, beam, max_active, precision)
     outp = jax.vmap(lambda x: _net_outp(net, comp, x, precision))(
         jnp.asarray(fb))
     (vb, wnb, wtb), (WEb, pwnb, pwtb) = run_decode_batch(
         outp, net, lm_scale, word_pen, beam=beam, max_active=max_active)
-    if net.uniform_width:
-        return _finalize_uniform_batch(
-            net, (vb, wnb, wtb), (WEb, pwnb, pwtb), lens, lm_scale)
     WEb = np.asarray(WEb)
     pwnb = np.asarray(pwnb)
     pwtb = np.asarray(pwtb)

@@ -99,6 +99,31 @@ def run(argv: List[str]) -> int:
             lab = hits[occ - 1]
             data = data[int(lab.start // period) : int(lab.end // period)]
         out_kind = kind
+        # DISCRETE / _V target: vector-quantise against HPARM: VQTABLE
+        # (HParm.c's VQ path feeding DISCRETE systems)
+        tk = cfg.str_("TARGETKIND", None, module="HPARM")
+        tkc = pk.str2parmkind(tk) if tk else None
+        if tkc is not None and (
+                pk.base_kind(tkc) == pk.BASE_KINDS.index("DISCRETE")
+                or (tkc & pk.HASVQ)):
+            from ..io.vq import load_vq
+
+            vq_path = cfg.str_("VQTABLE", None, module="HPARM")
+            if not vq_path:
+                HError(6350,
+                       "HCopy: DISCRETE/_V output needs HPARM: VQTABLE")
+            vq = load_vq(vq_path)
+            cols, o = [], 0
+            x = np.asarray(data, np.float32)
+            for s, cb in enumerate(vq.codebooks):
+                w = cb.shape[1]
+                cols.append(vq.quantize(x[:, o : o + w], s))
+                o += w
+            if o != data.shape[1]:
+                HError(6350, "HCopy: VQ table width %d != feature width %d",
+                       o, data.shape[1])
+            data = np.stack(cols, axis=1).astype(np.int16)
+            out_kind = pk.BASE_KINDS.index("DISCRETE") | pk.HASVQ
         if save_comp:
             out_kind |= pk.HASCOMPX
         if save_crc:

@@ -464,13 +464,86 @@ class Editor:
                   f"nodes over {len(classes)} Gaussians (sizes {list(sizes)})")
 
     def cmd_hk(self, kind: str):
-        """HK: set the HMM-set kind flag (PLAINHS/SHAREDHS/TIEDHS/DISCRETEHS).
+        """HK kind: convert the HMM-set kind (HHEd.c SetHMMSetKind).
 
-        Parameter layout conversion beyond the flag (e.g. continuous ->
-        discrete) is not performed; the flag is recorded for parity. [LC]
+        PLAINHS/SHAREDHS need no parameter change here (tying is
+        identity-based, so both layouts are the same object graph).
+        DISCRETEHS converts a continuous set to discrete output
+        distributions: each VQ codeword centroid is scored under every
+        state's GMM and the scores normalised over the codebook —
+        b_j(k) = P(mu_k | state j) / sum_k' P(mu_k' | state j) — the
+        HTKBook's continuous->discrete recipe. The codebook (HQuants
+        output) comes from config `HHED: VQTABLE`. TIEDHS (TMIX pools)
+        is rejected loudly rather than half-converted. [LC]
         """
-        self.hset.hmm_set_id = kind
-        HRError(2640, "HHEd: HK records the kind only (no conversion)")
+        import numpy as _np
+
+        from ..io import parmkind as _pk
+        from ..io.mmf import MINMIX, StreamElem, logp_to_dprob
+        from ..io.vq import load_vq
+        from ..utils.logmath import LZERO as _LZ
+
+        kind = kind.upper()
+        hs = self.hset
+        if kind in ("PLAINHS", "SHAREDHS"):
+            hs.hmm_set_id = kind
+            return
+        if kind != "DISCRETEHS":
+            HError(2640, "HHEd: HK %s conversion unsupported", kind)
+        path = (self.cfg.str_("VQTABLE", None, module="HHED")
+                if self.cfg else None)
+        if not path:
+            HError(2640, "HHEd: HK DISCRETEHS needs config HHED: VQTABLE")
+        vq = load_vq(path)
+        widths = hs.swidth
+        if [cb.shape[1] for cb in vq.codebooks] != list(widths):
+            HError(2640, "HHEd: HK VQ stream widths %s != set widths %s",
+                   [cb.shape[1] for cb in vq.codebooks], widths)
+
+        def logsumexp(a, axis=0):
+            hi = _np.max(a, axis=axis, keepdims=True)
+            return (hi + _np.log(_np.sum(_np.exp(a - hi), axis=axis,
+                                         keepdims=True))).squeeze(axis)
+
+        done = set()
+        n_conv = 0
+        for h in hs.hmms.values():
+            for si in h.states:
+                if id(si) in done:
+                    continue
+                done.add(id(si))
+                new_streams = []
+                for s, se in enumerate(si.streams):
+                    cb = vq.codebooks[s].astype(_np.float64)
+                    lps = []
+                    for w, mp in zip(se.weights, se.mixes):
+                        if mp is None or w < MINMIX:
+                            continue
+                        d = cb - mp.mean[None].astype(_np.float64)
+                        maha = ((d * d) / mp.var[None]).sum(axis=1)
+                        lps.append(_np.log(max(w, 1e-30))
+                                   - 0.5 * (mp.gconst + maha))
+                    if not lps:
+                        lp = _np.full(cb.shape[0], _LZ)
+                    else:
+                        lp = logsumexp(_np.stack(lps), axis=0)
+                        lp = lp - logsumexp(lp, axis=0)  # sum_k b(k) = 1
+                    ns = StreamElem()
+                    ns.dprobs = logp_to_dprob(lp)
+                    new_streams.append(ns)
+                si.streams[:] = new_streams
+                si.stream_weights = None
+                n_conv += 1
+        # Gaussian macros are gone with the Gaussians
+        for mac in ("m", "u", "v", "i"):
+            hs.macros[mac] = {}
+        hs.parm_kind = _pk.str2parmkind("DISCRETE")
+        hs.vec_size = len(vq.codebooks)
+        hs.stream_widths = [1] * len(vq.codebooks)
+        hs.hmm_set_id = "DISCRETEHS"
+        if self.trace:
+            print(f"HHEd: HK DISCRETEHS converted {n_conv} states against "
+                  f"{[cb.shape[0] for cb in vq.codebooks]}-word codebooks")
 
     def cmd_st(self, path: str):
         save_trees(path, self.questions, self.trees)

@@ -55,9 +55,10 @@ OPTS = {
 
 
 class Editor:
-    def __init__(self, hset: HMMSet, trace: int = 0):
+    def __init__(self, hset: HMMSet, trace: int = 0, cfg=None):
         self.hset = hset
         self.trace = trace
+        self.cfg = cfg
         self.questions: List[Question] = []
         self.qdict: Dict[str, Question] = {}
         self.trees: List[Tree] = []
@@ -528,6 +529,13 @@ class Editor:
                     else:
                         lp = logsumexp(_np.stack(lps), axis=0)
                         lp = lp - logsumexp(lp, axis=0)  # sum_k b(k) = 1
+                        # floor at MINMIX then renormalise: 39-dim GMMs
+                        # put most codewords below the int16 DPROB range
+                        # (e^-13.8), which would decode as hard zeros and
+                        # kill every path crossing them (the same floor
+                        # discrete reestimation applies)
+                        p = _np.maximum(_np.exp(lp), MINMIX)
+                        lp = _np.log(p / p.sum())
                     ns = StreamElem()
                     ns.dprobs = logp_to_dprob(lp)
                     new_streams.append(ns)
@@ -760,7 +768,7 @@ def run(argv: List[str]) -> int:
     hset = load_mmf(mmfs)
     load_hmm_list(hmm_list_file)
 
-    ed = Editor(hset, trace=ta.trace)
+    ed = Editor(hset, trace=ta.trace, cfg=ta.config)
     run_script(open(script_file).read(), ed)
 
     out_dir = ta.get("M", ".")

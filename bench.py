@@ -264,8 +264,8 @@ def main():
     comp5, vocab5, words5, lm5 = build_tied_triphone_system(
         n5k, n_tied=(200 if SMOKE else 2000), seed=7)
     xrt_5k, net5 = bench_decode_lv(
-        comp5, vocab5, words5, lm5, T=(100 if SMOKE else 300),
-        batch=(2 if SMOKE else 4), n_batches=1, max_active=256)
+        comp5, vocab5, words5, lm5, T=(100 if SMOKE else 500),
+        batch=(2 if SMOKE else 16), n_batches=1, max_active=128)
 
     # round-1 continuity numbers
     comp0, names0 = build_model()

@@ -172,12 +172,19 @@ def decode_scan_uniform(
     T, Ns = outp_states.shape
     C = Ns // S
     K = band.shape[0]
+    if C >= 32767 or T >= 65535:
+        from ..utils.errors import HError
+        HError(8520, "decode_scan_uniform: %d rows / %d frames exceed the "
+                     "packed-record range (32k rows, 64k frames)", C, T)
     neg = jnp.asarray(LZERO, outp_states.dtype)
-    IMIN = jnp.iinfo(jnp.int32).min
     col = jnp.arange(S, dtype=jnp.int32)[None, :]
+    # (wn, wt) word-link records ride ONE int32 per state:
+    # code = (wn+1) * 65536 + (wt+1); 0 = no record (wn = wt = -1).
+    # Halves record-propagation traffic, which profiles as the second
+    # biggest step cost after the cross-word matvec at LV sizes.
 
     def step(carry, inp):
-        v, wn, wt = carry
+        v, rec = carry
         outp_t, t = inp
 
         # 1. word-end scores: row max over the padded width
@@ -186,10 +193,10 @@ def decode_scan_uniform(
         best_s = jnp.argmax(ev, axis=1)
         onehot = best_s[:, None] == col
         ok = WE > LSMALL
-        pwn = jnp.where(
-            ok, jnp.max(jnp.where(onehot, wn.reshape(C, S), IMIN), axis=1), -1)
-        pwt = jnp.where(
-            ok, jnp.max(jnp.where(onehot, wt.reshape(C, S), IMIN), axis=1), -1)
+        prec = jnp.max(jnp.where(onehot, rec.reshape(C, S), 0), axis=1)
+        prec = jnp.where(ok, prec, 0)
+        pwn = prec // 65536 - 1
+        pwt = prec % 65536 - 1
 
         # 2. cross-word max-plus matvec, optionally top-A pruned
         if max_active is not None and max_active < C:
@@ -203,43 +210,44 @@ def decode_scan_uniform(
             entry_n = jnp.max(cand, axis=0) + word_pen
             an = jnp.argmax(cand, axis=0).astype(jnp.int32)
         entry_n = jnp.where(t == 0, start_entry, entry_n)
-        an = jnp.where(t == 0, -1, an)
+        # entry record: (an, t-1) -> code (an+1)*65536 + t; t==0 entries
+        # carry (-1, -1) = code 0
+        entry_rec = jnp.where(t == 0, 0, (an + 1) * 65536 + t)
 
         entry_s = (entry_n + entry_bonus_row)[:, None]  # (C, 1) row bcast
         entry_flat = (entry_s + a0.reshape(C, S)).reshape(Ns)
-        an_flat = jnp.broadcast_to(an[:, None], (C, S)).reshape(Ns)
+        erec_flat = jnp.broadcast_to(entry_rec[:, None], (C, S)).reshape(Ns)
 
-        # 3. within-word banded update (band masks row boundaries)
-        cands = jnp.stack(
-            [_shift_down(v, k, LZERO) + band[k] for k in range(K)], axis=0
-        )
-        within = jnp.max(cands, axis=0)
-        argk = jnp.argmax(cands, axis=0).astype(jnp.int32)
-        wwn = jnp.full_like(wn, -1)
-        wwt = jnp.full_like(wt, -1)
-        for k in range(K):
-            sel = argk == k
-            wwn = jnp.where(sel, _shift_down(wn, k, -1), wwn)
-            wwt = jnp.where(sel, _shift_down(wt, k, -1), wwt)
+        # 3. within-word banded update (band masks row boundaries);
+        # incremental max keeps first-shift ties like argmax-first did
+        within = v + band[0]
+        wrec = rec
+        for k in range(1, K):
+            ck = _shift_down(v, k, LZERO) + band[k]
+            take = ck > within
+            within = jnp.where(take, ck, within)
+            wrec = jnp.where(take, _shift_down(rec, k, 0), wrec)
 
         # 4. combine + prune
         use_entry = entry_flat > within
         new_v = jnp.maximum(within, entry_flat) + outp_t
         new_v = jnp.where(new_v < jnp.max(new_v) - beam, neg, new_v)
-        new_wn = jnp.where(use_entry, an_flat, wwn)
-        new_wt = jnp.where(use_entry, t - 1, wwt)
-        dead = new_v <= LSMALL
-        new_wn = jnp.where(dead, -1, new_wn)
-        new_wt = jnp.where(dead, -1, new_wt)
+        new_rec = jnp.where(use_entry, erec_flat, wrec)
+        new_rec = jnp.where(new_v <= LSMALL, 0, new_rec)
 
-        return (new_v, new_wn, new_wt), (WE, pwn, pwt)
+        return (new_v, new_rec), (WE, pwn, pwt)
 
     init = (
         jnp.full((Ns,), LZERO, outp_states.dtype),
-        jnp.full((Ns,), -1, jnp.int32),
-        jnp.full((Ns,), -1, jnp.int32),
+        jnp.zeros((Ns,), jnp.int32),
     )
-    return jax.lax.scan(step, init, (outp_states, jnp.arange(T)))
+    (v, rec), (WEs, pwns, pwts) = jax.lax.scan(
+        step, init, (outp_states, jnp.arange(T))
+    )
+    # unpack the final carry back to the (v, wn, wt) interface
+    wn = rec // 65536 - 1
+    wt = rec % 65536 - 1
+    return (v, wn, wt), (WEs, pwns, pwts)
 
 
 def _net_dev(net: DecodeNetwork) -> dict:

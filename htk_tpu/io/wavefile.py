@@ -9,8 +9,8 @@ single-channel model).
 
 Reads HTK, WAV, NIST/SPHERE, AIFF, SUNAU8 (.au incl. mu-law), ESPS,
 TIMIT/OGI prototype-CD headers, SDES1, SCRIBE (headerless) and raw
-audio; writes HTK and WAV. ESIG remains unimplemented (numbered error);
-the TIMIT/OGI/SDES1 header layouts are [LC] pending the reference.
+audio, plus ESIG waveforms via io/esignal.py; writes HTK and WAV.
+The TIMIT/OGI/SDES1/ESIG header layouts are [LC] pending the reference.
 """
 
 from __future__ import annotations
@@ -233,6 +233,15 @@ def read_wave(
                    fmt, path)
         dt = "<i2" if natural_order else ">i2"
         return Waveform(np.frombuffer(raw, dtype=dt).astype(np.int16), int(source_rate))
+    if fmt in ("ESIG", "ESIGNAL"):
+        from .esignal import read_esig
+
+        ef = read_esig(path)
+        period = ef.samp_period or (int(source_rate) if source_rate else 0)
+        if not period:
+            HError(6230, "ReadWave: ESIG %s has no recordFreq and no "
+                         "SOURCERATE", path)
+        return Waveform(ef.data.reshape(-1).astype(np.int16), period)
     if fmt == "HTK":
         ff = read_htk_file(path, natural_order=natural_order)
         if pk.base_kind(ff.parm_kind) != pk.BASE_KINDS.index("WAVEFORM"):

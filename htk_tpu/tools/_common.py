@@ -75,6 +75,19 @@ def open_speech_file(
         feats = compute_features(samples, fcfg)
         period = int(fcfg.target_rate)
         return feats, period, fcfg.target_kind & ~(pk.HASCOMPX | pk.HASCRCC), e
+    if src_fmt_c in ("ESIG", "ESIGNAL"):
+        # ESIG feature file: no HTK parm kind in the container, so the
+        # kind comes from SOURCEKIND (USER when unspecified), as HParm
+        # requires for Entropic inputs
+        from ..io.esignal import read_esig
+
+        ef = read_esig(e.physical)
+        data = ef.data.astype(np.float32)
+        if e.start is not None:
+            data = data[e.start : e.end + 1]
+        kind = pk.str2parmkind(
+            src_kind if src_kind not in ("ANON", "WAVEFORM") else "USER")
+        return data, ef.samp_period or 100000, kind, e
     ff = read_htk_file(e.physical)
     data = ff.data
     if e.start is not None:

@@ -75,8 +75,21 @@ def run(argv: List[str]) -> int:
         data, period, kind, e = open_speech_file(fn, ta.config)
         n, w = data.shape
         print("-" * 72)
-        src = _source_header(e.physical)
-        if src is not None:
+        try:
+            with open(e.physical, "rb") as fh:
+                is_esig = fh.read(7) == b"Esignal"
+        except OSError:
+            is_esig = False
+        src = None if is_esig else _source_header(e.physical)
+        if is_esig:
+            from ..io.esignal import read_esig
+
+            ef = read_esig(e.physical)
+            width = 2 if ef.dtype_name == "SHORT" else 4
+            _print_block(f"Source: {e.logical}", ef.data.shape[0],
+                         ef.data.shape[1] * width, ef.samp_period or period,
+                         ef.dtype_name, "ESIG")
+        elif src is not None:
             sn, sp, sb, sk = src
             _print_block(f"Source: {e.logical}", sn, sb, sp,
                          pk.parmkind2str(sk), "HTK")

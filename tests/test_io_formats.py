@@ -189,3 +189,48 @@ class TestLegacyWaveFormats:
         w = read_wave(p, fmt="SDES1", source_rate=1250)
         np.testing.assert_array_equal(w.samples, x)
         assert w.samp_period == 1250
+
+
+class TestEsig:
+    """ESIG (Entropic Esignal) container: io/esignal.py (esignal.c role)."""
+
+    def test_roundtrip_archs(self, tmp_path):
+        from htk_tpu.io.esignal import read_esig, write_esig
+
+        rng = np.random.default_rng(0)
+        feats = rng.normal(size=(20, 13)).astype(np.float32)
+        for arch in ("EDR1", "NATIVE", "ASCII"):
+            p = str(tmp_path / f"f_{arch}.esig")
+            write_esig(p, feats, record_freq=100.0, arch=arch)
+            ef = read_esig(p)
+            assert ef.record_freq == pytest.approx(100.0)
+            assert ef.samp_period == 100000
+            np.testing.assert_allclose(ef.data, feats, rtol=1e-6)
+
+    def test_waveform_short(self, tmp_path):
+        from htk_tpu.io.esignal import read_esig, write_esig
+        from htk_tpu.io.wavefile import read_wave
+
+        x = (np.sin(np.arange(400) / 5.0) * 8000).astype(np.int16)
+        p = str(tmp_path / "w.esig")
+        write_esig(p, x, record_freq=16000.0)
+        ef = read_esig(p)
+        assert ef.dtype_name == "SHORT"
+        np.testing.assert_array_equal(ef.data.reshape(-1), x)
+        wv = read_wave(p, fmt="ESIG")
+        assert wv.samp_period == 625
+        np.testing.assert_array_equal(wv.samples, x)
+
+    def test_hlist_prints_esig(self, tmp_path, capsys, monkeypatch):
+        from htk_tpu.io.esignal import write_esig
+        from htk_tpu.tools import hlist
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(1)
+        write_esig("f.esig", rng.normal(size=(5, 4)).astype(np.float32),
+                   record_freq=100.0)
+        open("cfge", "w").write(
+            "SOURCEFORMAT = ESIG\nSOURCEKIND = USER\n")
+        assert hlist.run(["-C", "cfge", "-h", "f.esig"]) == 0
+        out = capsys.readouterr().out
+        assert "ESIG" in out and "FLOAT" in out and "Num Samples:          5" in out

@@ -30,11 +30,13 @@ class SGDConfig:
     momentum: float = 0.5  # MOMENTUM
     batch_size: int = 256  # MINIBATCHSIZE
     n_epochs: int = 10  # MAXEPOCHNUM
-    scheduler: str = "NEWBOB"  # LRSCHEDULER: NEWBOB | EXPDECAY | LIST | FIXED
+    # LRSCHEDULER: NEWBOB | EXPDECAY | LIST | ADAGRAD | FIXED
+    scheduler: str = "NEWBOB"
     newbob_ramp: float = 0.005  # improvement threshold to start decay
     newbob_stop: float = 0.0001  # improvement threshold to stop
     decay_factor: float = 0.5
-    lr_list: Optional[List[float]] = None
+    lr_list: Optional[List[float]] = None  # LIST: per-epoch rates
+    adagrad_k: float = 1.0  # ADAGRAD damping constant [LC]
     frame_rand: bool = True  # FRAMERAND
     seed: int = 0
 
@@ -71,6 +73,41 @@ def _sgd_step(params, vel, x, y, acts, lr, momentum):
     return new_params, new_vel, ce, acc
 
 
+@functools.partial(jax.jit, static_argnames=("acts", "lr", "k"))
+def _sgd_step_adagrad(params, ssg, x, y, acts, lr, k):
+    """AdaGrad update (HNTrainSGD.c AdaGrad scheduler): per-parameter
+    rate lr / sqrt(k + sum of squared gradients). [LC k default]"""
+    def loss_fn(p):
+        logits = forward(p, list(acts), x, return_logits=True)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
+        acc = jnp.mean((jnp.argmax(logits, axis=1) == y).astype(jnp.float32))
+        return ce, acc
+
+    (ce, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    new_ssg = jax.tree.map(lambda s, g: s + g * g, ssg, grads)
+    new_params = jax.tree.map(
+        lambda p, g, s: p - lr * g / jnp.sqrt(k + s), params, grads, new_ssg)
+    return new_params, new_ssg, ce, acc
+
+
+@functools.partial(jax.jit, static_argnames=("acts", "lr", "momentum"))
+def _sgd_step_soft(params, vel, x, c, acts, lr, momentum):
+    """Sequence-discriminative step: c = gamma_num - gamma_den per frame
+    and state; dF/dlogit = -(c) exactly because each frame's c sums to 0
+    (the softmax coupling term vanishes), so the MMI gradient is plain
+    soft-target backprop."""
+    def loss_fn(p):
+        logits = forward(p, list(acts), x, return_logits=True)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -(c * logp).sum(axis=1).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    new_vel = jax.tree.map(lambda v, g: momentum * v - lr * g, vel, grads)
+    new_params = jax.tree.map(lambda p, v: p + v, params, new_vel)
+    return new_params, new_vel, loss
+
+
 @functools.partial(jax.jit, static_argnames=("acts",))
 def _eval_step(params, x, y, acts):
     logits = forward(params, list(acts), x, return_logits=True)
@@ -99,7 +136,7 @@ def train_ann(
 
     acts = tuple(l.activation for l in ann.layers)
     params = ann_params(ann)
-    vel = jax.tree.map(jnp.zeros_like, params)
+    vel = jax.tree.map(jnp.zeros_like, params)  # momentum or AdaGrad state
 
     def cv_loss(p):
         ce, acc = _eval_step(p, xcv, ycv, acts)
@@ -118,12 +155,20 @@ def train_ann(
         tot_ce = 0.0
         tot_acc = 0.0
         nb = 0
-        for i in range(0, len(order) - bs + 1, bs):
+        # the final partial minibatch trains too (a corpus smaller than
+        # MINIBATCHSIZE must still train, as in HNCache's last batch)
+        for i in range(0, len(order), bs):
             idx = order[i : i + bs]
-            params, vel, ce, acc = _sgd_step(
-                params, vel, jnp.asarray(xtr[idx]), jnp.asarray(ytr[idx]),
-                acts, lr, cfg.momentum,
-            )
+            if cfg.scheduler == "ADAGRAD":
+                params, vel, ce, acc = _sgd_step_adagrad(
+                    params, vel, jnp.asarray(xtr[idx]),
+                    jnp.asarray(ytr[idx]), acts, lr, cfg.adagrad_k,
+                )
+            else:
+                params, vel, ce, acc = _sgd_step(
+                    params, vel, jnp.asarray(xtr[idx]),
+                    jnp.asarray(ytr[idx]), acts, lr, cfg.momentum,
+                )
             tot_ce += float(ce)
             tot_acc += float(acc)
             nb += 1
@@ -168,3 +213,144 @@ def hybrid_outp(ann: ANNDef, feats: np.ndarray, prior_scale: float = 1.0):
             jnp.asarray(ann.target_priors)[None, :]
         )
     return logpost
+
+
+# ---------------------------------------------------------------------------
+# Sequence-discriminative (MMI) training — HNTrainSGD.c's sequence mode
+# ---------------------------------------------------------------------------
+
+
+def make_phone_loop(comp, loop_prob: float = None):
+    """Denominator phone-loop HMM over every model in the set.
+
+    The HNTrainSGD sequence criterion needs denominator occupancies; HTK
+    gets them from denominator lattices (HFBLat). Here the denominator
+    is the classic weak-LM phone loop: all models in parallel, uniform
+    loop-back transitions — built as ONE dense (Q, Q) logA so the
+    generic forward/backward scans run it unchanged. Returns
+    (comp_state, logA, a0, aE). Tee (zero-emitting) models are excluded
+    from the loop. Dense (Q, Q) is fine at phone-set sizes; a tied-state
+    denominator at triphone scale should use lattices (tools/hmmirest).
+    """
+    from ..utils.logmath import LZERO as _LZ
+
+    sizes, offs, en, ex = [], [], [], []
+    q = 0
+    for mid in range(comp.n_models):
+        n = int(comp.model_nstates[mid])
+        e = n - 2
+        if e <= 0:
+            continue
+        lt = comp.log_transp[comp.model_transp[mid]]
+        offs.append(q)
+        sizes.append(e)
+        en.append(lt[0, 1 : 1 + e])
+        ex.append(lt[1 : 1 + e, n - 1])
+        q += e
+    M = len(sizes)
+    if M == 0:
+        HError(7330, "make_phone_loop: no emitting models")
+    lp = -np.log(M) if loop_prob is None else loop_prob
+
+    comp_state = np.zeros(q, np.int32)
+    logA = np.full((q, q), _LZ, np.float64)
+    a0 = np.full(q, _LZ, np.float64)
+    aE = np.full(q, _LZ, np.float64)
+    k = 0
+    for mid in range(comp.n_models):
+        n = int(comp.model_nstates[mid])
+        e = n - 2
+        if e <= 0:
+            continue
+        o = offs[k]
+        comp_state[o : o + e] = comp.model_states[mid, :e]
+        lt = comp.log_transp[comp.model_transp[mid]]
+        logA[o : o + e, o : o + e] = lt[1 : 1 + e, 1 : 1 + e]
+        a0[o : o + e] = en[k] + lp
+        aE[o : o + e] = ex[k]
+        k += 1
+    # loop-back: every model exit reaches every model entry
+    for i in range(M):
+        oi, ei = offs[i], sizes[i]
+        for j in range(M):
+            oj, ej = offs[j], sizes[j]
+            cross = ex[i][:, None] + lp + en[j][None, :]
+            logA[oi : oi + ei, oj : oj + ej] = np.logaddexp(
+                logA[oi : oi + ei, oj : oj + ej], cross)
+    return (comp_state, logA.astype(np.float32), a0.astype(np.float32),
+            aE.astype(np.float32))
+
+
+def _gamma_phys(scores, comp_state, logA, a0, aE, n_states):
+    """FB over an HMM graph with external state scores; returns
+    ((T, S_phys) occupancies, logP)."""
+    from .fb import backward_scan, forward_scan
+    from ..utils.logmath import exp_or_zero, ladd_reduce
+
+    T = scores.shape[0]
+    cs = jnp.asarray(comp_state)
+    outp = scores[:, cs]
+    t_real = jnp.asarray(T, jnp.int32)
+    alphas = forward_scan(outp, jnp.asarray(logA), jnp.asarray(a0), t_real)
+    betas = backward_scan(outp, jnp.asarray(logA), jnp.asarray(aE), t_real)
+    logp = ladd_reduce(alphas[T - 1] + jnp.asarray(aE), axis=0)
+    gamma = exp_or_zero(alphas + betas - logp)  # (T, Q)
+    gp = jax.ops.segment_sum(gamma.T, cs, n_states).T  # (T, S)
+    return gp, logp
+
+
+def mmi_frame_targets(ann, comp, feats, names, loop, prior_scale=1.0):
+    """Per-frame MMI soft targets c = gamma_num - gamma_den over physical
+    states, plus the utterance's MMI objective contribution
+    (logP_num - logP_den), with the CURRENT net's hybrid scores."""
+    from ..algo.composite import build_composite
+
+    scores = hybrid_outp(ann, feats, prior_scale)  # (T, S_phys)
+    hmm = build_composite(comp, [comp.model_id(n) for n in names])
+    gnum, lpn = _gamma_phys(scores, hmm.comp_state,
+                            hmm.logA.astype(np.float32),
+                            hmm.a0.astype(np.float32),
+                            hmm.aE.astype(np.float32), comp.n_states)
+    gden, lpd = _gamma_phys(scores, loop[0], loop[1], loop[2], loop[3],
+                            comp.n_states)
+    return np.asarray(gnum - gden), float(lpn - lpd)
+
+
+def train_ann_sequence(ann, comp, utt_feats, names_list, cfg, n_iters=4,
+                       trace=0):
+    """Sequence-MMI fine-tuning (HNTrainSGD sequence criterion).
+
+    Alternates: (E) recompute numerator/denominator occupancies with the
+    current net over every utterance, (M) one SGD pass over the frame
+    pool with the soft-target MMI gradient. The reported objective
+    sum(logP_num - logP_den) must rise (asserted in tests) — the EM-like
+    monotonicity check HTK recipes eyeball for HMMIRest."""
+    loop = make_phone_loop(comp)
+    bs = cfg.batch_size
+    acts = tuple(l.activation for l in ann.layers)
+    objs = []
+    for it in range(n_iters):
+        cs, obj = [], 0.0
+        for feats, names in zip(utt_feats, names_list):
+            c, o = mmi_frame_targets(ann, comp, feats, names, loop)
+            cs.append(c)
+            obj += o
+        objs.append(obj)
+        if trace:
+            print(f"  MMI iter {it}: objective {obj:.2f}")
+        x = np.concatenate([
+            np.asarray(splice(jnp.asarray(f, jnp.float32), ann.context))
+            for f in utt_feats])
+        c = np.concatenate(cs)
+        params = ann_params(ann)
+        vel = jax.tree.map(jnp.zeros_like, params)
+        order = np.random.default_rng(cfg.seed + it).permutation(len(x))
+        for i in range(0, len(order), bs):
+            idx = order[i : i + bs]
+            params, vel, _loss = _sgd_step_soft(
+                params, vel, jnp.asarray(x[idx]), jnp.asarray(c[idx]),
+                acts, cfg.lr, cfg.momentum)
+        for l, (W, b) in zip(ann.layers, params):
+            l.weight = np.asarray(W)
+            l.bias = np.asarray(b)
+    return ann, objs

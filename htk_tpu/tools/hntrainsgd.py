@@ -13,8 +13,11 @@ Usage: HNTrainSGD [options] hmmList trainFiles...
   -M dir    output dir (writes 'ann')
   -I mlf    phone transcriptions for alignment  -L/-X  label dir/ext
   Config (HNTRAINSGD module): LEARNRATE, MOMENTUM, MINIBATCHSIZE,
-  MAXEPOCHNUM, LRSCHEDULER (NEWBOB/EXPDECAY/FIXED), HIDDENSIZE (e.g.
-  "512 512"), CONTEXT, ACTIVATION
+  MAXEPOCHNUM, LRSCHEDULER (NEWBOB/EXPDECAY/LIST/ADAGRAD/FIXED),
+  LRVALUES (per-epoch rates for LIST), ADAGRADK, HIDDENSIZE (e.g.
+  "512 512"), CONTEXT, ACTIVATION, CRITERION (CE | MMI — MMI runs
+  phone-loop-denominator sequence-discriminative fine-tuning after the
+  CE pass; SEQITERS / SEQLEARNRATE control it)
   Standard: -A -C -D -S -T -V
 """
 
@@ -112,6 +115,7 @@ def run(argv: List[str]) -> int:
         print(f"HNTrainSGD: {x.shape[0]} frames, input dim {x.shape[1]}, "
               f"{comp.n_states} targets")
 
+    lr_values = cfg.str_("LRVALUES", None, module=m)
     scfg = SGDConfig(
         lr=cfg.flt_("LEARNRATE", 0.002, module=m),
         momentum=cfg.flt_("MOMENTUM", 0.5, module=m),
@@ -119,9 +123,29 @@ def run(argv: List[str]) -> int:
         n_epochs=int(ta.get("e", cfg.int_("MAXEPOCHNUM", 10, module=m))
                      or 10),
         scheduler=(cfg.str_("LRSCHEDULER", "NEWBOB", module=m) or "NEWBOB").upper(),
+        lr_list=([float(v) for v in lr_values.split()] if lr_values else None),
+        adagrad_k=cfg.flt_("ADAGRADK", 1.0, module=m),
         frame_rand=cfg.bool_("FRAMERAND", True, module=m),
     )
     train_ann(ann, x, y, scfg, trace=ta.trace)
+
+    crit = (cfg.str_("CRITERION", "CE", module=m) or "CE").upper()
+    if crit in ("MMI", "SEQUENCE"):
+        # sequence-discriminative fine-tuning on top of the CE net:
+        # phone-loop denominator MMI (HNTrainSGD.c sequence criterion)
+        from ..algo.nnet import train_ann_sequence
+
+        n_seq = cfg.int_("SEQITERS", 4, module=m)
+        seq_lr = cfg.flt_("SEQLEARNRATE", scfg.lr * 0.1, module=m)
+        scfg_seq = SGDConfig(lr=seq_lr, momentum=scfg.momentum,
+                             batch_size=scfg.batch_size)
+        if ta.trace:
+            print(f"HNTrainSGD: MMI sequence training, {n_seq} iterations")
+        _ann, objs = train_ann_sequence(ann, comp, utt_feats, names_list,
+                                        scfg_seq, n_iters=n_seq,
+                                        trace=ta.trace)
+        if ta.trace:
+            print(f"HNTrainSGD: MMI objective {objs[0]:.2f} -> {objs[-1]:.2f}")
 
     out_dir = ta.get("M", ".")
     os.makedirs(out_dir, exist_ok=True)

@@ -70,3 +70,72 @@ class TestTraining:
         o1 = np.asarray(hybrid_outp(ann, x))
         o2 = np.asarray(hybrid_outp(a2, x))
         np.testing.assert_allclose(o1, o2, atol=1e-5)
+
+
+class TestSchedulers:
+    def _data(self):
+        rng = np.random.default_rng(1)
+        feats, targets = [], []
+        for k in range(3):
+            f = (rng.normal(size=(100, 4)) + 6 * k).astype(np.float32)
+            feats.append(f)
+            targets.append(np.full(100, k, np.int32))
+        return make_cache(feats, targets, context=0), np.concatenate(feats)
+
+    def test_adagrad_learns(self):
+        (x, y), allf = self._data()
+        ann = init_ann("t", in_dim=4, hidden=[16], out_dim=3, context=0,
+                       activation="RELU", seed=0)
+        cfg = SGDConfig(lr=0.1, n_epochs=40, batch_size=32, seed=0,
+                        scheduler="ADAGRAD")
+        train_ann(ann, x, y, cfg)
+        out = np.asarray(hybrid_outp(ann, allf, prior_scale=0.0))
+        assert (out.argmax(1) == y).mean() > 0.9
+
+    def test_list_schedule_learns(self):
+        (x, y), allf = self._data()
+        ann = init_ann("t", in_dim=4, hidden=[16], out_dim=3, context=0,
+                       activation="RELU", seed=0)
+        cfg = SGDConfig(lr=0.0, n_epochs=20, batch_size=32, seed=0,
+                        scheduler="LIST",
+                        lr_list=[0.1] * 5 + [0.05] * 5 + [0.02] * 5
+                                + [0.01] * 5)
+        train_ann(ann, x, y, cfg)
+        out = np.asarray(hybrid_outp(ann, allf, prior_scale=0.0))
+        assert (out.argmax(1) == y).mean() > 0.9
+
+
+class TestSequenceMMI:
+    def test_mmi_objective_rises(self):
+        """Sequence training: the MMI objective (num - den logP) must
+        increase over iterations (the EM-style monotonicity check)."""
+        from htk_tpu.algo.nnet import train_ann_sequence
+        from test_decode import emit_frames, separable_set
+        from htk_tpu.algo.viterbi import align
+        from htk_tpu.algo.composite import build_composite
+
+        comp = separable_set()
+        rng = np.random.default_rng(3)
+        seqs = [["sil", "aa", "iy", "sil"], ["sil", "iy", "aa", "iy", "sil"],
+                ["sil", "aa", "aa", "sil"], ["sil", "iy", "sil"]]
+        # noisier frames so the CE net is imperfect and MMI has headroom
+        utt_feats = [emit_frames(s, seed=i + 10, dim=3) +
+                     rng.normal(size=(8 * len(s), 3)).astype(np.float32)
+                     for i, s in enumerate(seqs)]
+
+        # frame-CE pretraining on forced-alignment targets
+        targets = []
+        for f, names in zip(utt_feats, seqs):
+            hmm = build_composite(comp, [comp.model_id(n) for n in names])
+            res = align(comp, hmm, f)
+            targets.append(hmm.comp_state[res.states].astype(np.int32))
+        ann = init_ann("t", in_dim=3, hidden=[16], out_dim=comp.n_states,
+                       context=1, activation="RELU", seed=0)
+        x, y = make_cache(utt_feats, targets, context=1)
+        train_ann(ann, x, y, SGDConfig(lr=0.05, n_epochs=5, batch_size=32,
+                                       scheduler="FIXED", seed=0))
+
+        cfg = SGDConfig(lr=0.005, momentum=0.5, batch_size=32, seed=0)
+        _ann, objs = train_ann_sequence(ann, comp, utt_feats, seqs, cfg,
+                                        n_iters=4)
+        assert objs[-1] > objs[0], f"MMI objective fell: {objs}"

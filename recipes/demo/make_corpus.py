@@ -1,34 +1,39 @@
-"""Synthesize the demo corpus: 3-word vocabulary over 3 synthetic vowels.
+"""Synthesize the demo corpus: 3-word vocabulary over realistic vowels.
 
 The HTKDemo role (SURVEY.md L7): a tiny self-contained corpus so the full
-pipeline can run and be scored without external data. Words are built
-from distinct-formant "phones" so a correctly working pipeline reaches
+pipeline can run and be scored without external data.  Utterances are
+realistic synthesized speech — a glottal pulse train with pitch
+declination and jitter driven through time-varying Klatt formant
+resonators (Peterson & Barney vowel targets), with formant transitions
+between phones, variable phone durations, and breath noise (the
+synthesizer lives in tests/golden/gen_mfcc_golden.py, the standalone
+HTKBook-golden generator).  A correctly working pipeline still reaches
 100% accuracy — the recipe asserts that, which makes it an end-to-end
-regression test.
+regression test on speech-like input rather than pure sines.
 """
 
-import math
+import importlib.util
+import os
 import struct
 import sys
 
 import numpy as np
 
-FREQS = {"aa": 500.0, "iy": 1500.0, "uw": 2500.0, "sil": 0.0}
+_here = os.path.dirname(os.path.abspath(__file__))
+_spec = importlib.util.spec_from_file_location(
+    "gen_mfcc_golden",
+    os.path.join(_here, "..", "..", "tests", "golden", "gen_mfcc_golden.py"))
+_gen = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_gen)
+
 WORDS = {"ONE": ["aa", "iy"], "TWO": ["iy", "uw"], "THREE": ["uw", "aa", "iy"]}
 
 
 def synth(phs, rng):
-    out = []
-    for p in phs:
-        f = FREQS[p]
-        n = 1600 if p != "sil" else 800
-        t = np.arange(n) / 16000.0
-        if f:
-            x = 3000 * np.sin(2 * math.pi * f * t) + 150 * rng.normal(size=n)
-        else:
-            x = 200 * rng.normal(size=n)
-        out.append(x)
-    return np.concatenate(out).astype(np.int16)
+    durs = [0.08 if p == "sil" else float(rng.uniform(0.12, 0.22))
+            for p in phs]
+    x = _gen.synth_speech(phs, dur_s=durs, seed=int(rng.integers(1 << 31)))
+    return x.astype(np.int16)
 
 
 def write_wav(path, x):

@@ -59,27 +59,24 @@ def synth_speech(phones, dur_s=0.18, trans_s=0.03, f0_start=125.0,
                  f0_end=90.0, seed=12345):
     """Source-filter synthesis with formant transitions.
 
-    phones: list of vowel names or 'sil'. Returns float64 samples in
-    int16 range.
+    phones: list of vowel names or 'sil'.  dur_s: seconds per phone —
+    a scalar or a per-phone sequence (variable durations make forced
+    alignment non-trivial).  Returns float64 samples in int16 range.
     """
     rng = np.random.default_rng(seed)
     n_ph = len(phones)
-    n = int(dur_s * FS) * n_ph
+    durs = np.full(n_ph, dur_s, float) if np.isscalar(dur_s) \
+        else np.asarray(dur_s, float)
+    bounds = np.concatenate([[0.0], np.cumsum(durs)])  # seconds
+    n = int(bounds[-1] * FS)
     t_all = np.arange(n) / FS
 
-    # piecewise-linear formant tracks with `trans_s` transitions centred
-    # on phone boundaries; silence keeps the neighbouring target.
+    # piecewise-linear formant tracks with knots at phone centres;
+    # silence keeps the neighbouring vowel's target (no discontinuity).
     def track(fidx, kind):
-        knots_t, knots_v = [], []
-        for i, p in enumerate(phones):
-            c = (i + 0.5) * dur_s
-            if p == "sil":
-                v = None
-            else:
-                v = VOWELS[p][kind][fidx]
-            knots_t.append(c)
-            knots_v.append(v)
-        # fill silence knots from nearest voiced neighbour
+        knots_t = [(bounds[i] + bounds[i + 1]) / 2.0 for i in range(n_ph)]
+        knots_v = [None if p == "sil" else VOWELS[p][kind][fidx]
+                   for p in phones]
         vals = [v for v in knots_v if v is not None]
         prev = vals[0] if vals else 500.0
         filled = []
@@ -87,7 +84,6 @@ def synth_speech(phones, dur_s=0.18, trans_s=0.03, f0_start=125.0,
             if v is not None:
                 prev = v
             filled.append(prev)
-        # backward fill the leading silences
         nxt = filled[-1]
         for i in range(n_ph - 1, -1, -1):
             if knots_v[i] is not None:
@@ -103,8 +99,8 @@ def synth_speech(phones, dur_s=0.18, trans_s=0.03, f0_start=125.0,
     for i, p in enumerate(phones):
         if p == "sil":
             continue
-        s, e = int(i * dur_s * FS), int((i + 1) * dur_s * FS)
-        ramp = int(trans_s * FS)
+        s, e = int(bounds[i] * FS), int(bounds[i + 1] * FS)
+        ramp = min(int(trans_s * FS), max(1, (e - s) // 2))
         seg = np.ones(e - s)
         r = 0.5 - 0.5 * np.cos(np.pi * np.arange(ramp) / ramp)
         seg[:ramp] = np.minimum(seg[:ramp], r)

@@ -14,8 +14,32 @@ from test_e2e import synth, write_wav  # noqa: F401
 
 @pytest.fixture
 def trained(corpus):
+    import numpy as np
+
     from htk_tpu.io.mmf import load_mmf, save_mmf
     from htk_tpu.models.proto import clone_proto
+
+    # the 6-utterance base corpus is enough for the GMM tests but
+    # data-starves the DNN on realistic speech; add 6 more utterances
+    # (hybrid tests only pay this cost)
+    rng = np.random.default_rng(77)
+    words = {"A": ["aa"], "I": ["iy"]}
+    extra = []
+    for i in range(6, 12):
+        ws = [["A", "I"][int(x)] for x in rng.integers(0, 2, size=2)]
+        phs = ["sil"]
+        for w in ws:
+            phs += words[w] + ["sil"]
+        write_wav(f"u{i}.wav", synth(phs, rng))
+        with open("phones.mlf", "a") as f:
+            f.write(f'"*/u{i}.lab"\n' + "\n".join(phs) + "\n.\n")
+        with open("words.mlf", "a") as f:
+            f.write(f'"*/u{i}.lab"\n' + "\n".join(ws) + "\n.\n")
+        extra.append(i)
+    with open("copy.scp", "a") as f:
+        f.write("\n" + "\n".join(f"u{i}.wav u{i}.mfc" for i in extra))
+    with open("train.scp", "a") as f:
+        f.write("\n" + "\n".join(f"u{i}.mfc" for i in extra))
 
     assert hcopy.run(["-C", "cfg_wav", "-S", "copy.scp"]) == 0
     assert hcompv.run(["-C", "cfg", "-f", "0.01", "-m", "-M", "hmm0",
@@ -38,7 +62,7 @@ def test_hntrainsgd_mmi_chain(trained, capsys):
     # CE training followed by sequence-MMI fine-tuning in one invocation
     open("cfg_nn", "w").write(
         "TARGETKIND = MFCC_E_D_A\n"
-        "HNTRAINSGD: HIDDENSIZE = 32\n"
+        "HNTRAINSGD: HIDDENSIZE = 128\n"
         "HNTRAINSGD: CONTEXT = 2\n"
         "HNTRAINSGD: LEARNRATE = 0.01\n"
         "HNTRAINSGD: LRSCHEDULER = LIST\n"

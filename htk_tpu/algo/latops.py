@@ -330,16 +330,21 @@ def best_path_trigram(lat: Lattice, lm, lmscale: float = 1.0,
         w = word_at(a.end)
         preds = in_arcs[a.start]
         cands = []
+        # the sentence-start word itself (<s> as a silence-pron node,
+        # HDecode STARTWORD) carries no LM probability — it IS the
+        # context; looking up P(<s>|...) would apply ARPA's -99 sentinel
         if a.start == start or not preds:
             c2, c1 = sent_start, sent_start
-            lmp = lm.logp_tri(c2, c1, w) if w else 0.0
+            lmp = (0.0 if w == sent_start
+                   else lm.logp_tri(c2, c1, w)) if w else 0.0
             s = a.aclike + lmscale * lmp + (wdpenalty if w else 0.0)
             cands.append((s, None, c1 if not w else w, c1))
         for p in preds:
             if p.id not in score:
                 continue
             c1, c2 = ctx1[p.id], ctx2[p.id]
-            lmp = lm.logp_tri(c2, c1, w) if w else 0.0
+            lmp = (0.0 if w == sent_start
+                   else lm.logp_tri(c2, c1, w)) if w else 0.0
             s = score[p.id] + a.aclike + lmscale * lmp + (wdpenalty if w else 0.0)
             cands.append((s, p.id, w if w else c1, c1 if w else c2))
         if not cands:

@@ -95,14 +95,36 @@ def compile_lv_loop(
     sent_start: str = "!ENTER",
     sent_end: str = "!EXIT",
     pad_multiple: int = 4,
+    start_word: Optional[str] = None,
+    end_word: Optional[str] = None,
 ) -> DecodeNetwork:
     """Compile a full-vocabulary back-off bigram word loop.
 
     Equivalent in results to compile_network(bigram_lattice(...)) but
     built directly from the LM tables (no O(W^2) lattice arcs on the
     host) and emitted in the uniform-width row layout. lm=None gives an
-    unweighted loop (HBuild word-loop parity)."""
-    if lm is not None:
+    unweighted loop (HBuild word-loop parity).
+
+    start_word/end_word (HDecode STARTWORD/ENDWORD, typically <s>/</s>
+    with silence pronunciations in the dictionary) become dedicated
+    boundary rows: every path must start in start_word's models and end
+    in end_word's — HDecode's obligatory utterance-edge silence. They must
+    be present in the LM (ARPA always carries <s>/</s>)."""
+    if start_word is not None or end_word is not None:
+        if lm is None or start_word is None or end_word is None:
+            HError(8624, "compile_lv_loop: start_word/end_word need an LM "
+                         "and must be given together")
+        core = list(words)
+        words = [start_word] + core + [end_word]
+        w_trans, _ws, _we = lm_loop_matrices(words, lm, sent_start, sent_end)
+        i_s, i_e = 0, len(words) - 1
+        w_trans[:, i_s] = LZERO  # nothing re-enters <s>
+        w_trans[i_e, :] = LZERO  # nothing leaves </s>
+        w_start = np.full(len(words), LZERO)
+        w_start[i_s] = 0.0  # paths must start in <s>'s silence models
+        w_end = np.full(len(words), LZERO)
+        w_end[i_e] = 0.0  # ... and end in </s>'s
+    elif lm is not None:
         w_trans, w_start, w_end = lm_loop_matrices(
             words, lm, sent_start, sent_end)
     else:

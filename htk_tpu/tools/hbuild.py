@@ -59,12 +59,18 @@ def word_loop_lattice(words: List[str], probs=None) -> Lattice:
     return lat
 
 
-def bigram_lattice(words: List[str], lm, sent_start: str, sent_end: str) -> Lattice:
+def bigram_lattice(words: List[str], lm, sent_start: str, sent_end: str,
+                   start_word: str = None, end_word: str = None) -> Lattice:
     """Back-off bigram network (HBuild.c back-off structure).
 
     Nodes: start null (= sentence start), per-word nodes, back-off null,
     end null. Explicit bigram arcs word->word; back-off arcs
     word -> BO (weight) and BO -> word (unigram).
+
+    start_word/end_word (HDecode's STARTWORD/ENDWORD, typically <s>/</s>
+    with silence pronunciations) are inserted as REAL word nodes the
+    path must traverse — that is how HDecode models the obligatory
+    leading/trailing silence of an utterance.
     """
     lat = Lattice()
     V = len(words)
@@ -77,6 +83,7 @@ def bigram_lattice(words: List[str], lm, sent_start: str, sent_end: str) -> Latt
     for k, w in enumerate(words):
         lat.nodes.append(LNode(id=3 + k, word=w))
         idx[w] = 3 + k
+    nid = 3 + V
     aid = 0
 
     def arc(s, e, p=0.0):
@@ -84,10 +91,16 @@ def bigram_lattice(words: List[str], lm, sent_start: str, sent_end: str) -> Latt
         lat.arcs.append(LArc(id=aid, start=s, end=e, lmlike=p))
         aid += 1
 
+    entry = 0
+    if start_word is not None:
+        lat.nodes.append(LNode(id=nid, word=start_word))
+        arc(0, nid)  # start null -> <s> (silence models), no LM cost
+        entry = nid
+        nid += 1
     # sentence start: P(w | <s>)
     for w in words:
         p = lm.logp_bi(sent_start, w)
-        arc(0, idx[w], p)
+        arc(entry, idx[w], p)
     # explicit bigrams between in-vocab words
     for (w1, w2), (p, _bo) in lm.bigrams.items():
         if w1 in idx and w2 in idx:
@@ -99,8 +112,14 @@ def bigram_lattice(words: List[str], lm, sent_start: str, sent_end: str) -> Latt
         arc(idx[w], 1, bo_wt)
         arc(1, idx[w], lm.logp_uni(w))
     # sentence end: P(</s> | w)
+    exit_n = 2
+    if end_word is not None:
+        lat.nodes.append(LNode(id=nid, word=end_word))
+        arc(nid, 2)  # </s> (silence models) -> end null
+        exit_n = nid
+        nid += 1
     for w in words:
-        arc(idx[w], 2, lm.logp_bi(w, sent_end))
+        arc(idx[w], exit_n, lm.logp_bi(w, sent_end))
     return lat
 
 

@@ -103,9 +103,22 @@ def run(argv: List[str]) -> int:
     load_hmm_list(hmm_list_file)
     lm = read_arpa(ta.get("w"))
 
+    # sentence boundary words (HDecode STARTWORD/ENDWORD config): when
+    # the dictionary gives them pronunciations (recipe convention
+    # "<s> [] sil" / "</s> [] sil"), they are decoded as real obligatory
+    # silence models at the utterance edges; otherwise they contribute
+    # LM context only.
+    start_w = cfg.str_("STARTWORD", "<s>", module="HDECODE") or "<s>"
+    end_w = cfg.str_("ENDWORD", "</s>", module="HDECODE") or "</s>"
+    sent_start = start_w if start_w in lm.unigrams else "!ENTER"
+    sent_end = end_w if end_w in lm.unigrams else "!EXIT"
+    bound_prons = (start_w in vocab.words and end_w in vocab.words
+                   and start_w in lm.unigrams and end_w in lm.unigrams)
+
     # pass-1 network: back-off bigram loop over the LM's vocabulary
     # intersected with the dictionary
-    words = [w for w in lm.vocab if w in vocab.words]
+    words = [w for w in lm.vocab
+             if w in vocab.words and w not in (start_w, end_w)]
     if not words:
         HError(8621, "HDecode: no LM words found in dictionary")
     # HTK's HDecode assumes a cross-word-trained set; forcing cross-word
@@ -122,15 +135,23 @@ def run(argv: List[str]) -> int:
     if use_lv:
         # uniform-row LV loop; cross-word exactness comes from the
         # lattice-constrained pass 2 below
-        net = compile_lv_loop(words, vocab, comp, lm=lm, phone_map=pmap)
+        net = compile_lv_loop(
+            words, vocab, comp, lm=lm, phone_map=pmap,
+            sent_start=sent_start, sent_end=sent_end,
+            start_word=start_w if bound_prons else None,
+            end_word=end_w if bound_prons else None)
         x_static = False
     elif want_x:
-        lat_net = bigram_lattice(words, lm, "!ENTER", "!EXIT")
+        lat_net = bigram_lattice(words, lm, sent_start, sent_end,
+                                 start_word=start_w if bound_prons else None,
+                                 end_word=end_w if bound_prons else None)
         net = compile_network(lat_net, vocab, comp, cross_word=True,
                               cf_phones=cfp)
         x_static = True
     else:
-        lat_net = bigram_lattice(words, lm, "!ENTER", "!EXIT")
+        lat_net = bigram_lattice(words, lm, sent_start, sent_end,
+                                 start_word=start_w if bound_prons else None,
+                                 end_word=end_w if bound_prons else None)
         net = compile_network(lat_net, vocab, comp, phone_map=pmap)
         x_static = False
     if ta.trace:
@@ -175,11 +196,22 @@ def run(argv: List[str]) -> int:
                 lat.utterance = stem
                 write_slf(lat, os.path.join(out_dir or ".",
                                             f"{stem}.{ta.get('z')}"))
-            score, path = best_path_trigram(lat, lm, lm_scale, word_pen)
+            score, path = best_path_trigram(lat, lm, lm_scale, word_pen,
+                                            sent_start=sent_start)
+
+            def outsym(w):
+                wd = vocab.get(w)
+                if wd is None or wd.prons[0].out_sym is None:
+                    return w
+                return wd.prons[0].out_sym  # '' suppresses (e.g. <s>)
+
             for w, t in path:
-                tr.alternatives[0].append(Label(name=w, end=int(t * 1e7)))
+                if outsym(w):
+                    tr.alternatives[0].append(
+                        Label(name=outsym(w), end=int(t * 1e7)))
             if ta.trace:
-                print(f"{e.logical}: {' '.join(w for w, _t in path)} "
+                print(f"{e.logical}: "
+                      f"{' '.join(outsym(w) for w, _t in path if outsym(w))} "
                       f"[{score:.2f}]")
         if out_mlf is not None:
             out_mlf.add(f"*/{stem}.rec", tr)

@@ -169,5 +169,13 @@ def tool_main(fn: Callable[[List[str]], int]):
         except HTKError as e:
             print(str(e), file=sys.stderr)
             return e.code // 100 % 256 or 1
+        except BrokenPipeError:
+            # stdout consumer (e.g. `| grep -q`) closed early — the Unix
+            # convention is a silent success, not a traceback
+            try:
+                sys.stdout.close()
+            except Exception:
+                pass
+            return 0
 
     return main

@@ -134,7 +134,20 @@ for ln in lines[1:]:
 open("words.txt", "w").write("\n".join(sents) + "\n")
 EOF
 LBuild -n 3 wmap lm3.arpa words.txt
-HDecode -w lm3.arpa -p -10 -i rechd.mlf -H tied2/hmmdefs -S train.scp dict triphones
+# HDecode dictionary, recipe convention: optional trailing silence
+# pron variants per word plus <s>/</s> silence entries (STARTWORD /
+# ENDWORD) so the obligatory utterance-edge silence is modelled
+cat > dict_hd <<'EOF'
+ONE  aa iy
+ONE  aa iy sil
+TWO  iy uw
+TWO  iy uw sil
+THREE  uw aa iy
+THREE  uw aa iy sil
+<s> []  sil
+</s> []  sil
+EOF
+HDecode -w lm3.arpa -p -10 -i rechd.mlf -H tied2/hmmdefs -S train.scp dict_hd triphones
 HResults -I words.mlf triphones rechd.mlf | grep -q "Acc=100.00" \
   || { echo "DEMO FAILED: HDecode not 100%"; exit 1; }
 

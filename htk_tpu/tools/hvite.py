@@ -98,7 +98,12 @@ def run(argv: List[str]) -> int:
     cfg = ta.config
     dict_file, hmm_list_file = ta.args[0], ta.args[1]
     files = ta.script + ta.args[2:]
-    if not files:
+    # HVite live mode (HVite.c with SOURCEKIND = HAUDIO and no files):
+    # samples stream from the audio source through the incremental
+    # frontend and decoder instead of per-file batch processing.
+    src_kind = (cfg.str_("SOURCEKIND", "", module="HPARM") or "").upper()
+    live = not files and src_kind == "HAUDIO"
+    if not files and not live:
         HError(1030, "HVite: no test files\n%s", USAGE)
 
     mmfs = ta.get_all("H")
@@ -264,6 +269,10 @@ def run(argv: List[str]) -> int:
                 f"HVite: network {net.n_nodes} nodes, {net.n_chains} chains, "
                 f"{net.n_states} states"
             )
+        if live:
+            return _run_live(ta, cfg, net, comp, lm_scale, word_pen,
+                             out_mlf, out_mlf_path, out_dir, out_ext,
+                             period)
         lat_ext = ta.get("z")
         lat_beam = cfg.flt_("LATTICEBEAM", 200.0, module="HREC") or 200.0
         ann = None
@@ -451,6 +460,61 @@ def run(argv: List[str]) -> int:
     else:
         HError(1030, "HVite: either -w netfile or -a required\n%s", USAGE)
 
+    if out_mlf is not None:
+        out_mlf.save(out_mlf_path, with_times=True, with_scores=False)
+        if ta.trace:
+            print(f"HVite: wrote {out_mlf_path}")
+    return 0
+
+
+def _run_live(ta, cfg, net, comp, lm_scale, word_pen, out_mlf,
+              out_mlf_path, out_dir, out_ext, period) -> int:
+    """Live recognition: audio source -> streaming frontend -> streaming
+    decoder, with partial traceback under -T (HVite.c live loop).
+
+    The audio 'device' on this host is a file-replay source
+    (HAUDIO: AUDIOSOURCE = <file>; io/audio.py) — a microphone backend
+    would slot into open_audio_input without changing this loop.
+    """
+    from ..algo.stream_decode import StreamingDecoder
+    from ..io.audio import open_audio_input
+    from ..ops.dsp import FrontendConfig
+    from ..ops.stream import StreamingFrontend
+
+    src = open_audio_input(cfg)
+    fcfg = FrontendConfig.from_config(cfg, samp_period=src.samp_period)
+    sf = StreamingFrontend(fcfg)
+    sd = StreamingDecoder(net, comp, lm_scale=lm_scale, word_pen=word_pen)
+
+    src.start()
+    read_n = max(1, int(2500000 / src.samp_period))  # 0.25 s per read
+    while (chunk := src.read(read_n)) is not None:
+        feats = sf.feed(chunk.astype(np.float32))
+        if feats.size:
+            sd.feed(feats)
+        if ta.trace > 1:
+            part = sd.partial_result()
+            if part is not None:
+                print(f"live [{sd.frames_processed:5d}]: "
+                      f"{' '.join(part.words)}")
+    tail = sf.flush()
+    if tail.size:
+        sd.feed(tail)
+    res = sd.flush()
+    src.stop()
+
+    logical = cfg.str_("AUDIOSOURCE", "liveaudio", module="HAUDIO") \
+        or "liveaudio"
+    tr = Transcription(alternatives=[[]])
+    if res is None:
+        HRError(8522, "HVite: no tokens survived (live)")
+    else:
+        for w, (t0, t1) in zip(res.words, res.times):
+            tr.alternatives[0].append(
+                Label(name=w, start=t0 * period, end=(t1 + 1) * period))
+        if ta.trace:
+            print(f"live: {' '.join(res.words)}  [{res.score:.2f}]")
+    _emit(tr, logical, out_mlf, out_dir, out_ext)
     if out_mlf is not None:
         out_mlf.save(out_mlf_path, with_times=True, with_scores=False)
         if ta.trace:

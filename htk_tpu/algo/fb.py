@@ -156,6 +156,7 @@ def fb_utterance(
     entry_seg,  # (Q,) int32
     exit_seg,  # (Q,) int32
     weight=1.0,  # () scalar: accumulator weight (MMI arc posteriors)
+    feats2=None,  # (T, D2) single-pass retraining second channel
     *,
     means,
     variances,
@@ -236,8 +237,11 @@ def fb_utterance(
 
     occ_qm = jnp.sum(L, axis=0)  # (Q, maxmix)
     Lf = L.reshape(T, Q * maxmix)
-    sum_x_qm = jnp.matmul(Lf.T, feats, precision=precision)  # (Q*maxmix, D)
-    sum_xx_qm = jnp.matmul(Lf.T, feats * feats, precision=precision)
+    # single-pass retraining (HERest -r): occupancies come from the
+    # alignment channel (feats), moment statistics from the new one
+    xfeat = feats if feats2 is None else feats2
+    sum_x_qm = jnp.matmul(Lf.T, xfeat, precision=precision)  # (Q*maxmix, D2)
+    sum_xx_qm = jnp.matmul(Lf.T, xfeat * xfeat, precision=precision)
 
     flat_mix = jnp.where(st_mix >= 0, st_mix, M).reshape(-1)  # (Q*maxmix,)
     occ = jax.ops.segment_sum(occ_qm.reshape(-1), flat_mix, M + 1)[:M]
@@ -385,7 +389,7 @@ def loglik_batch(
 
 def fb_batch(
     feats, t_real, comp_state, q_mask, logA, a0, aE, tr_seg, entry_seg, exit_seg,
-    weights=None,
+    weights=None, feats2=None,
     *, means, variances, gconsts, state_mix, state_logw, n_states, tr_flat,
     state_sw=None, slot_blocks=None,
     precision: str = "highest",
@@ -393,8 +397,9 @@ def fb_batch(
     """vmapped forward-backward over a padded utterance batch.
 
     `weights` (B,) optionally scales each utterance's accumulators (the
-    MMI lattice-arc posterior weighting). Returns (per-utterance logP
-    (B,), summed Accumulators).
+    MMI lattice-arc posterior weighting). `feats2` (B, T, D2) optionally
+    supplies the second channel for single-pass retraining (HERest -r).
+    Returns (per-utterance logP (B,), summed Accumulators).
     """
     if weights is None:
         weights = jnp.ones(feats.shape[0], feats.dtype)
@@ -411,9 +416,10 @@ def fb_batch(
         tr_flat=tr_flat,
         precision=precision,
     )
-    logps, accs = jax.vmap(fn)(
-        feats, t_real, comp_state, q_mask, logA, a0, aE, tr_seg, entry_seg,
-        exit_seg, weights,
-    )
+    args = [feats, t_real, comp_state, q_mask, logA, a0, aE, tr_seg,
+            entry_seg, exit_seg, weights]
+    if feats2 is not None:
+        args.append(feats2)
+    logps, accs = jax.vmap(fn)(*args)
     summed = jax.tree.map(lambda a: jnp.sum(a, axis=0), accs)
     return logps, summed

@@ -124,3 +124,32 @@ def reestimate(
         None if new_weights is None else new_weights.astype(np.float32),
         None if new_transps is None else new_transps.astype(np.float32),
     )
+
+
+def retrain_params(accs: Accumulators, min_var: float = 1e-6):
+    """Means/variances for single-pass retraining (HERest -r).
+
+    HERest.c -r: occupancies were aligned on the OLD feature channel;
+    the moment sums in `accs` are over the NEW channel, whose width may
+    differ from the current models — so there are no old parameters to
+    fall back to. Mixtures below MINOCC take the global (occupancy-
+    weighted) mean/variance of the new channel instead, mirroring a flat
+    start for unseen components.
+    """
+    occ = np.asarray(accs.occ, np.float64)  # (M,)
+    sum_x = np.asarray(accs.sum_x, np.float64)  # (M, D2)
+    sum_xx = np.asarray(accs.sum_xx, np.float64)
+    tot = max(float(occ.sum()), 1e-30)
+    g_mean = sum_x.sum(axis=0) / tot
+    g_var = np.maximum(sum_xx.sum(axis=0) / tot - g_mean**2, min_var)
+
+    updatable = occ > MINOCC
+    denom = np.where(updatable, occ, 1.0)[:, None]
+    means = np.where(updatable[:, None], sum_x / denom, g_mean[None, :])
+    var = sum_xx / denom - (sum_x / denom) ** 2
+    var = np.where(updatable[:, None], var, g_var[None, :])
+    var = np.maximum(var, min_var)
+    # g_var also returned so callers can derive the new channel's
+    # variance floor (HCompV convention: 1% of global variance)
+    return (means.astype(np.float32), var.astype(np.float32),
+            g_var.astype(np.float32))

@@ -31,14 +31,18 @@ class UttData:
     name: str
     feats: np.ndarray  # (T, D) f32
     hmm: CompositeHMM
+    feats2: Optional[np.ndarray] = None  # (T, D2) HERest -r second channel
 
 
 def prepare_utterance(
-    comp: CompiledHMMSet, name: str, feats: np.ndarray, model_names: Sequence[str]
+    comp: CompiledHMMSet, name: str, feats: np.ndarray,
+    model_names: Sequence[str], feats2: Optional[np.ndarray] = None
 ) -> UttData:
     ids = [comp.model_id(m) for m in model_names]
     return UttData(name=name, feats=np.asarray(feats, np.float32),
-                   hmm=build_composite(comp, ids))
+                   hmm=build_composite(comp, ids),
+                   feats2=(None if feats2 is None
+                           else np.asarray(feats2, np.float32)))
 
 
 def _bucket(n: int, base: int = 32) -> int:
@@ -84,10 +88,17 @@ def pad_batch(batch: Sequence[UttData], n_states_phys: int,
     entry_seg = np.full((Bp, Q), -1, np.int32)
     exit_seg = np.full((Bp, Q), -1, np.int32)
 
+    feats2 = None
+    if any(u.feats2 is not None for u in batch):
+        D2 = next(u.feats2.shape[1] for u in batch if u.feats2 is not None)
+        feats2 = np.zeros((Bp, T, D2), np.float32)
+
     for b, u in enumerate(batch):
         t = u.feats.shape[0]
         q = u.hmm.n_states
         feats[b, :t] = u.feats
+        if feats2 is not None:
+            feats2[b, :t] = u.feats2
         t_real[b] = t
         comp_state[b, :q] = np.minimum(u.hmm.comp_state, n_states_phys)
         q_mask[b, :q] = True
@@ -97,11 +108,14 @@ def pad_batch(batch: Sequence[UttData], n_states_phys: int,
         tr_seg[b, :q, :q] = u.hmm.tr_seg
         entry_seg[b, :q] = u.hmm.entry_seg
         exit_seg[b, :q] = u.hmm.exit_seg
-    return dict(
+    out = dict(
         feats=feats, t_real=t_real, comp_state=comp_state, q_mask=q_mask,
         logA=logA, a0=a0, aE=aE, tr_seg=tr_seg, entry_seg=entry_seg,
         exit_seg=exit_seg,
     )
+    if feats2 is not None:
+        out["feats2"] = feats2
+    return out
 
 
 @dataclass
@@ -121,12 +135,15 @@ def prepare_utterance_ids(comp, name, feats, model_names) -> UttIds:
 class Trainer:
     """Runs embedded-reestimation accumulation over a corpus."""
 
-    def __init__(self, comp: CompiledHMMSet, precision: str = "highest"):
+    def __init__(self, comp: CompiledHMMSet, precision: str = "highest",
+                 retrain_dim: Optional[int] = None):
         if getattr(comp, "full_cov", False):
             HError(7060, "Trainer: full-covariance sets are decode/align-"
                          "only — train with DIAGC models")
         self.comp = comp
         self.precision = precision
+        # HERest -r: moment accumulators take the second channel's width
+        self.acc_dim = retrain_dim if retrain_dim is not None else comp.dim
         self.tr_flat = int(np.prod(comp.log_transp.shape))
         # physical state table gets one trash row appended for padding
         self.state_mix_pad = np.concatenate(
@@ -161,6 +178,7 @@ class Trainer:
                 batch["feats"], batch["t_real"], batch["comp_state"],
                 batch["q_mask"], batch["logA"], batch["a0"], batch["aE"],
                 batch["tr_seg"], batch["entry_seg"], batch["exit_seg"],
+                feats2=batch.get("feats2"),
                 means=means, variances=variances, gconsts=gconsts,
                 state_mix=state_mix, state_logw=state_logw,
                 state_sw=state_sw, slot_blocks=tuple(self.comp.slot_blocks)
@@ -183,7 +201,8 @@ class Trainer:
                    trace: int = 0):
         """One full pass over the corpus; returns summed Accumulators."""
         c = self.comp
-        total = zero_accs(c.n_mix, c.dim, c.n_states, c.max_mix, self.tr_flat)
+        total = zero_accs(c.n_mix, self.acc_dim, c.n_states, c.max_mix,
+                          self.tr_flat)
         step = self._step_fn()
         params = self.params()
         # keep dispatch asynchronous: collect per-batch logP device arrays
@@ -250,7 +269,8 @@ class DeviceCompositeTrainer(Trainer):
     def accumulate(self, utts: Sequence[UttIds], batch_size: int = 8,
                    trace: int = 0):
         c = self.comp
-        total = zero_accs(c.n_mix, c.dim, c.n_states, c.max_mix, self.tr_flat)
+        total = zero_accs(c.n_mix, self.acc_dim, c.n_states, c.max_mix,
+                          self.tr_flat)
         step = self._step_fn()
         params = self.params()
         # bucket by (T, K) pads

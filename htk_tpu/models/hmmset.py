@@ -379,6 +379,47 @@ def _compile_discrete(hset, names, nmax, n_streams, stream_slices):
     )
 
 
+def write_back_retrained(
+    comp: CompiledHMMSet,
+    means2: np.ndarray,  # (M, D2)
+    vars2: np.ndarray,  # (M, D2)
+    new_parm_kind: int,
+    g_var: Optional[np.ndarray] = None,
+) -> HMMSet:
+    """Write single-pass-retrained Gaussians (HERest -r) into the set.
+
+    The second channel's width D2 may differ from the current models'
+    (that is the point of single-pass retraining: switch frontends
+    without realigning). Every mean/variance is replaced wholesale, the
+    set's vecSize/parmKind become the new channel's, and the varFloor
+    macro (if present) is rebuilt as 1% of the new channel's global
+    variance (the HCompV convention). Single-stream sets only — HTK's
+    -r path is likewise a plain single-channel retrain.
+    """
+    import math as _math
+
+    if comp.stream_slices and len(comp.stream_slices) > 1:
+        HError(7060, "write_back_retrained: single-pass retraining "
+                     "supports single-stream sets only")
+    D2 = int(means2.shape[1])
+    for i, mp in enumerate(comp._mix_objs):
+        mp.mean = np.asarray(means2[i], np.float32).copy()
+        mp.var = np.asarray(vars2[i], np.float32).copy()
+        mp.gconst = float(
+            D2 * _math.log(2 * _math.pi)
+            + np.sum(np.log(np.maximum(mp.var.astype(np.float64), 1e-38)))
+        )
+    hs = comp._hset
+    hs.vec_size = D2
+    hs.parm_kind = int(new_parm_kind)
+    if hs.stream_widths:
+        hs.stream_widths = [D2]
+    vmac = hs.macros.get("v", {})
+    if "varFloor1" in vmac and g_var is not None:
+        vmac["varFloor1"] = np.asarray(0.01 * g_var, np.float32)
+    return hs
+
+
 def write_back_discrete(comp: CompiledHMMSet, table_logp: np.ndarray) -> HMMSet:
     """Write an updated codeword log-prob table back into the HMMSet."""
     from ..io.mmf import logp_to_dprob

@@ -36,6 +36,22 @@ def source_kind(cfg: Config) -> int:
                            else "WAVEFORM")
 
 
+def channel_config(cfg: Config, n: int) -> Config:
+    """Single-pass-retraining channel view (HERest -r).
+
+    HParm.c's dual-channel configuration: entries qualified HPARM1:/
+    HWAVE1: apply to the alignment channel, HPARM2:/HWAVE2: to the
+    update channel. This returns a Config where channel-n entries are
+    promoted into HPARM/HWAVE, so the ordinary open_speech_file path
+    reads that channel.
+    """
+    out = Config(entries=dict(cfg.entries), sources=list(cfg.sources))
+    for (mod, name), val in cfg.entries.items():
+        if mod in (f"HPARM{n}", f"HWAVE{n}"):
+            out.entries[(mod[:-1], name)] = val
+    return out
+
+
 def open_speech_file(
     entry: str, cfg: Config
 ) -> Tuple[np.ndarray, int, int, ScpEntry]:

@@ -26,6 +26,11 @@ Usage: HERest [options] hmmList [accFiles... with -p 0]
   -a       apply input transforms during accumulation: CMLLR in feature
            space (fMLLR-SAT), MLLR mean/variance per speaker group in
            model space — the canonical model updates from summed stats
+  -r       single-pass retraining: the script pairs files ("old new" on
+           one line, or alternating lines); occupancies are aligned on
+           channel 1 (config HPARM1:/HWAVE1: overrides), moment stats
+           accumulate from channel 2 (HPARM2:/HWAVE2:), and the updated
+           means/variances take channel 2's width and parm kind
   Standard: -A -C -D -S -T -V
 """
 
@@ -44,7 +49,7 @@ from ..models.hmmset import compile_hmmset, write_back
 from ..parallel.acc_files import dump_accs, load_accs, sum_accs
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError, HRError
-from ._common import force_platform_from_env, open_speech_file
+from ._common import channel_config, force_platform_from_env, open_speech_file
 
 USAGE = "Usage: HERest [options] hmmList [accFiles...]"
 
@@ -66,6 +71,7 @@ OPTS = {
     "J": Option("J", 1, "input transform dir"),
     "a": Option("a", 0, "apply input transforms"),
     "h": Option("h", 1, "speaker mask (accepted; global transform)"),
+    "r": Option("r", 0, "single-pass retraining (paired script)"),
 }
 
 
@@ -108,6 +114,8 @@ def run(argv: List[str]) -> int:
         HError(7035, "HERest: HMMs not in MMF: %s", " ".join(missing[:5]))
     comp = compile_hmmset(hset)
 
+    retrain = ta.has("r")
+    kind2 = None  # -r: channel-2 parm kind for the output MMF
     flags = UpdateFlags.parse(ta.get("u", "tmvw"))
     min_var = float(ta.get("v", 1e-6) or 1e-6)
     var_floor = hset.macros["v"].get("varFloor1")
@@ -130,14 +138,48 @@ def run(argv: List[str]) -> int:
         if not files:
             HError(1030, "HERest: no training files\n%s", USAGE)
 
+        if retrain and comp.discrete:
+            HError(7060, "HERest: -r single-pass retraining needs a "
+                         "continuous-density set")
+        if retrain and ta.has("a"):
+            HError(1030, "HERest: -r cannot combine with -a input "
+                         "transforms")
         use_dev_comp = (
             cfg.bool_("DEVICECOMPOSITE", False, module="HTKTPU")
-            and not comp.discrete
+            and not comp.discrete and not retrain
         )
+        # -r pairs the script: "old new" on one line or alternating lines
+        pairs = {}
+        if retrain:
+            paired = []
+            pend = None
+            for fn in list(files):
+                toks = fn.split()
+                if len(toks) == 2:
+                    paired.append((toks[0], toks[1]))
+                elif pend is None:
+                    pend = fn
+                else:
+                    paired.append((pend, fn))
+                    pend = None
+            if pend is not None:
+                HError(1030, "HERest: -r script has an unpaired file %s",
+                       pend)
+            files = [a for a, _b in paired]
+            pairs = dict(paired)
+            cfg1 = channel_config(cfg, 1)
+            cfg2 = channel_config(cfg, 2)
+            # channel-2 width: open the first pair's second file
+            d2_probe, _p2, kind2, _e2 = open_speech_file(
+                paired[0][1], cfg2)
+            retrain_dim = int(d2_probe.shape[1])
+
         if use_dev_comp:
             from ..algo.trainer import DeviceCompositeTrainer
 
             trainer = DeviceCompositeTrainer(comp)
+        elif retrain:
+            trainer = Trainer(comp, retrain_dim=retrain_dim)
         else:
             trainer = (_make_discrete_trainer(comp) if comp.discrete
                        else _make_trainer(comp, cfg))
@@ -168,7 +210,18 @@ def run(argv: List[str]) -> int:
 
         prep = prepare_utterance_ids if use_dev_comp else prepare_utterance
         for fn in files:
-            data, period, kind, e = open_speech_file(fn, cfg)
+            data2 = None
+            if retrain:
+                data, _p, _k, e = open_speech_file(fn, cfg1)
+                data2, _p2, kind2, _e2 = open_speech_file(pairs[fn], cfg2)
+                if data2.shape[0] != data.shape[0]:
+                    n = min(data.shape[0], data2.shape[0])
+                    HRError(7327, "HERest -r: %s/%s frame counts differ "
+                            "(%d vs %d), clipping", fn, pairs[fn],
+                            data.shape[0], data2.shape[0])
+                    data, data2 = data[:n], data2[:n]
+            else:
+                data, period, kind, e = open_speech_file(fn, cfg)
             tr = find_labels(e.logical, mlfs, label_dir, label_ext)
             names = [l.name for l in tr.labels]
             if not names:
@@ -187,7 +240,9 @@ def run(argv: List[str]) -> int:
                 elif not isinstance(xf, tuple) and xf.kind == "CMLLR":
                     data = xf.apply_to_features(data).astype(np.float32)
                     spk = None  # feature-space transform: no model group
-            u = prep(comp, e.logical, data, names)
+            u = (prepare_utterance(comp, e.logical, data, names,
+                                   feats2=data2)
+                 if retrain else prep(comp, e.logical, data, names))
             utts.append(u)
             tagged.append((spk, u))
         if not utts:
@@ -472,7 +527,31 @@ def run(argv: List[str]) -> int:
         return 0
 
     map_tau = cfg.flt_("MAPTAU", 0.0, module="HMAP") or 0.0
-    if map_tau > 0:
+    if retrain or (p_mode == 0 and ta.has("r")):
+        # single-pass retraining update: weights/transitions from the
+        # alignment statistics as usual; means/variances wholesale from
+        # the channel-2 moment sums, set takes channel 2's geometry
+        from ..algo.reestimate import retrain_params
+        from ..models.hmmset import write_back_retrained
+        from ..io import parmkind as _pk
+
+        if kind2 is None:  # -p 0 combine: geometry from config + accs
+            k2s = channel_config(cfg, 2).str_("TARGETKIND", None,
+                                              module="HPARM")
+            if not k2s:
+                HError(1030, "HERest -r -p 0: HPARM2: TARGETKIND required")
+            kind2 = _pk.str2parmkind(k2s)
+        _mw, _vw, w, t = reestimate(
+            comp, accs,
+            UpdateFlags(means=False, variances=False,
+                        weights=flags.weights,
+                        transitions=flags.transitions))
+        write_back(comp, weights=w, transps=t)
+        m2, v2, g_var = retrain_params(accs, min_var=min_var)
+        write_back_retrained(comp, m2, v2,
+                             int(kind2) & ~(_pk.HASCOMPX | _pk.HASCRCC),
+                             g_var=g_var)
+    elif map_tau > 0:
         from ..algo.adapt import map_update
 
         m = map_update(comp, accs, map_tau)

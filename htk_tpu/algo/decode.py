@@ -152,6 +152,7 @@ def decode_scan_uniform(
     word_pen,
     beam=1e30,
     max_active: Optional[int] = None,
+    xw: Optional[dict] = None,
 ):
     """Uniform-width token-passing update (the HLVRec-scale path).
 
@@ -168,6 +169,12 @@ def decode_scan_uniform(
     `max_active` word-end rows propagate across words this frame (exact
     whenever it covers every live word end, tested). lm_scale/word_pen/
     beam are traced so one compiled program serves all values.
+
+    `xw`: factored cross-word tables (net.xw_backoff, already LM-scaled)
+    — replaces the dense matvec/top-k with the back-off leg
+    max_i(WE+bow)+uni plus bucketed explicit-bigram gathers:
+    O(#bigrams) per frame, exact at any vocabulary, `max_active`
+    unnecessary and ignored.
     """
     T, Ns = outp_states.shape
     C = Ns // S
@@ -198,8 +205,28 @@ def decode_scan_uniform(
         pwn = prec // 65536 - 1
         pwt = prec % 65536 - 1
 
-        # 2. cross-word max-plus matvec, optionally top-A pruned
-        if max_active is not None and max_active < C:
+        # 2. cross-word max-plus: factored back-off form when available,
+        # else dense matvec (optionally top-A pruned)
+        if xw is not None:
+            bo = WE + xw["bow"]
+            bo_best = jnp.max(bo)
+            bo_arg = jnp.argmax(bo).astype(jnp.int32)
+            entry_n = bo_best + xw["uni"]
+            an = jnp.full((C,), bo_arg, jnp.int32)
+            parts_v, parts_a = [], []
+            for preds, scores in xw["buckets"]:
+                cand = WE[preds] + scores  # (Cb, Fb)
+                k = jnp.argmax(cand, axis=1)
+                parts_v.append(
+                    jnp.take_along_axis(cand, k[:, None], axis=1)[:, 0])
+                parts_a.append(
+                    jnp.take_along_axis(preds, k[:, None], axis=1)[:, 0])
+            exp_v = jnp.concatenate(parts_v)[xw["inv"]]
+            exp_a = jnp.concatenate(parts_a)[xw["inv"]]
+            take = exp_v > entry_n
+            entry_n = jnp.maximum(entry_n, exp_v) + word_pen
+            an = jnp.where(take, exp_a, an)
+        elif max_active is not None and max_active < C:
             vals, idxs = jax.lax.top_k(WE, max_active)
             rows = trans[idxs]  # (A, C) contiguous row gather
             cand = vals[:, None] + rows
@@ -274,6 +301,15 @@ def _net_dev(net: DecodeNetwork) -> dict:
             "end_exit": jnp.asarray(net.end_exit),
             "jits": {},
         }
+        if net.xw_backoff is not None:
+            x = net.xw_backoff
+            d["xw"] = {
+                "bow": jnp.asarray(x["bow"]),
+                "uni": jnp.asarray(x["uni"]),
+                "buckets": [(jnp.asarray(p), jnp.asarray(s))
+                            for p, s in x["buckets"]],
+                "inv": jnp.asarray(x["inv"]),
+            }
         net._dev_cache = d
     return d
 
@@ -295,12 +331,22 @@ def run_decode_batch(
         fn = d["jits"].get(key)
         if fn is None:
             S = net.uniform_width
+            xw_d = d.get("xw")
 
             def scan_all(outp, lm_scale_, word_pen_, beam_):
+                xw_s = None
+                if xw_d is not None:
+                    xw_s = {
+                        "bow": xw_d["bow"] * lm_scale_,
+                        "uni": xw_d["uni"] * lm_scale_,
+                        "buckets": [(p, s * lm_scale_)
+                                    for p, s in xw_d["buckets"]],
+                        "inv": xw_d["inv"],
+                    }
                 one = lambda o: decode_scan_uniform(  # noqa: E731
                     o, d["band"], d["a0"], d["aE"], S, d["bonus"],
                     d["trans"] * lm_scale_, d["start"] * lm_scale_,
-                    word_pen_, beam_, max_active,
+                    word_pen_, beam_, max_active, xw=xw_s,
                 )
                 return jax.vmap(one)(outp)
 
@@ -470,16 +516,27 @@ def _lv_pipeline(net, comp, precision, max_active, state_mode=False):
     if fn is None:
         S = net.uniform_width
 
+        xw_d = d.get("xw")
+
         def pipe(x, t_reals, lm_scale, word_pen, beam):
             if state_mode:  # x = (B, T, S_phys) external state scores
                 outp = x[:, :, d["comp_state"]]
             else:  # x = (B, T, D) features
                 outp = jax.vmap(
                     lambda f: _net_outp(net, comp, f, precision))(x)
+            xw_s = None
+            if xw_d is not None:
+                xw_s = {
+                    "bow": xw_d["bow"] * lm_scale,
+                    "uni": xw_d["uni"] * lm_scale,
+                    "buckets": [(p, s * lm_scale)
+                                for p, s in xw_d["buckets"]],
+                    "inv": xw_d["inv"],
+                }
             one = lambda o: decode_scan_uniform(  # noqa: E731
                 o, d["band"], d["a0"], d["aE"], S, d["bonus"],
                 d["trans"] * lm_scale, d["start"] * lm_scale,
-                word_pen, beam, max_active,
+                word_pen, beam, max_active, xw=xw_s,
             )
             (vb, wnb, wtb), (WEs, pwns, pwts) = jax.vmap(one)(outp)
             return _traceback_device(
@@ -637,6 +694,35 @@ def decode_batch(
     return out
 
 
+def _host_lm_lookup(net):
+    """Host-side row-to-row LM score: dense matrix or factored tables."""
+    if net.xw_backoff is None:
+        trans_np = np.asarray(net.trans, np.float64)
+        return lambda pn, i: float(trans_np[pn, i])
+    x = net.xw_backoff
+    pairs = getattr(net, "_xw_pairs", None)
+    if pairs is None:
+        pairs = {}
+        perm = np.argsort(np.asarray(x["inv"]))
+        pos = 0
+        for preds, scores in x["buckets"]:
+            for k in range(preds.shape[0]):
+                r = int(perm[pos])
+                pos += 1
+                for q in range(preds.shape[1]):
+                    if scores[k, q] > LSMALL:
+                        pairs[(int(preds[k, q]), r)] = float(scores[k, q])
+        net._xw_pairs = pairs
+    bow = np.asarray(x["bow"], np.float64)
+    uni = np.asarray(x["uni"], np.float64)
+
+    def lm_of(pn, i):
+        backoff = bow[pn] + uni[i]
+        return float(max(pairs.get((pn, i), -np.inf), backoff))
+
+    return lm_of
+
+
 def generate_lattice(
     net: DecodeNetwork,
     comp: CompiledHMMSet,
@@ -758,7 +844,7 @@ def generate_lattice(
         )
     aid = 0
     end_exit = np.asarray(net.end_exit, np.float64)
-    trans_np = np.asarray(net.trans, np.float64)
+    lm_of = _host_lm_lookup(net)
     for (i, t), (score_it, pn, pt) in rec.items():
         nid = node_id[(i, t)]
         if pn < 0:
@@ -772,7 +858,7 @@ def generate_lattice(
                                      aclike=ac, lmlike=lm))
                 aid += 1
         else:
-            lm = float(trans_np[pn, i])
+            lm = lm_of(pn, i)
             prev_score = rec[(pn, pt)][0]
             ac = score_it - prev_score - lm * lm_scale - word_pen
             lat.arcs.append(LArc(id=aid, start=node_id[(pn, pt)], end=nid,

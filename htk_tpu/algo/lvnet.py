@@ -43,6 +43,10 @@ from .net import DecodeNetwork
 LZERO = -1.0e10
 LSMALL = -0.5e10
 
+# auto cut-over from the dense (C, C) cross-word matrix to the factored
+# back-off tables: dense memory is 4*C^2 bytes (256 MB here)
+FACTORED_THRESHOLD = 8000
+
 
 def lm_loop_matrices(words: Sequence[str], lm: NGramLM,
                      sent_start: str = "!ENTER", sent_end: str = "!EXIT"):
@@ -86,6 +90,104 @@ def lm_loop_matrices(words: Sequence[str], lm: NGramLM,
     return trans, start_entry, end_exit
 
 
+def _start_end_vectors(words, lm, sent_start, sent_end):
+    """Word-level start/end log-probs, matching lm_loop_matrices."""
+    W = len(words)
+    if sent_start in lm.unigrams:
+        w_start = np.array([lm.logp_bi(sent_start, w) for w in words])
+    else:
+        w_start = np.array([lm.logp_uni(w) for w in words])
+    if sent_end in lm.unigrams:
+        w_end = np.array([lm.logp_bi(w, sent_end) for w in words])
+    else:
+        w_end = np.zeros(W, np.float64)
+    return w_start, w_end
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _factored_rows(words, lm, row_word, i_s, i_e):
+    """Row-level factored cross-word tables (the HLVLM role, TPU-shaped).
+
+    The dense (C, C) max-plus matvec decomposes through the ARPA
+    back-off structure: entry[j] = max( max_i(WE[i] + bow[i]) + uni[j],
+    max over explicit bigrams i->j of WE[i] + P(j|i) ). The back-off leg
+    is O(C); the explicit leg is a gather over per-target predecessor
+    lists, bucketed by in-degree (rows padded to the next power of two
+    per bucket) so total per-frame work is O(#bigrams) — no dense
+    matrix, no top-k pruning, exact at any vocabulary.
+
+    Semantics note: where an explicit bigram scores BELOW its back-off
+    path, the max picks the back-off — exactly the behaviour of HTK's
+    HBuild back-off word networks (both paths exist in the net and the
+    decoder maxes over them), vs. ARPA's strict replacement. i_s/i_e:
+    boundary word indices (nothing re-enters <s>, nothing leaves </s>).
+    """
+    C = len(row_word)
+    idx = {w: k for k, w in enumerate(words)}
+    uni = np.empty(len(words))
+    bow = np.empty(len(words))
+    for k, w in enumerate(words):
+        e = lm.unigrams.get(w)
+        if e is None:
+            HError(8625, "compile_lv_loop: %s not in LM", w)
+        uni[k], bow[k] = e
+    uni_in = uni.copy()
+    bow_out = bow.copy()
+    if i_s is not None:
+        uni_in[i_s] = LZERO  # nothing re-enters <s> via back-off
+    if i_e is not None:
+        bow_out[i_e] = LZERO  # nothing leaves </s>
+
+    rw = np.asarray(row_word)
+    rows_of: dict = {}
+    for r, wi in enumerate(row_word):
+        rows_of.setdefault(wi, []).append(r)
+
+    pred_lists: List[List[Tuple[int, float]]] = [[] for _ in range(C)]
+    for (w1, w2), (p, _bo) in lm.bigrams.items():
+        i = idx.get(w1)
+        j = idx.get(w2)
+        if i is None or j is None:
+            continue
+        if (i_s is not None and j == i_s) or (i_e is not None and i == i_e):
+            continue
+        for tr_ in rows_of.get(j, ()):
+            for sr in rows_of.get(i, ()):
+                pred_lists[tr_].append((sr, p))
+
+    # bucket target rows by padded in-degree
+    groups: dict = {}
+    for r in range(C):
+        fb = _next_pow2(max(1, len(pred_lists[r])))
+        groups.setdefault(fb, []).append(r)
+    buckets = []
+    perm: List[int] = []
+    for fb in sorted(groups):
+        rows = groups[fb]
+        preds = np.zeros((len(rows), fb), np.int32)  # pad -> row 0
+        scores = np.full((len(rows), fb), LZERO, np.float32)
+        for k, r in enumerate(rows):
+            for q, (sr, p) in enumerate(pred_lists[r]):
+                preds[k, q] = sr
+                scores[k, q] = p
+        buckets.append((preds, scores))
+        perm.extend(rows)
+    inv = np.empty(C, np.int32)
+    inv[np.asarray(perm)] = np.arange(C, dtype=np.int32)
+    return {
+        "bow": bow_out[rw].astype(np.float32),
+        "uni": uni_in[rw].astype(np.float32),
+        "buckets": buckets,
+        "inv": inv,
+    }
+
+
 def compile_lv_loop(
     words: Sequence[str],
     vocab: Vocab,
@@ -97,6 +199,7 @@ def compile_lv_loop(
     pad_multiple: int = 4,
     start_word: Optional[str] = None,
     end_word: Optional[str] = None,
+    factored: Optional[bool] = None,
 ) -> DecodeNetwork:
     """Compile a full-vocabulary back-off bigram word loop.
 
@@ -109,24 +212,46 @@ def compile_lv_loop(
     with silence pronunciations in the dictionary) become dedicated
     boundary rows: every path must start in start_word's models and end
     in end_word's — HDecode's obligatory utterance-edge silence. They must
-    be present in the LM (ARPA always carries <s>/</s>)."""
-    if start_word is not None or end_word is not None:
+    be present in the LM (ARPA always carries <s>/</s>).
+
+    `factored`: cross-word step through the back-off structure
+    (xw_backoff tables) instead of the dense (C, C) matrix. Measured on
+    v5e: the dense matvec + top-A pruning is ~1.5x faster up to a few
+    thousand rows (the factored gathers serialise on the VPU), but the
+    dense matrix is 4*C^2 bytes — 400 MB at 10k rows — so beyond
+    FACTORED_THRESHOLD rows the factored form is the only viable one.
+    None = auto by that threshold."""
+    if factored is None:
+        n_rows = sum(len(vocab.get(w).prons) if vocab.get(w) else 1
+                     for w in words) + (2 if start_word else 0)
+        factored = lm is not None and n_rows > FACTORED_THRESHOLD
+    factored = bool(factored) and lm is not None
+    boundary = start_word is not None or end_word is not None
+    i_s = i_e = None
+    w_trans = None
+    if boundary:
         if lm is None or start_word is None or end_word is None:
             HError(8624, "compile_lv_loop: start_word/end_word need an LM "
                          "and must be given together")
         core = list(words)
         words = [start_word] + core + [end_word]
-        w_trans, _ws, _we = lm_loop_matrices(words, lm, sent_start, sent_end)
         i_s, i_e = 0, len(words) - 1
-        w_trans[:, i_s] = LZERO  # nothing re-enters <s>
-        w_trans[i_e, :] = LZERO  # nothing leaves </s>
+        if not factored:
+            w_trans, _ws, _we = lm_loop_matrices(words, lm, sent_start,
+                                                 sent_end)
+            w_trans[:, i_s] = LZERO  # nothing re-enters <s>
+            w_trans[i_e, :] = LZERO  # nothing leaves </s>
         w_start = np.full(len(words), LZERO)
         w_start[i_s] = 0.0  # paths must start in <s>'s silence models
         w_end = np.full(len(words), LZERO)
         w_end[i_e] = 0.0  # ... and end in </s>'s
     elif lm is not None:
-        w_trans, w_start, w_end = lm_loop_matrices(
-            words, lm, sent_start, sent_end)
+        if factored:
+            w_start, w_end = _start_end_vectors(words, lm, sent_start,
+                                                sent_end)
+        else:
+            w_trans, w_start, w_end = lm_loop_matrices(
+                words, lm, sent_start, sent_end)
     else:
         W = len(words)
         w_trans = np.zeros((W, W), np.float64)
@@ -187,9 +312,16 @@ def compile_lv_loop(
             band[k, c, jj] = la[jj - k, jj]
 
     # expand word-level matrices to rows
-    trans = w_trans[row_word_np[:, None], row_word_np[None, :]]
     start_entry = w_start[row_word_np]
     end_exit = w_end[row_word_np]
+    xw = None
+    if factored:
+        # the dense (C, C) matrix is never materialised — the factored
+        # tables carry the same information in O(#bigrams)
+        trans = np.zeros((0, 0), np.float64)
+        xw = _factored_rows(words, lm, row_word, i_s, i_e)
+    else:
+        trans = w_trans[row_word_np[:, None], row_word_np[None, :]]
 
     return DecodeNetwork(
         comp_state=comp_state.reshape(-1),
@@ -208,4 +340,5 @@ def compile_lv_loop(
         n_chains=C,
         n_nodes=C,
         uniform_width=S,
+        xw_backoff=xw,
     )

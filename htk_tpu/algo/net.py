@@ -72,6 +72,11 @@ class DecodeNetwork:
     # set by algo/lvnet.py: every chain padded to this many states and
     # node == chain (rows). Enables the gather-free uniform decode scan.
     uniform_width: Optional[int] = None
+    # set by algo/lvnet.py when built from an n-gram LM: the cross-word
+    # step factored through the ARPA back-off structure (bow/uni vectors
+    # + bucketed explicit-bigram gather lists) instead of the dense
+    # (C, C) matrix — O(#bigrams) per frame instead of O(C^2), exact.
+    xw_backoff: Optional[dict] = None
 
 
 def _maxplus_closure(null_arcs: np.ndarray) -> np.ndarray:

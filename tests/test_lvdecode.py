@@ -139,3 +139,45 @@ class TestLVBatch:
             rs = decode(net, comp, f)
             assert rb.words == rs.words and rb.times == rs.times
             assert rb.score == pytest.approx(rs.score, rel=1e-6)
+
+
+class TestFactoredCrossWord:
+    def test_factored_equals_dense(self):
+        """Back-off-factored cross-word == dense matrix decode (the LM
+        here has explicit >= back-off everywhere, where the two agree
+        exactly; see lvnet._factored_rows on the max-vs-replace
+        distinction)."""
+        comp = separable_set()
+        v = make_vocab()
+        words = ["A", "I", "S"]
+        lm = make_lm()
+        net_f = compile_lv_loop(words, v, comp, lm=lm, factored=True)
+        net_d = compile_lv_loop(words, v, comp, lm=lm, factored=False)
+        assert net_f.xw_backoff is not None
+        assert net_d.xw_backoff is None
+        for seed, seq in ((3, ["sil", "aa", "iy", "aa", "sil"]),
+                          (9, ["iy", "iy", "sil", "aa"])):
+            feats = emit_frames(seq, seed=seed)
+            rf = decode(net_f, comp, feats, lm_scale=3.0, word_pen=-2.0)
+            rd = decode(net_d, comp, feats, lm_scale=3.0, word_pen=-2.0)
+            assert rf is not None and rd is not None
+            assert rf.words == rd.words
+            assert rf.times == rd.times
+            assert rf.score == pytest.approx(rd.score, rel=1e-6)
+
+    def test_backoff_leg_used_when_bigram_missing(self):
+        comp = separable_set()
+        v = make_vocab()
+        lm = make_lm()
+        lm.bigrams.pop(("A", "I"))  # A -> I must take bow(A) + uni(I)
+        net = compile_lv_loop(["A", "I", "S"], v, comp, lm=lm,
+                              factored=True)
+        x = net.xw_backoff
+        # row 1 (word I) has no explicit pred from row 0 (word A)
+        from htk_tpu.algo.decode import _host_lm_lookup
+        lm_of = _host_lm_lookup(net)
+        assert lm_of(0, 1) == pytest.approx(lm.logp_bi("A", "I"), abs=1e-5)
+        assert lm_of(0, 2) == pytest.approx(lm.logp_bi("A", "S"), abs=1e-5)
+        feats = emit_frames(["sil", "aa", "iy", "sil"], seed=4)
+        r = decode(net, comp, feats)
+        assert r is not None and r.words == ["A", "I"]

@@ -277,6 +277,149 @@ def decode_scan_uniform(
     return (v, wn, wt), (WEs, pwns, pwts)
 
 
+def _shift_down_b(x, k, fill):
+    """Batched _shift_down along axis 1: y[:, s] = x[:, s-k]."""
+    if k == 0:
+        return x
+    B = x.shape[0]
+    return jnp.concatenate(
+        [jnp.full((B, k), fill, x.dtype), x[:, :-k]], axis=1)
+
+
+def decode_scan_uniform_batch(
+    outp_states,  # (B, T, Ns)
+    band, a0, aE,
+    S: int,
+    entry_bonus_row,  # (C,)
+    trans,  # (C, C) scaled, or (0, 0) when xw is given
+    start_entry,  # (C,)
+    word_pen,
+    beam=1e30,
+    max_active: Optional[int] = None,
+    xw: Optional[dict] = None,
+    use_pallas: Optional[bool] = None,
+):
+    """Batched uniform-row scan — same recursion as decode_scan_uniform
+    but with the batch INSIDE the step, which is what makes the
+    cross-word step efficient: on TPU the dense max-plus matvec runs as
+    the batch-amortised Pallas kernel (ops/maxplus_pallas — the (C, C)
+    matrix streams through VMEM once per frame for the WHOLE batch;
+    exact, no top-k). vmap(decode_scan_uniform) re-reads the matrix per
+    batch element or pays ~1.2 ms/frame for the top-k sort (measured
+    85% of the step on v5e). Other cross-word forms (factored back-off
+    `xw`, explicit top-A `max_active`) run as batched XLA ops.
+    """
+    B, T, Ns = outp_states.shape
+    C = Ns // S
+    K = band.shape[0]
+    if C >= 32767 or T >= 65535:
+        HError(8520, "decode_scan_uniform_batch: %d rows / %d frames "
+                     "exceed the packed-record range", C, T)
+    if use_pallas is None:
+        # measured on v5e at C=5k: the kernel's exact dense max-plus is
+        # VPU-compute-bound (B*C^2 compare/select ~ 1.2G ops/frame) and
+        # loses to top-A (0.026 vs 0.011 xRT) — kept opt-in as the exact
+        # no-pruning mode
+        import os
+
+        use_pallas = (os.environ.get("HTKTPU_MAXPLUS_PALLAS") == "1"
+                      and jax.default_backend() == "tpu" and xw is None
+                      and max_active is None)
+    neg = jnp.asarray(LZERO, outp_states.dtype)
+    col = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    a0_r = a0.reshape(C, S)[None]
+
+    def step(carry, t):
+        v, rec = carry  # (B, Ns)
+        outp_t = jax.lax.dynamic_index_in_dim(
+            outp_states, t, axis=1, keepdims=False)  # (B, Ns)
+
+        ev = (v + aE[None]).reshape(B, C, S)
+        WE = jnp.max(ev, axis=2)  # (B, C)
+        best_s = jnp.argmax(ev, axis=2)
+        onehot = best_s[..., None] == col
+        ok = WE > LSMALL
+        prec = jnp.max(jnp.where(onehot, rec.reshape(B, C, S), 0), axis=2)
+        prec = jnp.where(ok, prec, 0)
+        pwn = prec // 65536 - 1
+        pwt = prec % 65536 - 1
+
+        if xw is not None:
+            bo = WE + xw["bow"][None]
+            bo_best = jnp.max(bo, axis=1)  # (B,)
+            bo_arg = jnp.argmax(bo, axis=1).astype(jnp.int32)
+            entry_n = bo_best[:, None] + xw["uni"][None]
+            an = jnp.broadcast_to(bo_arg[:, None], (B, C))
+            parts_v, parts_a = [], []
+            for preds, scores in xw["buckets"]:
+                cand = WE[:, preds] + scores[None]  # (B, Cb, Fb)
+                k = jnp.argmax(cand, axis=2)
+                parts_v.append(jnp.take_along_axis(
+                    cand, k[..., None], axis=2)[..., 0])
+                pb = jnp.broadcast_to(preds[None], cand.shape).astype(
+                    jnp.int32)
+                parts_a.append(jnp.take_along_axis(
+                    pb, k[..., None], axis=2)[..., 0])
+            exp_v = jnp.concatenate(parts_v, axis=1)[:, xw["inv"]]
+            exp_a = jnp.concatenate(parts_a, axis=1)[:, xw["inv"]]
+            take = exp_v > entry_n
+            entry_n = jnp.maximum(entry_n, exp_v) + word_pen
+            an = jnp.where(take, exp_a, an)
+        elif max_active is not None and max_active < C:
+            vals, idxs = jax.lax.top_k(WE, max_active)  # (B, A)
+            rows = trans[idxs]  # (B, A, C)
+            cand = vals[..., None] + rows
+            entry_n = jnp.max(cand, axis=1) + word_pen
+            an = jnp.take_along_axis(
+                idxs, jnp.argmax(cand, axis=1), axis=1).astype(jnp.int32)
+        elif use_pallas:
+            from ..ops.maxplus_pallas import maxplus_matvec
+
+            m, a_ = maxplus_matvec(WE, trans)
+            entry_n = m + word_pen
+            an = a_
+        else:
+            cand = WE[:, :, None] + trans[None]
+            entry_n = jnp.max(cand, axis=1) + word_pen
+            an = jnp.argmax(cand, axis=1).astype(jnp.int32)
+
+        entry_n = jnp.where(t == 0, start_entry[None], entry_n)
+        entry_rec = jnp.where(t == 0, 0, (an + 1) * 65536 + t)
+        entry_flat = ((entry_n + entry_bonus_row[None])[..., None]
+                      + a0_r).reshape(B, Ns)
+        erec_flat = jnp.broadcast_to(
+            entry_rec[..., None], (B, C, S)).reshape(B, Ns)
+
+        within = v + band[0][None]
+        wrec = rec
+        for k in range(1, K):
+            ck = _shift_down_b(v, k, LZERO) + band[k][None]
+            take = ck > within
+            within = jnp.where(take, ck, within)
+            wrec = jnp.where(take, _shift_down_b(rec, k, 0), wrec)
+
+        use_entry = entry_flat > within
+        new_v = jnp.maximum(within, entry_flat) + outp_t
+        new_v = jnp.where(
+            new_v < jnp.max(new_v, axis=1, keepdims=True) - beam, neg, new_v)
+        new_rec = jnp.where(use_entry, erec_flat, wrec)
+        new_rec = jnp.where(new_v <= LSMALL, 0, new_rec)
+        return (new_v, new_rec), (WE, pwn, pwt)
+
+    init = (
+        jnp.full((B, Ns), LZERO, outp_states.dtype),
+        jnp.zeros((B, Ns), jnp.int32),
+    )
+    (v, rec), (WEs, pwns, pwts) = jax.lax.scan(
+        step, init, jnp.arange(T))
+    wn = rec // 65536 - 1
+    wt = rec % 65536 - 1
+    # match vmap(decode_scan_uniform) output layout: records (B, T, C)
+    return (v, wn, wt), (jnp.swapaxes(WEs, 0, 1),
+                         jnp.swapaxes(pwns, 0, 1),
+                         jnp.swapaxes(pwts, 0, 1))
+
+
 def _net_dev(net: DecodeNetwork) -> dict:
     """Per-network device-array cache.
 
@@ -343,12 +486,11 @@ def run_decode_batch(
                                     for p, s in xw_d["buckets"]],
                         "inv": xw_d["inv"],
                     }
-                one = lambda o: decode_scan_uniform(  # noqa: E731
-                    o, d["band"], d["a0"], d["aE"], S, d["bonus"],
+                return decode_scan_uniform_batch(
+                    outp, d["band"], d["a0"], d["aE"], S, d["bonus"],
                     d["trans"] * lm_scale_, d["start"] * lm_scale_,
                     word_pen_, beam_, max_active, xw=xw_s,
                 )
-                return jax.vmap(one)(outp)
 
             fn = jax.jit(scan_all)
             d["jits"][key] = fn
@@ -533,12 +675,11 @@ def _lv_pipeline(net, comp, precision, max_active, state_mode=False):
                                 for p, s in xw_d["buckets"]],
                     "inv": xw_d["inv"],
                 }
-            one = lambda o: decode_scan_uniform(  # noqa: E731
-                o, d["band"], d["a0"], d["aE"], S, d["bonus"],
+            (vb, wnb, wtb), (WEs, pwns, pwts) = decode_scan_uniform_batch(
+                outp, d["band"], d["a0"], d["aE"], S, d["bonus"],
                 d["trans"] * lm_scale, d["start"] * lm_scale,
                 word_pen, beam, max_active, xw=xw_s,
             )
-            (vb, wnb, wtb), (WEs, pwns, pwts) = jax.vmap(one)(outp)
             return _traceback_device(
                 vb, wnb, wtb, WEs, pwns, pwts, d["aE"],
                 d["end_exit"] * lm_scale, t_reals, S=S)

@@ -181,3 +181,51 @@ class TestFactoredCrossWord:
         feats = emit_frames(["sil", "aa", "iy", "sil"], seed=4)
         r = decode(net, comp, feats)
         assert r is not None and r.words == ["A", "I"]
+
+
+class TestBatchedUniformScan:
+    def test_batch_equals_vmapped_single(self):
+        import jax
+        import jax.numpy as jnp
+
+        from htk_tpu.algo.decode import (_net_dev, decode_scan_uniform,
+                                         decode_scan_uniform_batch)
+
+        comp = separable_set()
+        net = compile_lv_loop(["A", "I", "S"], make_vocab(), comp,
+                              lm=make_lm(), factored=False)
+        d = _net_dev(net)
+        rng = np.random.default_rng(0)
+        B, T = 3, 40
+        outp = jnp.asarray(
+            rng.normal(size=(B, T, net.n_states)).astype(np.float32) - 4.0)
+        S = net.uniform_width
+        args = (d["band"], d["a0"], d["aE"], S, d["bonus"],
+                d["trans"] * 2.0, d["start"] * 2.0, -1.5)
+        one = lambda o: decode_scan_uniform(o, *args)  # noqa: E731
+        (v1, wn1, wt1), (W1, p1, q1) = jax.vmap(one)(outp)
+        (v2, wn2, wt2), (W2, p2, q2) = decode_scan_uniform_batch(outp, *args)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   atol=1e-5)
+        assert np.array_equal(np.asarray(wn2), np.asarray(wn1))
+        assert np.array_equal(np.asarray(wt2), np.asarray(wt1))
+        np.testing.assert_allclose(np.asarray(W2), np.asarray(W1),
+                                   atol=1e-5)
+        assert np.array_equal(np.asarray(p2), np.asarray(p1))
+        assert np.array_equal(np.asarray(q2), np.asarray(q1))
+
+    def test_maxplus_kernel_interpret(self):
+        import jax.numpy as jnp
+
+        from htk_tpu.ops.maxplus_pallas import maxplus_matvec
+
+        rng = np.random.default_rng(3)
+        B, C = 5, 200
+        WE = rng.normal(size=(B, C)).astype(np.float32)
+        tr = rng.normal(size=(C, C)).astype(np.float32)
+        e, a = maxplus_matvec(jnp.asarray(WE), jnp.asarray(tr),
+                              interpret=True)
+        ref = (WE[:, :, None] + tr[None]).max(axis=1)
+        refa = (WE[:, :, None] + tr[None]).argmax(axis=1)
+        np.testing.assert_allclose(np.asarray(e), ref, atol=1e-6)
+        assert np.array_equal(np.asarray(a), refa)

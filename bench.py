@@ -145,9 +145,12 @@ def build_tied_triphone_system(n_words, n_phones=40, n_tied=2000, nmix=8,
 
 
 def bench_decode_lv(comp, vocab, words, lm, T=500, batch=8, n_batches=2,
-                    max_active=None, seed=2):
+                    max_active=None, seed=2, reps=3):
     """Batched LV word-loop decode; returns xRT per chip (full pipeline:
-    OutP + scan + host traceback)."""
+    OutP + scan + host traceback). Median of `reps` timed passes — the
+    dev tunnel's run-to-run variance swings single measurements ±30%."""
+    import statistics
+
     from htk_tpu.algo.decode import decode_batch
     from htk_tpu.algo.lvnet import compile_lv_loop
 
@@ -159,13 +162,15 @@ def bench_decode_lv(comp, vocab, words, lm, T=500, batch=8, n_batches=2,
     out = decode_batch(net, comp, feats, lm_scale=8.0, word_pen=-10.0,
                        max_active=max_active)  # warm up / compile
     assert any(r is not None for r in out)
-    t0 = time.perf_counter()
-    for _ in range(n_batches):
-        out = decode_batch(net, comp, feats, lm_scale=8.0, word_pen=-10.0,
-                           max_active=max_active)
-    dt = time.perf_counter() - t0
     audio_seconds = n_batches * batch * T * 0.01
-    return dt / audio_seconds, net
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            out = decode_batch(net, comp, feats, lm_scale=8.0,
+                               word_pen=-10.0, max_active=max_active)
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times) / audio_seconds, net
 
 
 def build_net(comp, names, vocab_size=100, seed=1):

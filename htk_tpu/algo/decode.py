@@ -310,11 +310,40 @@ def decode_scan_uniform_batch(
     `xw`, explicit top-A `max_active`) run as batched XLA ops.
     """
     B, T, Ns = outp_states.shape
+    step = _make_uniform_step(
+        B, Ns, band, a0, aE, S, entry_bonus_row, trans, start_entry,
+        word_pen, beam, max_active, xw, use_pallas)
+    if T >= 65535:
+        HError(8520, "decode_scan_uniform_batch: %d frames exceed the "
+                     "packed-record range", T)
+
+    def body(carry, t):
+        outp_t = jax.lax.dynamic_index_in_dim(
+            outp_states, t, axis=1, keepdims=False)
+        return step(carry, outp_t, t)
+
+    init = (
+        jnp.full((B, Ns), LZERO, outp_states.dtype),
+        jnp.zeros((B, Ns), jnp.int32),
+    )
+    (v, rec), (WEs, pwns, pwts) = jax.lax.scan(body, init, jnp.arange(T))
+    wn = rec // 65536 - 1
+    wt = rec % 65536 - 1
+    # match vmap(decode_scan_uniform) output layout: records (B, T, C)
+    return (v, wn, wt), (jnp.swapaxes(WEs, 0, 1),
+                         jnp.swapaxes(pwns, 0, 1),
+                         jnp.swapaxes(pwts, 0, 1))
+
+
+def _make_uniform_step(B, Ns, band, a0, aE, S, entry_bonus_row, trans,
+                       start_entry, word_pen, beam, max_active, xw,
+                       use_pallas):
+    """The batched per-frame update as step(carry, outp_t, t)."""
     C = Ns // S
     K = band.shape[0]
-    if C >= 32767 or T >= 65535:
-        HError(8520, "decode_scan_uniform_batch: %d rows / %d frames "
-                     "exceed the packed-record range", C, T)
+    if C >= 32767:
+        HError(8520, "decode_scan_uniform_batch: %d rows exceed the "
+                     "packed-record range", C)
     if use_pallas is None:
         # measured on v5e at C=5k: the kernel's exact dense max-plus is
         # VPU-compute-bound (B*C^2 compare/select ~ 1.2G ops/frame) and
@@ -325,15 +354,12 @@ def decode_scan_uniform_batch(
         use_pallas = (os.environ.get("HTKTPU_MAXPLUS_PALLAS") == "1"
                       and jax.default_backend() == "tpu" and xw is None
                       and max_active is None)
-    neg = jnp.asarray(LZERO, outp_states.dtype)
+    neg = jnp.asarray(LZERO, jnp.float32)
     col = jnp.arange(S, dtype=jnp.int32)[None, None, :]
     a0_r = a0.reshape(C, S)[None]
 
-    def step(carry, t):
+    def step(carry, outp_t, t):
         v, rec = carry  # (B, Ns)
-        outp_t = jax.lax.dynamic_index_in_dim(
-            outp_states, t, axis=1, keepdims=False)  # (B, Ns)
-
         ev = (v + aE[None]).reshape(B, C, S)
         WE = jnp.max(ev, axis=2)  # (B, C)
         best_s = jnp.argmax(ev, axis=2)
@@ -406,18 +432,7 @@ def decode_scan_uniform_batch(
         new_rec = jnp.where(new_v <= LSMALL, 0, new_rec)
         return (new_v, new_rec), (WE, pwn, pwt)
 
-    init = (
-        jnp.full((B, Ns), LZERO, outp_states.dtype),
-        jnp.zeros((B, Ns), jnp.int32),
-    )
-    (v, rec), (WEs, pwns, pwts) = jax.lax.scan(
-        step, init, jnp.arange(T))
-    wn = rec // 65536 - 1
-    wt = rec % 65536 - 1
-    # match vmap(decode_scan_uniform) output layout: records (B, T, C)
-    return (v, wn, wt), (jnp.swapaxes(WEs, 0, 1),
-                         jnp.swapaxes(pwns, 0, 1),
-                         jnp.swapaxes(pwts, 0, 1))
+    return step
 
 
 def _net_dev(net: DecodeNetwork) -> dict:
@@ -661,11 +676,9 @@ def _lv_pipeline(net, comp, precision, max_active, state_mode=False):
         xw_d = d.get("xw")
 
         def pipe(x, t_reals, lm_scale, word_pen, beam):
-            if state_mode:  # x = (B, T, S_phys) external state scores
-                outp = x[:, :, d["comp_state"]]
-            else:  # x = (B, T, D) features
-                outp = jax.vmap(
-                    lambda f: _net_outp(net, comp, f, precision))(x)
+            B, T = x.shape[0], x.shape[1]
+            Ns = len(net.comp_state)
+            C = Ns // S
             xw_s = None
             if xw_d is not None:
                 xw_s = {
@@ -675,28 +688,95 @@ def _lv_pipeline(net, comp, precision, max_active, state_mode=False):
                                 for p, s in xw_d["buckets"]],
                     "inv": xw_d["inv"],
                 }
-            (vb, wnb, wtb), (WEs, pwns, pwts) = decode_scan_uniform_batch(
-                outp, d["band"], d["a0"], d["aE"], S, d["bonus"],
+            step = _make_uniform_step(
+                B, Ns, d["band"], d["a0"], d["aE"], S, d["bonus"],
                 d["trans"] * lm_scale, d["start"] * lm_scale,
-                word_pen, beam, max_active, xw=xw_s,
+                word_pen, beam, max_active, xw_s, None)
+
+            def outp_of(fchunk):
+                if state_mode:  # (B, t, S_phys) external state scores
+                    return fchunk[:, :, d["comp_state"]]
+                return jax.vmap(
+                    lambda f: _net_outp(net, comp, f, precision))(fchunk)
+
+            # OutP is computed CHUNK-WISE inside the scan: the full
+            # (B, T, Ns) plane is ~2.5 GB at 5k vocab — materialising it
+            # costs an extra HBM round-trip and caps the batch size.
+            CH = 64 if T % 64 == 0 else T
+            init = (
+                jnp.full((B, Ns), LZERO, jnp.float32),
+                jnp.zeros((B, Ns), jnp.int32),
             )
-            return _traceback_device(
-                vb, wnb, wtb, WEs, pwns, pwts, d["aE"],
+
+            def outer(carry, c):
+                fchunk = jax.lax.dynamic_slice_in_dim(x, c * CH, CH, 1)
+                outp_chunk = outp_of(fchunk)  # (B, CH, Ns)
+
+                def inner(carry2, tl):
+                    outp_t = jax.lax.dynamic_index_in_dim(
+                        outp_chunk, tl, axis=1, keepdims=False)
+                    return step(carry2, outp_t, c * CH + tl)
+
+                return jax.lax.scan(inner, carry, jnp.arange(CH))
+
+            (v, rec), recs = jax.lax.scan(outer, init,
+                                          jnp.arange(T // CH))
+            WEs = jnp.swapaxes(recs[0].reshape(T, B, C), 0, 1)
+            pwns = jnp.swapaxes(recs[1].reshape(T, B, C), 0, 1)
+            pwts = jnp.swapaxes(recs[2].reshape(T, B, C), 0, 1)
+            wn = rec // 65536 - 1
+            wt = rec % 65536 - 1
+            nodes, t0s, t1s, scores = _traceback_device(
+                v, wn, wt, WEs, pwns, pwts, d["aE"],
                 d["end_exit"] * lm_scale, t_reals, S=S)
+            # ONE packed plane: through the dev tunnel each host fetch
+            # pays ~27 ms latency regardless of size
+            return jnp.stack([nodes, t0s, t1s], axis=1), scores
 
         fn = jax.jit(pipe)
         d["jits"][key] = fn
     return fn
 
 
+_dev_scalar_cache: dict = {}
+
+
+def _dev_scalar(x) -> jnp.ndarray:
+    """Cached device scalar: through the dev tunnel every host->device
+    transfer pays ~25 ms latency, and jitted pipelines take lm_scale /
+    word_pen / beam as traced operands every call."""
+    key = ("s", float(x))
+    v = _dev_scalar_cache.get(key)
+    if v is None:
+        v = jnp.asarray(float(x), jnp.float32)
+        if len(_dev_scalar_cache) > 256:
+            _dev_scalar_cache.clear()
+        _dev_scalar_cache[key] = v
+    return v
+
+
+def _dev_lens(t_reals) -> jnp.ndarray:
+    """Cached device length vector (bucketed batches repeat shapes)."""
+    key = ("l", tuple(int(t) for t in t_reals))
+    v = _dev_scalar_cache.get(key)
+    if v is None:
+        v = jnp.asarray(key[1], jnp.int32)
+        if len(_dev_scalar_cache) > 256:
+            _dev_scalar_cache.clear()
+        _dev_scalar_cache[key] = v
+    return v
+
+
 def _decode_uniform(net, comp, x, t_reals, lm_scale, word_pen, beam,
                     max_active, precision, state_mode=False):
     fn = _lv_pipeline(net, comp, precision, max_active, state_mode)
-    nodes, t0s, t1s, scores = fn(
-        x, jnp.asarray(t_reals, jnp.int32), float(lm_scale),
-        float(word_pen), _BEAM_OFF if beam is None else float(beam))
-    return _format_uniform_results(net, np.asarray(nodes), np.asarray(t0s),
-                                   np.asarray(t1s), np.asarray(scores))
+    packed, scores = fn(
+        x, _dev_lens(t_reals), _dev_scalar(lm_scale),
+        _dev_scalar(word_pen),
+        _dev_scalar(_BEAM_OFF if beam is None else beam))
+    p = np.asarray(packed)  # (B, 3, T): one transfer for all planes
+    return _format_uniform_results(net, p[:, 0], p[:, 1], p[:, 2],
+                                   np.asarray(scores))
 
 
 def _format_uniform_results(net, nodes_b, t0_b, t1_b, scores_b):

@@ -117,6 +117,63 @@ def read_arpa(path: str) -> NGramLM:
     return lm
 
 
+def write_matrix_bigram(lm: NGramLM, words: List[str], path: str) -> None:
+    """Matrix bigram file (HLM.c MatBigram; HLStats' default -b output).
+
+    One row per word in `words` order: the row word followed by
+    P(col | row) for every column word in the same order, wrapped 8
+    numbers per line with continuation lines indented. [LC layout vs
+    reference: HTKBook documents the matrix-vs-backoff distinction; the
+    exact wrap width is unverifiable until the mount appears.]
+    """
+    with open(path, "w") as f:
+        for w1 in words:
+            probs = [math.exp(lm.logp_bi(w1, w2)) for w2 in words]
+            # renormalise rows (counts floored/discounted upstream)
+            tot = sum(probs)
+            if tot > 0:
+                probs = [p / tot for p in probs]
+            f.write(f"{w1:<12s}")
+            for k, p in enumerate(probs):
+                if k and k % 8 == 0:
+                    f.write("\n" + " " * 12)
+                f.write(f" {p:.4e}")
+            f.write("\n")
+
+
+def read_matrix_bigram(path: str, words: Optional[List[str]] = None) -> NGramLM:
+    """Read a matrix bigram file back into an NGramLM (explicit bigrams
+    only; no back-off weights — the matrix is dense by construction)."""
+    rows: List[Tuple[str, List[float]]] = []
+    cur: Optional[Tuple[str, List[float]]] = None
+    for raw in open(path):
+        if not raw.strip():
+            continue
+        if raw[0] not in (" ", "\t"):
+            if cur is not None:
+                rows.append(cur)
+            parts = raw.split()
+            cur = (parts[0], [float(x) for x in parts[1:]])
+        else:
+            assert cur is not None
+            cur[1].extend(float(x) for x in raw.split())
+    if cur is not None:
+        rows.append(cur)
+    order = words if words is not None else [w for w, _ in rows]
+    if any(len(ps) != len(order) for _w, ps in rows):
+        HError(8151, "read_matrix_bigram: row width != vocabulary size "
+                     "in %s", path)
+    lm = NGramLM(order=2)
+    n = max(len(order), 1)
+    for w, _ps in rows:
+        lm.unigrams[w] = (math.log(1.0 / n), 0.0)
+    for w, ps in rows:
+        for w2, p in zip(order, ps):
+            if p > 0.0:
+                lm.bigrams[(w, w2)] = (math.log(p), 0.0)
+    return lm
+
+
 def write_arpa(lm: NGramLM, path: str) -> None:
     with open(path, "w") as f:
         f.write("\\data\\\n")

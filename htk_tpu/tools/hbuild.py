@@ -215,7 +215,15 @@ def run(argv: List[str]) -> int:
         return 0
 
     if ta.has("n"):
-        lm = read_arpa(ta.get("n"))
+        # sniff ARPA (\\data\\ header) vs HLStats' matrix bigram form
+        with open(ta.get("n")) as f:
+            head = f.read(4096)
+        if "\\data\\" in head:
+            lm = read_arpa(ta.get("n"))
+        else:
+            from ..io.lm import read_matrix_bigram
+
+            lm = read_matrix_bigram(ta.get("n"))
         ss, se = (ta.get("s") if ta.has("s") else ("!ENTER", "!EXIT"))
         unk = ta.get("u")
         words = [w for w in words if w != unk and w not in (ss, se)]

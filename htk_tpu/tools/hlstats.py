@@ -7,8 +7,11 @@ input to HBuild -n). Sentence boundaries use !ENTER/!EXIT (HTK's ENTERTOK
 
 Usage: HLStats [options] hmmList labFiles...
 
-  -b fn    estimate a back-off bigram and write it (ARPA format) to fn
-  -o       (with -b) ARPA/back-off output [default; matrix form not kept]
+  -b fn    estimate a bigram and write it to fn. Default output is the
+           MATRIX bigram form (rows of P(col|row) over the hmmList's
+           label order — HLM.c MatBigram); -o selects the back-off/ARPA
+           form instead (HTK's -o semantics)
+  -o       (with -b) back-off (ARPA) output instead of matrix
   -t n     bigram count floor threshold (default 1)
   -u f     unigram floor probability (default 1)
   -d       absolute discount value (default 0.5)  [LC vs HTK's scheme]
@@ -23,7 +26,7 @@ import math
 from collections import Counter
 from typing import List
 
-from ..io.lm import LN10, NGramLM, write_arpa
+from ..io.lm import LN10, NGramLM, write_arpa, write_matrix_bigram
 from ..io.mlf import MLF, load_label_file
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError
@@ -119,7 +122,18 @@ def run(argv: List[str]) -> int:
             threshold=int(ta.get("t", 1) or 1),
             ufloor=float(ta.get("u", 1.0) or 1.0),
         )
-        write_arpa(lm, ta.get("b"))
+        if ta.has("o"):
+            write_arpa(lm, ta.get("b"))
+        else:
+            from ..io.mmf import load_hmm_list
+
+            # matrix rows follow the hmmList label order with the
+            # sentence boundary tokens appended (HLStats.c vocabulary)
+            order = [l for l, _p in load_hmm_list(ta.args[0])]
+            order = [ENTER] + order + [EXIT]
+            known = set(lm.unigrams)
+            order = [w for w in order if w in known]
+            write_matrix_bigram(lm, order, ta.get("b"))
         if ta.trace:
             print(f"HLStats: wrote bigram ({len(lm.bigrams)} entries) to "
                   f"{ta.get('b')}")

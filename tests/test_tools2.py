@@ -52,6 +52,45 @@ class TestHLStats:
         lm2 = read_arpa(p)
         assert lm2.logp_bi("a", "b") == pytest.approx(lm.logp_bi("a", "b"), abs=1e-3)
 
+    def test_matrix_bigram_roundtrip(self, tmp_path):
+        from htk_tpu.io.lm import read_matrix_bigram, write_matrix_bigram
+
+        sents = [["a", "b"], ["a", "b"], ["a", "c"], ["b", "a"]]
+        lm = estimate_backoff_bigram(sents)
+        order = ["!ENTER", "a", "b", "c", "!EXIT"]
+        p = str(tmp_path / "lm.mat")
+        write_matrix_bigram(lm, order, p)
+        # rows renormalise over the matrix columns; relative order of
+        # successors must survive the round trip
+        lm2 = read_matrix_bigram(p)
+        assert lm2.logp_bi("a", "b") > lm2.logp_bi("a", "c")
+        assert lm2.logp_bi("b", "a") > lm2.logp_bi("b", "c")
+
+    def test_hlstats_matrix_default_and_hbuild(self, tmp_path, monkeypatch):
+        """HLStats default -b output is the matrix form; HBuild -n
+        consumes it (sniffed vs ARPA)."""
+        import os
+
+        from htk_tpu.tools import hbuild, hlstats
+
+        monkeypatch.chdir(tmp_path)
+        open("wlist", "w").write("a\nb\nc\n")
+        with open("train.mlf", "w") as f:
+            f.write("#!MLF!#\n")
+            for i, s in enumerate((["a", "b"], ["a", "c"], ["b", "a"])):
+                f.write(f'"*/u{i}.lab"\n' + "\n".join(s) + "\n.\n")
+        assert hlstats.run(["-b", "big.mat", "-I", "train.mlf",
+                            "wlist"]) == 0
+        text = open("big.mat").read()
+        assert "\\data\\" not in text  # matrix, not ARPA
+        assert text.split()[0] == "!ENTER"
+        assert hbuild.run(["-n", "big.mat", "wlist", "net.slf"]) == 0
+        assert os.path.exists("net.slf")
+        # -o gives the ARPA back-off form
+        assert hlstats.run(["-o", "-b", "big.arpa", "-I", "train.mlf",
+                            "wlist"]) == 0
+        assert "\\data\\" in open("big.arpa").read()
+
 
 class TestHDMan:
     def test_script_commands(self):

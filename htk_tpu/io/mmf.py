@@ -87,6 +87,8 @@ class StreamElem:
     weights: List[float] = field(default_factory=list)
     mixes: List[Optional[MixPDF]] = field(default_factory=list)
     dprobs: Optional[np.ndarray] = None  # (K,) int16-coded probs
+    # TIEDHS: shared-pool base name; mixes are the ~m macros base1..baseM
+    tmix_base: Optional[str] = None
 
 DPROB_SCALE = -2371.8
 
@@ -494,6 +496,34 @@ class _Parser:
             se = StreamElem()
             m = nmix[s]
             t = self.peek()
+            if t is not None and t.kind == _Tok.KW and t.val == "TMIX":
+                # tied-mixture stream: <TMix> base w1 w2 ... (text RLE
+                # value*repeat); Gaussians are the ~m macros base{k}
+                self.next()
+                base = self.next_string()
+                if self.bin:
+                    ws = [float(x) for x in self.lex.read_floats(m)]
+                else:
+                    ws = []
+                    while len(ws) < m:
+                        tok = self.next()
+                        if "*" in tok.val:
+                            v, r = tok.val.split("*")
+                            ws.extend([float(v)] * int(r))
+                        else:
+                            ws.append(float(tok.val))
+                mixes: List[Optional[MixPDF]] = []
+                for k in range(m):
+                    mp = hs.macros["m"].get(f"{base}{k + 1}")
+                    if mp is None:
+                        HError(7035, "MMF parse: TMix macro %s%d undefined",
+                               base, k + 1)
+                    mixes.append(mp)
+                se.weights = ws[:m]
+                se.mixes = mixes
+                se.tmix_base = base
+                si.streams.append(se)
+                continue
             if t is not None and t.kind == _Tok.KW and t.val == "DPROB":
                 self.next()
                 if self.bin:
@@ -747,9 +777,24 @@ class _Writer:
             i = j + 1
         self.w("<DPROB> " + " ".join(out) + "\n")
 
+    def tmix(self, base: str, weights):
+        # run-length encode equal consecutive weights (HTK w*n form)
+        out = []
+        ws = ["%.6e" % w for w in weights]
+        i = 0
+        while i < len(ws):
+            j = i
+            while j + 1 < len(ws) and ws[j + 1] == ws[i]:
+                j += 1
+            out.append(f"{ws[i]}*{j - i + 1}" if j > i else ws[i])
+            i = j + 1
+        self.w(f"<TMIX> {base} " + " ".join(out) + "\n")
+
     def write_options(self):
         hs = self.hset
         self.w("~o\n")
+        if hs.hmm_set_id:
+            self.w(f"<HMMSETID> {hs.hmm_set_id}\n")
         sw = hs.swidth
         self.w(f"<STREAMINFO> {len(sw)} " + " ".join(str(x) for x in sw) + "\n")
         self.w(
@@ -826,6 +871,9 @@ class _Writer:
                 self.kwn("STREAM", s + 1)
             if se.dprobs is not None:
                 self.dprob(se.dprobs)
+                continue
+            if se.tmix_base:
+                self.tmix(se.tmix_base, se.weights)
                 continue
             if len(se.mixes) == 1:
                 self.write_mixpdf(se.mixes[0])
@@ -951,9 +999,19 @@ class _BinWriter(_Writer):
         self._sym("DPROB")
         self.f.write_bytes(np.asarray(vals, ">i2").tobytes())
 
+    def tmix(self, base: str, weights):
+        # symbol + text base name (macro-header style) + raw weights;
+        # NO byte between the closing quote and the float payload
+        self._sym("TMIX")
+        self.w(f' "{base}"')
+        self.vec_nl(weights)
+
     def write_options(self):
         hs = self.hset
         self.w("~o ")
+        if hs.hmm_set_id:
+            self._sym("HMMSETID")
+            self.w(f" {hs.hmm_set_id} ")
         sw = hs.swidth
         self.kwn("STREAMINFO", len(sw), *sw)
         self.kwn("VECSIZE", hs.vec_size)

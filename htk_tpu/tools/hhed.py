@@ -489,6 +489,8 @@ class Editor:
         if kind in ("PLAINHS", "SHAREDHS"):
             hs.hmm_set_id = kind
             return
+        if kind == "TIEDHS":
+            return self._hk_tiedhs()
         if kind != "DISCRETEHS":
             HError(2640, "HHEd: HK %s conversion unsupported", kind)
         path = (self.cfg.str_("VQTABLE", None, module="HHED")
@@ -552,6 +554,117 @@ class Editor:
         if self.trace:
             print(f"HHEd: HK DISCRETEHS converted {n_conv} states against "
                   f"{[cb.shape[0] for cb in vq.codebooks]}-word codebooks")
+
+    def _hk_tiedhs(self):
+        """HK TIEDHS: continuous -> tied-mixture (HHEd.c SetHMMSetKind).
+
+        Every stream gets ONE shared Gaussian pool (the HTK TMix
+        codebook, ~m macros tm{s}_{k}); each state's output becomes a
+        weight vector over that pool. The pool is built by k-means over
+        the set's own Gaussians (size from config HHED: NUMTIEDMIX,
+        default 64) with moment-matched cluster variances, and state
+        weights come from scoring each pool mean under the state's
+        original GMM, floored at MINMIX and renormalised — the same
+        scoring recipe as the DISCRETEHS conversion but keeping a
+        continuous shared codebook. [LC vs HHEd.c's exact clustering]
+        """
+        import numpy as _np
+
+        from ..algo.kmeans import kmeans
+        from ..io.mmf import MINMIX, MixPDF, StreamElem
+
+        hs = self.hset
+        M = int(self.cfg.int_("NUMTIEDMIX", 64, module="HHED") or 64) \
+            if self.cfg else 64
+
+        def logsumexp(a, axis=0):
+            hi = _np.max(a, axis=axis, keepdims=True)
+            return (hi + _np.log(_np.sum(_np.exp(a - hi), axis=axis,
+                                         keepdims=True))).squeeze(axis)
+
+        n_streams = len(hs.swidth)
+        pools: list = []
+        for s in range(n_streams):
+            seen = set()
+            gs = []
+            for h in hs.hmms.values():
+                for si in h.states:
+                    se = si.streams[s]
+                    if se.dprobs is not None or se.tmix_base:
+                        HError(2640, "HHEd: HK TIEDHS needs a continuous "
+                                     "source set")
+                    for mp in se.mixes:
+                        if mp is not None and id(mp) not in seen:
+                            seen.add(id(mp))
+                            gs.append(mp)
+            means = _np.stack([g.mean for g in gs]).astype(_np.float64)
+            varp = _np.stack([g.var for g in gs]).astype(_np.float64)
+            Ms = min(M, len(gs))
+            if Ms == len(gs):
+                assign = _np.arange(len(gs))
+                cents = means
+            else:
+                assign, cents = kmeans(means, Ms)
+            pool = []
+            for k in range(Ms):
+                mem = _np.asarray(assign) == k
+                if not mem.any():
+                    mean_k = cents[k]
+                    var_k = varp.mean(axis=0)
+                else:
+                    mean_k = means[mem].mean(axis=0)
+                    # moment matching: E[var + mu^2] - mean_k^2
+                    var_k = _np.maximum(
+                        (varp[mem] + means[mem] ** 2).mean(axis=0)
+                        - mean_k ** 2, 1e-6)
+                mp = MixPDF(mean=mean_k.astype(_np.float32),
+                            var=var_k.astype(_np.float32))
+                mp.fix_gconst()
+                pool.append(mp)
+            pools.append(pool)
+
+        # score pool means under each state's original GMM
+        done = set()
+        n_conv = 0
+        for h in hs.hmms.values():
+            for si in h.states:
+                if id(si) in done:
+                    continue
+                done.add(id(si))
+                new_streams = []
+                for s, se in enumerate(si.streams):
+                    pool = pools[s]
+                    probes = _np.stack([p.mean for p in pool]).astype(
+                        _np.float64)
+                    lps = []
+                    for w, mp in zip(se.weights, se.mixes):
+                        if mp is None or w < MINMIX:
+                            continue
+                        d = probes - mp.mean[None].astype(_np.float64)
+                        maha = ((d * d) / mp.var[None]).sum(axis=1)
+                        lps.append(_np.log(max(w, 1e-30))
+                                   - 0.5 * (mp.gconst + maha))
+                    lp = logsumexp(_np.stack(lps), axis=0)
+                    p = _np.maximum(_np.exp(lp - logsumexp(lp, axis=0)),
+                                    MINMIX)
+                    p = p / p.sum()
+                    ns = StreamElem(weights=[float(x) for x in p],
+                                    mixes=list(pool),
+                                    tmix_base=f"tm{s + 1}_")
+                    new_streams.append(ns)
+                si.streams[:] = new_streams
+                n_conv += 1
+
+        # the pool replaces all per-state Gaussian macros
+        for mac in ("m", "u", "v", "i"):
+            hs.macros[mac] = {}
+        for s, pool in enumerate(pools):
+            for k, mp in enumerate(pool):
+                hs.macros["m"][f"tm{s + 1}_{k + 1}"] = mp
+        hs.hmm_set_id = "TIEDHS"
+        if self.trace:
+            print(f"HHEd: HK TIEDHS converted {n_conv} states to "
+                  f"{[len(p) for p in pools]}-component tied pools")
 
     def cmd_st(self, path: str):
         save_trees(path, self.questions, self.trees)

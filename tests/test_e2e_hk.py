@@ -79,3 +79,46 @@ def test_hk_discrete_conversion_chain(trained, capsys):
     assert hresults.run(["-I", "words.mlf", "monophones", "recd.mlf"]) == 0
     out = capsys.readouterr().out
     assert "WORD: %Corr=100.00" in out
+
+
+def test_hk_tiedhs_conversion_chain(trained, capsys):
+    """HK TIEDHS: continuous -> tied-mixture pool, MMF round-trip
+    (text + binary), retrain one iteration, decode at 100%."""
+    from htk_tpu.io.mmf import load_mmf, save_mmf
+
+    open("hkt.hed", "w").write("HK TIEDHS\n")
+    open("cfg_tm", "w").write("HHED: NUMTIEDMIX = 6\n")
+    assert hhed.run(["-C", "cfg_tm", "-T", "1", "-H", "hmm2/hmmdefs",
+                     "-M", "tied0", "hkt.hed", "monophones"]) == 0
+    out = capsys.readouterr().out
+    assert "HK TIEDHS converted" in out
+
+    ts = load_mmf("tied0/hmmdefs")
+    assert ts.hmm_set_id == "TIEDHS"
+    se = ts.hmms["aa"].states[0].streams[0]
+    assert se.tmix_base == "tm1_"
+    assert len(se.mixes) == 6  # 9 source Gaussians clustered to 6
+    # the pool is genuinely SHARED across states after the round trip
+    se2 = ts.hmms["iy"].states[1].streams[0]
+    assert se2.mixes[0] is se.mixes[0]
+    assert "<TMIX> tm1_" in open("tied0/hmmdefs").read()
+
+    # binary round trip preserves the tied structure
+    save_mmf(ts, "tied0/hmmdefs.bin", binary=True)
+    tb = load_mmf("tied0/hmmdefs.bin")
+    seb = tb.hmms["aa"].states[0].streams[0]
+    assert seb.tmix_base == "tm1_" and len(seb.mixes) == 6
+    import numpy as np
+    np.testing.assert_allclose(seb.weights, se.weights, atol=1e-6)
+
+    # retrain the tied set one iteration and decode
+    os.makedirs("tied1", exist_ok=True)
+    assert herest.run(["-C", "cfg", "-I", "phones.mlf",
+                       "-H", "tied0/hmmdefs", "-M", "tied1",
+                       "-S", "train.scp", "monophones"]) == 0
+    assert hvite.run(["-C", "cfg", "-w", "wdnet.slf", "-p", "-10",
+                      "-i", "rect.mlf", "-H", "tied1/hmmdefs",
+                      "-S", "train.scp", "dict", "monophones"]) == 0
+    assert hresults.run(["-I", "words.mlf", "monophones", "rect.mlf"]) == 0
+    out = capsys.readouterr().out
+    assert "WORD: %Corr=100.00" in out

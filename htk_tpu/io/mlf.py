@@ -131,9 +131,12 @@ class MLF:
 
     def read(self, path: str) -> None:
         try:
-            lines = open(path, "r").read().splitlines()
+            data = open(path, "rb").read()
         except OSError as e:
             HError(6510, "LoadMasterFile: cannot open MLF %s (%s)", path, e)
+        if self._read_native(data):
+            return
+        lines = data.decode(errors="replace").splitlines()
         if not lines or lines[0].strip() != "#!MLF!#":
             HError(6511, "LoadMasterFile: %s missing #!MLF!# header", path)
         i = 1
@@ -156,6 +159,51 @@ class MLF:
             tr = parse_label_body(body)
             self.entries.append((pattern, tr))
             self._exact[pattern] = tr
+
+    def _read_native(self, data: bytes) -> bool:
+        """Fast path: the C scanner (native/htkio.cpp htkio_mlf_marks)
+        finds every pattern/terminator line in one pass; Python only
+        slices entry bodies. Returns False (caller takes the pure path,
+        which also produces the numbered errors) when the library is
+        unavailable or the file's structure is not strictly
+        pattern/body/'.' alternating."""
+        from ..native import get_htkio
+
+        lib = get_htkio()
+        if lib is None or not data.startswith(b"#!MLF!#"):
+            return False
+        import ctypes
+
+        import numpy as np
+
+        cap = data.count(b"\n") + 2
+        offs = np.empty(cap, np.int64)
+        ends = np.empty(cap, np.int64)
+        tags = np.empty(cap, np.uint8)
+        cnt = lib.htkio_mlf_marks(
+            data, len(data),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            tags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cap)
+        if cnt < 0:
+            return False
+        # strict alternation pattern/dot; anything else -> pure path
+        if cnt % 2 or not all(
+                int(tags[k]) == (1 if k % 2 == 0 else 2)
+                for k in range(cnt)):
+            return False
+        for k in range(0, cnt, 2):
+            a, b = int(offs[k]), int(ends[k])
+            s = data[a:b].decode(errors="replace")
+            if not (s.startswith('"') and s.endswith('"')):
+                return False
+            pattern = s[1:-1]
+            body = data[b:int(offs[k + 1])].decode(errors="replace")
+            tr = parse_label_body(body.split("\n"))
+            self.entries.append((pattern, tr))
+            self._exact[pattern] = tr
+        return True
 
     def lookup(self, key: str) -> Optional[Transcription]:
         """Find the transcription for a label-file path/name.

@@ -76,6 +76,15 @@ def get_htkio() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.htkio_mlf_marks.restype = ctypes.c_int64
+    lib.htkio_mlf_marks.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
     _lib = lib
     return lib
 

@@ -150,4 +150,37 @@ int64_t htkio_load_batch(const char* paths, int64_t n_files, float* out,
   return ok;
 }
 
+// MLF structure scan (HLabel.c LoadMasterFile's hot loop): one pass
+// collecting, per line, the trimmed span when the line is an entry
+// pattern ('"' first byte; tag 1) or a lone '.' terminator (tag 2).
+// Returns mark count, or -(needed) when cap is too small.
+int64_t htkio_mlf_marks(const uint8_t* buf, int64_t n, int64_t* offs,
+                        int64_t* ends, uint8_t* tags, int64_t cap) {
+  int64_t cnt = 0, i = 0;
+  while (i < n) {
+    int64_t ls = i;
+    while (i < n && buf[i] != '\n') i++;
+    int64_t le = i;
+    i++;
+    int64_t a = ls;
+    while (a < le && (buf[a] == ' ' || buf[a] == '\t' || buf[a] == '\r')) a++;
+    int64_t b = le;
+    while (b > a && (buf[b - 1] == ' ' || buf[b - 1] == '\t' ||
+                     buf[b - 1] == '\r'))
+      b--;
+    if (a >= b) continue;
+    uint8_t tag = 0;
+    if (buf[a] == '"') tag = 1;
+    else if (b - a == 1 && buf[a] == '.') tag = 2;
+    if (tag) {
+      if (cnt >= cap) return -(cnt + 1);
+      offs[cnt] = a;
+      ends[cnt] = b;
+      tags[cnt] = tag;
+      cnt++;
+    }
+  }
+  return cnt;
+}
+
 }  // extern "C"

@@ -49,3 +49,32 @@ class TestNative:
             [str(tmp_path / "nothere.mfc")], 10, 4
         )
         assert frames[0] < 0
+
+
+class TestMLFMarks:
+    def test_native_mlf_equals_pure(self, tmp_path):
+        """The C MLF scanner fast path produces identical entries to the
+        pure-Python reader (which it silently replaces when available)."""
+        import htk_tpu.native as N
+        from htk_tpu.io.mlf import MLF
+
+        p = tmp_path / "big.mlf"
+        with open(p, "w") as f:
+            f.write("#!MLF!#\n")
+            for i in range(200):
+                f.write(f'"*/u{i}.lab"\n')
+                f.write("0 1000000 aa -12.5\n///\nsil\n.\n")
+        m1 = MLF.load(str(p))
+        saved = N.get_htkio
+        try:
+            N.get_htkio = lambda: None
+            m2 = MLF.load(str(p))
+        finally:
+            N.get_htkio = saved
+        assert len(m1.entries) == len(m2.entries) == 200
+        for (pa, ta), (pb, tb) in zip(m1.entries, m2.entries):
+            assert pa == pb
+            assert len(ta.alternatives) == len(tb.alternatives) == 2
+            la = [(l.name, l.start, l.end, l.score) for l in ta.labels]
+            lb = [(l.name, l.start, l.end, l.score) for l in tb.labels]
+            assert la == lb

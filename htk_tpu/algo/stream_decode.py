@@ -110,10 +110,15 @@ class StreamingDecoder:
 
     def __init__(self, net: DecodeNetwork, comp: Optional[CompiledHMMSet],
                  lm_scale: float = 1.0, word_pen: float = 0.0,
-                 chunk: int = 32, precision: str = "highest"):
+                 chunk: int = 32, precision: str = "highest",
+                 state_mode: bool = False):
+        """state_mode: feed() receives per-frame PHYSICAL-state scores
+        (e.g. streaming ANN log posterior/prior — the hybrid hook)
+        instead of feature frames."""
         if net.uniform_width:
             HError(8521, "StreamingDecoder: live mode targets HVite "
                          "networks (HDecode's LV path is batch two-pass)")
+        self.state_mode = bool(state_mode)
         self.net = net
         self.comp = comp
         self.lm_scale = float(lm_scale)
@@ -158,6 +163,9 @@ class StreamingDecoder:
     # -- internals -------------------------------------------------------
 
     def _outp(self, feats: np.ndarray) -> jnp.ndarray:
+        if self.state_mode:
+            d = _net_dev(self.net)
+            return jnp.asarray(feats, jnp.float32)[:, d["comp_state"]]
         return _net_outp(self.net, self.comp, feats, self.precision)
 
     def _process(self, feats: np.ndarray, n_valid: int) -> None:

@@ -193,3 +193,42 @@ class TestStreamingDecoder:
         streamed = np.concatenate(chunks, axis=0)
         np.testing.assert_allclose(streamed, batch_feats, atol=2e-4,
                                    rtol=2e-4)
+
+
+class TestStreamingHybrid:
+    def test_state_mode_matches_batch(self):
+        """Streaming decode over external per-frame state scores (the
+        hybrid ANN hook) equals the batch decoder's state_scores path."""
+        comp = separable_set()
+        v = Vocab()
+        v.add_pron("A", ["aa"])
+        v.add_pron("I", ["iy"])
+        v.add_pron("SIL", ["sil"], out_sym="")
+        lat = word_loop_lattice(["A", "I", "SIL"])
+        net = compile_network(lat, v, comp)
+        rng = np.random.default_rng(8)
+        T = 60
+        scores = (-3.0 - 2.0 * rng.random((T, comp.n_states))).astype(
+            np.float32)
+        # make a recognisable pattern: favour aa then iy states
+        from test_decode import emit_frames
+        feats = emit_frames(["sil", "aa", "iy", "sil"], frames_per=15,
+                            seed=2)
+        from htk_tpu.ops.outp import all_state_outp
+        import jax.numpy as jnp
+        logb, _ = all_state_outp(
+            jnp.asarray(feats), jnp.asarray(comp.means),
+            jnp.asarray(comp.variances), jnp.asarray(comp.gconsts),
+            jnp.asarray(comp.state_mix), jnp.asarray(comp.state_logw))
+        scores = np.asarray(logb)
+
+        ref = decode(net, comp, feats, word_pen=-2.0,
+                     state_scores=scores)
+        sd = StreamingDecoder(net, None, word_pen=-2.0, chunk=16,
+                              state_mode=True)
+        for i in range(0, scores.shape[0], 13):
+            sd.feed(scores[i: i + 13])
+        got = sd.flush()
+        assert ref is not None and got is not None
+        assert got.words == ref.words
+        assert got.score == pytest.approx(ref.score, abs=1e-3)

@@ -538,8 +538,9 @@ def run(argv: List[str]) -> int:
         if kind2 is None:  # -p 0 combine: geometry from config + accs
             k2s = channel_config(cfg, 2).str_("TARGETKIND", None,
                                               module="HPARM")
-            if not k2s:
-                HError(1030, "HERest -r -p 0: HPARM2: TARGETKIND required")
+            if not k2s or k2s.upper() == "ANON":
+                HError(1030, "HERest -r -p 0: config HPARM2: TARGETKIND "
+                             "must name the new channel's kind")
             kind2 = _pk.str2parmkind(k2s)
         _mw, _vw, w, t = reestimate(
             comp, accs,

@@ -137,3 +137,46 @@ def test_single_pass_retraining_e2e(corpus26, capsys):
     assert herest.run(
         ["-C", "cfg", "-I", "phones.mlf", "-H", "hmmr/hmmdefs",
          "-M", "hmmr2", "-S", "train39.scp", "monophones"]) == 0
+
+
+def test_single_pass_retraining_parallel_accs(corpus26):
+    """-r with -p N shard dumps then -p 0 combine: same retrained model
+    geometry as the direct path."""
+    from htk_tpu.io.mmf import load_mmf, save_mmf
+    from htk_tpu.models.proto import clone_proto
+
+    assert hcopy.run(["-C", "cfg26w", "-S", "copy26.scp"]) == 0
+    assert hcopy.run(["-C", "cfg39w", "-S", "copy39.scp"]) == 0
+    assert hcompv.run(["-C", "cfg", "-f", "0.01", "-m", "-M", "hmm0",
+                       "-S", "train26.scp", "proto"]) == 0
+    hs = load_mmf("hmm0/proto")
+    cl = clone_proto(hs, "proto", ["aa", "iy", "sil"])
+    cl.macros["v"]["varFloor1"] = \
+        load_mmf("hmm0/vFloors").macros["v"]["varFloor1"]
+    save_mmf(cl, "hmm0/hmmdefs")
+    os.makedirs("hmm1", exist_ok=True)
+    assert herest.run(["-C", "cfg", "-I", "phones.mlf", "-H",
+                       "hmm0/hmmdefs", "-M", "hmm1", "-S", "train26.scp",
+                       "monophones"]) == 0
+
+    # shard the paired script in two, dump accumulators
+    pairs = open("pair.scp").read().splitlines()
+    open("pair1.scp", "w").write("\n".join(pairs[:3]))
+    open("pair2.scp", "w").write("\n".join(pairs[3:]))
+    for n, scp in ((1, "pair1.scp"), (2, "pair2.scp")):
+        os.makedirs(f"acc{n}", exist_ok=True)
+        assert herest.run(["-C", "cfg", "-r", "-p", str(n),
+                           "-I", "phones.mlf", "-H", "hmm1/hmmdefs",
+                           "-M", f"acc{n}", "-S", scp,
+                           "monophones"]) == 0
+    # combine: the -r flag tells the combiner to do the retrain update;
+    # channel-2 geometry comes from config HPARM2: TARGETKIND
+    open("cfg2", "w").write(
+        "TARGETKIND = ANON\nHPARM2: TARGETKIND = MFCC_E_D_A\n")
+    os.makedirs("hmmrp", exist_ok=True)
+    assert herest.run(["-C", "cfg2", "-r", "-p", "0",
+                       "-H", "hmm1/hmmdefs", "-M", "hmmrp",
+                       "monophones", "acc1/HER1.acc",
+                       "acc2/HER2.acc"]) == 0
+    hr = load_mmf("hmmrp/hmmdefs")
+    assert hr.vec_size == 39

@@ -28,6 +28,42 @@ from ..algo.trainer import Trainer, UttData, make_batches, pad_batch
 from ..utils.logmath import LZERO
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host bring-up (SURVEY §5.8's DCN path).
+
+    Initialises JAX's distributed runtime so make_mesh() spans every
+    host's devices: accumulator psums then ride ICI within a slice and
+    DCN across slices, exactly like `HERest -p N` jobs exchanging acc
+    files across machines — but as one program.
+
+    Arguments default to JAX's standard environment variables
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, also
+    set by TPU pod runtimes automatically). Returns True when a
+    multi-host runtime was (or already is) initialised; False on a
+    plain single-host run with no coordinator configured — callers can
+    treat this as "mesh stays host-local".
+    """
+    import os
+
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if jax.process_count() > 1:
+        return True  # already initialised by the launcher
+    if not coordinator:
+        return False
+    kw = {"coordinator_address": coordinator}
+    np_ = num_processes or os.environ.get("JAX_NUM_PROCESSES")
+    pid = process_id if process_id is not None \
+        else os.environ.get("JAX_PROCESS_ID")
+    if np_ is not None:
+        kw["num_processes"] = int(np_)
+    if pid is not None:
+        kw["process_id"] = int(pid)
+    jax.distributed.initialize(**kw)
+    return True
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)

@@ -580,13 +580,21 @@ def _make_discrete_trainer(comp):
 
 
 def _make_trainer(comp, cfg) -> Trainer:
-    """Serial or device-sharded trainer per visible devices / config."""
+    """Serial or device-sharded trainer per visible devices / config.
+
+    Multi-host: with JAX_COORDINATOR_ADDRESS set (or config HTKTPU:
+    COORDINATOR), the distributed runtime is initialised first, so the
+    mesh spans every host's devices and accumulator psums cross DCN —
+    the one-program form of multi-machine `HERest -p N`.
+    """
     import jax
 
+    from ..parallel.mesh import ShardedTrainer, init_distributed, make_mesh
+
+    coord = cfg.str_("COORDINATOR", None, module="HTKTPU")
+    init_distributed(coordinator=coord)
     n_dev = len(jax.devices())
     if n_dev > 1 and cfg.bool_("USESHARDING", True, module="HTKTPU"):
-        from ..parallel.mesh import ShardedTrainer, make_mesh
-
         return ShardedTrainer(comp, make_mesh())
     return Trainer(comp)
 

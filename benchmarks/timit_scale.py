@@ -41,4 +41,7 @@ m, v, w, t = reestimate(comp, accs, UpdateFlags())
 write_back(comp, means=m, variances=v, weights=w, transps=t)
 print(f"update: {time.perf_counter()-t0:.1f}s", flush=True)
 print(f"TOTAL single-chip iteration (excl. one-off prep): {t_acc:.1f}s")
-print(f"v5e-8 projection with psum sharding: {t_acc/8:.1f}s/iteration")
+print(f"v5e-8 estimate: {t_acc/8:.1f}s/iteration x the sharding overhead "
+      "factor MEASURED by benchmarks/mesh_scaling.py (serial vs "
+      "shard_map+psum at equal work; the cross-chip op is one "
+      "accumulator psum per batch)")

@@ -274,32 +274,54 @@ def compile_network(
                 oc.add(None)
             in_ctx.append(sorted(ic, key=key) or [None])
             out_ctx.append(sorted(oc, key=key) or [None])
-        units = []  # (node, own_lc, own_rc, l, r, prons)
+        # context variants whose FindModel-resolved model sequences
+        # coincide are EXACTLY mergeable: the acoustic chains are the
+        # same objects, the LM score depends only on the word pair, and
+        # a merged unit's connectivity is the union of its members'
+        # (context matching is per-side independent). With a
+        # word-internal-trained set (HDecode's lattice-constrained
+        # pass 2) most cross-word variants back off to the same models,
+        # collapsing the classic |L|x|R| interior blow-up.
+        groups: Dict[tuple, int] = {}
+        g_members: List[dict] = []
         for n in range(Nn):
             for (olc, orc, ps) in node_groups[n]:
                 for l in in_ctx[n]:
                     for r in out_ctx[n]:
-                        units.append((n, olc, orc, l, r, ps))
-        Nu = len(units)
+                        exp = tuple(
+                            (tuple(_xword_phones(p.phones, l, r, cf, best)),
+                             p.prob)
+                            for p in ps)
+                        gk = (n, olc, orc, exp)
+                        gi = groups.get(gk)
+                        if gi is None:
+                            gi = len(g_members)
+                            groups[gk] = gi
+                            g_members.append({
+                                "n": n, "olc": olc, "orc": orc,
+                                "L": set(), "R": set(), "exp": exp,
+                            })
+                        g = g_members[gi]
+                        g["L"].add(l)
+                        g["R"].add(r)
+        Nu = len(g_members)
         u_trans = np.full((Nu, Nu), LZERO)
         u_start = np.full(Nu, LZERO)
         u_end = np.full(Nu, LZERO)
-        for ua, (na, _alc, arc_, al, ar, _) in enumerate(units):
-            if al is None:
-                u_start[ua] = start_entry[na]
-            if ar is None:
-                u_end[ua] = end_exit[na]
-            for ub, (nb, blc, _brc, bl, _br, _) in enumerate(units):
-                if trans[na, nb] > LSMALL and ar == blc and bl == arc_:
-                    u_trans[ua, ub] = trans[na, nb]
-        for (n, _olc, _orc, l, r, ps) in units:
-            wd = defs[n]
-            unit_words.append(words[word_nodes[n]])
+        for ua, ga in enumerate(g_members):
+            if None in ga["L"]:
+                u_start[ua] = start_entry[ga["n"]]
+            if None in ga["R"]:
+                u_end[ua] = end_exit[ga["n"]]
+            for ub, gb in enumerate(g_members):
+                if (trans[ga["n"], gb["n"]] > LSMALL
+                        and gb["olc"] in ga["R"] and ga["orc"] in gb["L"]):
+                    u_trans[ua, ub] = trans[ga["n"], gb["n"]]
+        for ga in g_members:
+            wd = defs[ga["n"]]
+            unit_words.append(words[word_nodes[ga["n"]]])
             unit_out.append(wd.prons[0].out_sym)
-            unit_prons.append([
-                (_xword_phones(p.phones, l, r, cf, best), p.prob)
-                for p in ps
-            ])
+            unit_prons.append([(list(ph), prob) for ph, prob in ga["exp"]])
         trans, start_entry, end_exit = u_trans, u_start, u_end
         Nn = Nu
 

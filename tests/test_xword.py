@@ -55,7 +55,10 @@ class TestCrossWordNetwork:
         v = loop_vocab()
         net_i = compile_network(lat, v, comp)
         net_x = compile_network(lat, v, comp, cross_word=True)
-        assert net_x.n_nodes > net_i.n_nodes  # context variants exist
+        # with a monophone set every (l, r) variant resolves to the SAME
+        # model chain, so the exact variant-dedup collapses the network
+        # back to the word-internal size — no interior blow-up
+        assert net_x.n_nodes == net_i.n_nodes
         feats = emit_frames(["sil", "aa", "iy", "aa", "sil"], seed=3)
         res_i = decode(net_i, comp, feats)
         res_x = decode(net_x, comp, feats)

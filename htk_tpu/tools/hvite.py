@@ -73,7 +73,8 @@ OPTS = {
     "X": Option("X", 1, "input label ext"),
     "t": Option("t", 1, "beam (ignored)", typ=float),
     "b": Option("b", 1, "boundary word"),
-    "o": Option("o", 1, "output label format flags"),
+    "o": Option("o", 1, "output format flags: N normalise scores, "
+                "S no scores, T no times, W no words (-m), M no models"),
     "n": Option("n", 2, "n-best (accepted)", typ=int),
     "z": Option("z", 1, "output lattices with this extension"),
     "q": Option("q", 1, "lattice output format flags (accepted)"),
@@ -246,6 +247,15 @@ def run(argv: List[str]) -> int:
     period = int(cfg.flt_("TARGETRATE", 100000.0, module="HPARM"))
 
     out_mlf = MLF() if out_mlf_path else None
+    # -o output-format flags (HVite.c -o): N normalise acoustic scores
+    # by duration, S suppress scores, T suppress times, W suppress the
+    # word tags in model alignment, M suppress model (phone) labels
+    ofmt = (ta.get("o") or "").upper()
+    sup_scores = "S" in ofmt
+    sup_times = "T" in ofmt
+    sup_words = "W" in ofmt
+    sup_models = "M" in ofmt
+    norm_scores = "N" in ofmt
 
     if ta.has("w"):
         from ..algo.net import word_internal_phone_map
@@ -430,12 +440,24 @@ def run(argv: List[str]) -> int:
             hmm = build_composite(comp, [comp.model_id(p) for p in phones])
             res = align(comp, hmm, data)
             tr = Transcription(alternatives=[[]])
-            if ta.has("m"):
+            if ta.has("m") and not sup_models:
+                cur_occ = None
                 for inst, t0, t1, seg_score in res.model_seq:
-                    tr.alternatives[0].append(Label(
+                    sc = seg_score
+                    if norm_scores and t1 > t0:
+                        sc = seg_score / (t1 - t0)
+                    lab = Label(
                         name=phones[inst], start=t0 * period,
-                        end=t1 * period, score=seg_score,
-                    ))
+                        end=t1 * period, score=sc,
+                    )
+                    # HVite tags the first phone of each word with the
+                    # word label (the model-alignment MLF convention)
+                    occ = occ_of_phone[inst]
+                    if occ != cur_occ:
+                        if not sup_words:
+                            lab.aux = [words[occ]]
+                        cur_occ = occ
+                    tr.alternatives[0].append(lab)
             else:
                 # merge aligned phone segments into word segments
                 cur_occ, w0, w1 = None, 0, 0
@@ -461,7 +483,8 @@ def run(argv: List[str]) -> int:
         HError(1030, "HVite: either -w netfile or -a required\n%s", USAGE)
 
     if out_mlf is not None:
-        out_mlf.save(out_mlf_path, with_times=True, with_scores=False)
+        out_mlf.save(out_mlf_path, with_times=not sup_times,
+                     with_scores=(ta.has("m") and not sup_scores))
         if ta.trace:
             print(f"HVite: wrote {out_mlf_path}")
     return 0

@@ -108,3 +108,39 @@ def test_full_pipeline(corpus, capsys):
     live_out = capsys.readouterr().out
     assert "live:" in live_out
     assert os.path.exists("live.mlf")
+
+
+def test_hvite_output_format_flags(corpus, capsys):
+    """HVite -m alignment output: word tags on first phones, scores by
+    default; -o S/T/W suppress scores/times/word tags (HVite.c -o)."""
+    assert hcopy.run(["-C", "cfg_wav", "-S", "copy.scp"]) == 0
+    assert hcompv.run(["-C", "cfg", "-f", "0.01", "-m", "-M", "hmm0",
+                       "-S", "train.scp", "proto"]) == 0
+    from htk_tpu.io.mmf import load_mmf, save_mmf
+    from htk_tpu.models.proto import clone_proto
+
+    hs = load_mmf("hmm0/proto")
+    cl = clone_proto(hs, "proto", ["aa", "iy", "sil"])
+    cl.macros["v"]["varFloor1"] = \
+        load_mmf("hmm0/vFloors").macros["v"]["varFloor1"]
+    save_mmf(cl, "hmm0/hmmdefs")
+    os.makedirs("hmm1", exist_ok=True)
+    assert herest.run(["-C", "cfg", "-I", "phones.mlf",
+                       "-H", "hmm0/hmmdefs", "-M", "hmm1",
+                       "-S", "train.scp", "monophones"]) == 0
+
+    args = ["-C", "cfg", "-a", "-m", "-I", "words.mlf", "-b", "SIL",
+            "-H", "hmm1/hmmdefs", "-S", "train.scp", "dict", "monophones"]
+    assert hvite.run(args + ["-i", "al.mlf"]) == 0
+    text = open("al.mlf").read()
+    body = [l for l in text.splitlines()[2:] if l not in (".",)][0]
+    parts = body.split()
+    # start end phone score word  (first phone of the first word)
+    assert len(parts) == 5 and parts[0].isdigit() and parts[1].isdigit()
+    float(parts[3])  # score
+    assert parts[4] in ("SIL", "A", "I")
+
+    assert hvite.run(args + ["-i", "al2.mlf", "-o", "STW"]) == 0
+    body2 = [l for l in open("al2.mlf").read().splitlines()[2:]
+             if l not in (".",)][0]
+    assert body2.split() == [parts[2]]  # phone name only

@@ -19,6 +19,11 @@ applied to a loaded HMMSet. Implemented commands:
   SS n                    split the data stream into n streams
   SW s n                  set width of stream s to n
   RC n name               build n regression base classes -> name.cls
+  NC n macro itemlist     data-driven bottom-up state clustering + tie
+  UT itemlist             untie (private copies of shared states)
+  FV file                 load + apply variance floors (vFloors)
+  RN id                   rename the HMM-set identifier
+  HK kind                 convert set kind (DISCRETEHS / TIEDHS / ...)
   SH                      show summary
 
 Usage: HHEd [options] edScript hmmList
@@ -666,6 +671,136 @@ class Editor:
             print(f"HHEd: HK TIEDHS converted {n_conv} states to "
                   f"{[len(p) for p in pools]}-component tied pools")
 
+    def cmd_nc(self, n: int, macro: str, spec: str):
+        """NC n macro itemlist: data-driven bottom-up state clustering.
+
+        HHEd.c ClusterGroup: agglomerative clustering of the item-list
+        states into n clusters (complete linkage over an occupancy-
+        weighted Euclidean distance between the states' mixture-weighted
+        mean vectors [LC vs HHEd's exact metric]); each cluster is tied
+        to one occupancy-pooled state shared as ~s macroK.
+        """
+        items = parse_item_list(spec, self.hset)
+        states = []  # (key(hmm,idx), StateInfo, occ)
+        seen = set()
+        for it in items:
+            si = it.hmm.states[it.state_idx - 2]
+            if id(si) in seen:
+                continue
+            seen.add(id(si))
+            occ = self.stats.get((it.hmm.name, it.state_idx), 1.0)
+            states.append((it, si, occ))
+        if len(states) <= n:
+            HRError(2640, "HHEd: NC %d over %d states — nothing to do",
+                    n, len(states))
+            return
+        # feature per state: mixture-weighted mean
+        feats = []
+        for _it, si, _o in states:
+            se = si.streams[0]
+            ws = np.asarray([w for w, m in zip(se.weights, se.mixes)
+                             if m is not None], np.float64)
+            ms = np.stack([m.mean for m in se.mixes if m is not None])
+            ws = ws / max(ws.sum(), 1e-30)
+            feats.append((ws[:, None] * ms).sum(axis=0))
+        feats = np.stack(feats)
+
+        clusters = [[k] for k in range(len(states))]
+
+        def cdist(a, b):  # complete linkage
+            return max(np.linalg.norm(feats[i] - feats[j])
+                       for i in a for j in b)
+
+        while len(clusters) > n:
+            best = None
+            for x in range(len(clusters)):
+                for y in range(x + 1, len(clusters)):
+                    d = cdist(clusters[x], clusters[y])
+                    if best is None or d < best[0]:
+                        best = (d, x, y)
+            _d, x, y = best
+            clusters[x] = clusters[x] + clusters[y]
+            del clusters[y]
+
+        for k, cl in enumerate(sorted(clusters, key=min)):
+            members = [(states[i][1], states[i][2]) for i in cl]
+            tied = _pooled_state(members)
+            name = f"{macro}{k + 1}"
+            self.hset.macros["s"][name] = tied
+            for i in cl:
+                it = states[i][0]
+                it.hmm.states[it.state_idx - 2] = tied
+        if self.trace:
+            print(f"HHEd: NC clustered {len(states)} states into {n} "
+                  f"tied states ~s {macro}1..{macro}{n}")
+
+    def cmd_ut(self, spec: str):
+        """UT itemlist: untie — every shared state in the list becomes a
+        private deep copy (HHEd.c UntieCmd for state items)."""
+        from ..io.mmf import StateInfo as _SI
+
+        items = parse_item_list(spec, self.hset)
+        counts: Dict[int, int] = {}
+        for it in items:
+            si = it.hmm.states[it.state_idx - 2]
+            counts[id(si)] = counts.get(id(si), 0) + 1
+        n_untied = 0
+        shared_names = {id(o): nm
+                        for nm, o in self.hset.macros["s"].items()}
+        for it in items:
+            si = it.hmm.states[it.state_idx - 2]
+            se = si.streams[0]
+            copy = _SI(streams=[StreamElem(
+                weights=list(se.weights),
+                mixes=[None if m is None else MixPDF(
+                    mean=np.array(m.mean, np.float32).copy(),
+                    var=np.array(m.var, np.float32).copy(),
+                    gconst=m.gconst, cov_kind=m.cov_kind)
+                    for m in se.mixes])])
+            it.hmm.states[it.state_idx - 2] = copy
+            n_untied += 1
+        # macros whose object is no longer referenced anywhere drop away
+        live = {id(si) for h in self.hset.hmms.values() for si in h.states}
+        for oid, nm in shared_names.items():
+            if oid not in live:
+                del self.hset.macros["s"][nm]
+        if self.trace:
+            print(f"HHEd: UT untied {n_untied} states")
+
+    def cmd_fv(self, path: str):
+        """FV file: load variance-floor macros (HCompV vFloors output)
+        and apply them to every variance (HHEd.c FloorVars)."""
+        from ..io.mmf import load_mmf as _load
+
+        vf_set = _load(path)
+        floor = vf_set.macros["v"].get("varFloor1")
+        if floor is None:
+            HError(2640, "HHEd: FV %s has no varFloor1 macro", path)
+        self.hset.macros["v"]["varFloor1"] = floor
+        n_fl = 0
+        done = set()
+        for h in self.hset.hmms.values():
+            for si in h.states:
+                for se in si.streams:
+                    for mp in se.mixes or []:
+                        if mp is None or id(mp) in done:
+                            continue
+                        done.add(id(mp))
+                        lo = np.asarray(floor, np.float32)[: len(mp.var)]
+                        v = np.maximum(mp.var, lo)
+                        if not np.array_equal(v, mp.var):
+                            n_fl += 1
+                        mp.var = v.astype(np.float32)
+                        mp.fix_gconst()
+        if self.trace:
+            print(f"HHEd: FV floored {n_fl} variance vectors")
+
+    def cmd_rn(self, new_id: str):
+        """RN id: rename the HMM-set identifier (HHEd.c RenameHMMSetId)."""
+        self.hset.hmm_set_id = new_id
+        if self.trace:
+            print(f"HHEd: RN hmmSetId = {new_id}")
+
     def cmd_st(self, path: str):
         save_trees(path, self.questions, self.trees)
         if self.trace:
@@ -868,6 +1003,16 @@ def run_script(text: str, ed: Editor):
             ed.cmd_sw(int(r.next()), int(r.next()))
         elif op == "RC":
             ed.cmd_rc(int(r.next()), r.next().strip('"'))
+        elif op == "NC":
+            n = int(r.next())
+            macro = r.next()
+            ed.cmd_nc(n, macro, r.next())
+        elif op == "UT":
+            ed.cmd_ut(r.next())
+        elif op == "FV":
+            ed.cmd_fv(r.next())
+        elif op == "RN":
+            ed.cmd_rn(r.next())
         else:
             HError(2650, "HHEd: unknown command %s", op)
 

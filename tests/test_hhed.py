@@ -250,3 +250,57 @@ class TestRegClasses:
         assert tree is not None
         np.testing.assert_array_equal(tree[0], parent)
         np.testing.assert_array_equal(tree[1], leaf_node)
+
+
+class TestNCUTFVRN:
+    def test_nc_clusters_and_ties(self):
+        from htk_tpu.tools.hhed import Editor, run_script
+
+        hs = mono_set(names=("a1", "a2", "a3", "a4", "a5", "a6"))
+        # make a1-a3 near one centre and a4-a6 near another
+        for k, nm in enumerate(("a1", "a2", "a3", "a4", "a5", "a6")):
+            c = 0.0 if k < 3 else 10.0
+            for si in hs.hmms[nm].states:
+                mp = si.streams[0].mixes[0]
+                mp.mean = (c + 0.1 * k + np.zeros(4)).astype(np.float32)
+                mp.fix_gconst()
+        ed = Editor(hs)
+        run_script("NC 2 ncl {(a1,a2,a3,a4,a5,a6).state[2]}", ed)
+        assert "ncl1" in hs.macros["s"] and "ncl2" in hs.macros["s"]
+        # states in the same acoustic group share one object
+        s = [hs.hmms[n].states[0] for n in
+             ("a1", "a2", "a3", "a4", "a5", "a6")]
+        assert s[0] is s[1] is s[2]
+        assert s[3] is s[4] is s[5]
+        assert s[0] is not s[3]
+
+    def test_ut_unties(self):
+        from htk_tpu.tools.hhed import Editor, run_script
+
+        hs = mono_set()
+        ed = Editor(hs)
+        run_script("TI shr {(aa,iy).state[2]}", ed)
+        assert hs.hmms["aa"].states[0] is hs.hmms["iy"].states[0]
+        run_script("UT {(aa,iy).state[2]}", ed)
+        assert hs.hmms["aa"].states[0] is not hs.hmms["iy"].states[0]
+        assert "shr" not in hs.macros["s"]
+        # parameters preserved through the untie
+        np.testing.assert_allclose(
+            hs.hmms["aa"].states[0].streams[0].mixes[0].mean,
+            hs.hmms["iy"].states[0].streams[0].mixes[0].mean)
+
+    def test_fv_floors_and_rn(self, tmp_path):
+        from htk_tpu.io.mmf import save_mmf
+        from htk_tpu.tools.hhed import Editor, run_script
+
+        hs = mono_set()
+        # a vFloors-style set whose floor exceeds some variances
+        vf = mono_set(names=("dummy",))
+        vf.macros["v"]["varFloor1"] = np.full(4, 0.9, np.float32)
+        save_mmf(vf, str(tmp_path / "vFloors"))
+        ed = Editor(hs)
+        run_script(f"FV {tmp_path / 'vFloors'}\nRN MYSET", ed)
+        for h in hs.hmms.values():
+            for si in h.states:
+                assert float(si.streams[0].mixes[0].var.min()) >= 0.9 - 1e-6
+        assert hs.hmm_set_id == "MYSET"

@@ -9,7 +9,10 @@ edit script. Implemented commands:
   DP a b ..     delete the named phones from pronunciations
   RP x a b ..   replace any of phones a b .. by x
   SP x          define the phone used by AS etc. [accepted]
-  IR / TC       (not yet implemented, warned)
+  TC [st [en]]  triphonise prons (l-p+r; st/en optional edge contexts)
+  LC [x]        left-biphone conversion (x optional word-start context)
+  RC [x]        right-biphone conversion (x optional word-end context)
+  IR            (not implemented, warned)
 
 Usage: HDMan [options] newDict srcDict1 [srcDict2 ...]
 
@@ -82,6 +85,43 @@ def apply_script(v: Vocab, text: str, trace: int = 0) -> None:
                     p.phones = [new if ph in olds else ph for ph in p.phones]
         elif op == "SP":
             pass  # silence phone name — AS args already explicit here
+        elif op == "TC":
+            st = args[0] if args else None
+            en = args[1] if len(args) > 1 else None
+            for w in v.words.values():
+                for p in w.prons:
+                    ph = p.phones
+                    out = []
+                    for i, x in enumerate(ph):
+                        l = ph[i - 1] if i > 0 else st
+                        r = ph[i + 1] if i < len(ph) - 1 else en
+                        nm = x
+                        if l:
+                            nm = f"{l}-{nm}"
+                        if r:
+                            nm = f"{nm}+{r}"
+                        out.append(nm)
+                    p.phones = out
+        elif op == "LC":
+            x0 = args[0] if args else None
+            for w in v.words.values():
+                for p in w.prons:
+                    ph = p.phones
+                    p.phones = [
+                        (f"{ph[i - 1] if i > 0 else x0}-{x}"
+                         if (i > 0 or x0) else x)
+                        for i, x in enumerate(ph)
+                    ]
+        elif op == "RC":
+            x0 = args[0] if args else None
+            for w in v.words.values():
+                for p in w.prons:
+                    ph = p.phones
+                    p.phones = [
+                        (f"{x}+{ph[i + 1] if i < len(ph) - 1 else x0}"
+                         if (i < len(ph) - 1 or x0) else x)
+                        for i, x in enumerate(ph)
+                    ]
         else:
             HRError(14050, "HDMan: unsupported command %s ignored", op)
 

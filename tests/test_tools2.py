@@ -105,6 +105,25 @@ class TestHDMan:
         apply_script(v, "DP sp\n")
         assert v.words["HELLO"].prons[0].phones[-1] == "ow"
 
+    def test_context_conversion(self):
+        v = Vocab()
+        v.add_pron("CAT", ["k", "ae", "t"])
+        apply_script(v, "TC\n")
+        assert v.words["CAT"].prons[0].phones == ["k+ae", "k-ae+t", "ae-t"]
+        v2 = Vocab()
+        v2.add_pron("CAT", ["k", "ae", "t"])
+        apply_script(v2, "TC sil sil\n")
+        assert v2.words["CAT"].prons[0].phones == [
+            "sil-k+ae", "k-ae+t", "ae-t+sil"]
+        v3 = Vocab()
+        v3.add_pron("CAT", ["k", "ae", "t"])
+        apply_script(v3, "LC\n")
+        assert v3.words["CAT"].prons[0].phones == ["k", "k-ae", "ae-t"]
+        v4 = Vocab()
+        v4.add_pron("CAT", ["k", "ae", "t"])
+        apply_script(v4, "RC\n")
+        assert v4.words["CAT"].prons[0].phones == ["k+ae", "ae+t", "t"]
+
 
 class TestHParse:
     def test_digit_loop(self, tmp_path):

@@ -14,6 +14,12 @@ Implemented commands (the recipe-critical set):
                 boundary symbols neither take nor give context)
   LC / RC       left-only / right-only context conversion
   SO            sort labels by start time
+  CH new x      change label x to new (alias of RE with one source)
+  SB x          define x as a deleted sentence-boundary symbol (removes
+                every occurrence, like DE, per HLEd.c's SB)
+  DL            delete the current (only) label level [level arg
+                accepted; multi-level label files carry one level here]
+  FI x          find: print each transcription's occurrences of x
 
 Usage: HLEd [options] edScript labFiles...
 
@@ -97,6 +103,19 @@ class LabelEditor:
                                        args[0] if args else None)
             elif op == "SO":
                 labs.sort(key=lambda l: (l.start if l.start is not None else 0))
+            elif op == "CH":
+                new, old = args[0], args[1]
+                for l in labs:
+                    if l.name == old:
+                        l.name = new
+            elif op == "SB":
+                labs = [l for l in labs if l.name not in args]
+            elif op == "DL":
+                labs = []
+            elif op == "FI":
+                hits = [k for k, l in enumerate(labs) if l.name in args]
+                print(f"HLEd FI {' '.join(args)}: "
+                      f"{len(hits)} at {hits}")
             else:
                 HRError(1150, "HLEd: unsupported command %s ignored", op)
         out = Transcription(alternatives=[labs])

@@ -343,3 +343,13 @@ class TestHCompVSegments:
         m2 = load_mmf("all/proto").hmms["proto"].states[0].streams[0] \
             .mixes[0].mean
         assert np.all(np.abs(m2) < 0.5)
+
+
+class TestHLEdExtra:
+    def test_ch_sb(self):
+        ed = LabelEditor()
+        ed.parse_script("CH b a\nSB sil\n")
+        tr = Transcription(alternatives=[[
+            Label("sil"), Label("a"), Label("c"), Label("sil")]])
+        out = ed.apply(tr)
+        assert [l.name for l in out.labels] == ["b", "c"]

@@ -63,6 +63,26 @@ def open_speech_file(
     """
     e = parse_scp_entry(entry)
     src_kind = cfg.str_("SOURCEKIND", "ANON", module="HPARM").upper()
+    if src_kind == "HAUDIO":
+        # live capture (HParm live buffer): pull the audio source dry,
+        # then convert like a waveform file. The scp entry (if any)
+        # overrides HAUDIO:AUDIOSOURCE as the replay file — HCopy's
+        # "record then convert" live mode.
+        from ..io.audio import open_audio_input
+
+        src = open_audio_input(
+            cfg, fname=(e.physical if e.physical else None))
+        src.start()
+        parts = []
+        while (c := src.read(16000)) is not None:
+            parts.append(c)
+        src.stop()
+        samples = np.concatenate(parts) if parts else np.zeros(0, np.int16)
+        fcfg = FrontendConfig.from_config(cfg, src.samp_period)
+        feats = compute_features(samples.astype(np.float32), fcfg)
+        period = int(fcfg.target_rate)
+        return (feats, period,
+                fcfg.target_kind & ~(pk.HASCOMPX | pk.HASCRCC), e)
     src_fmt_c = (cfg.str_("SOURCEFORMAT", "HTK", module="HWAVE") or "HTK").upper()
     if src_kind == "ANON":
         # HTK's ANON: take the kind from the file itself. For HTK-format

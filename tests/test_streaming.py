@@ -232,3 +232,27 @@ class TestStreamingHybrid:
         assert ref is not None and got is not None
         assert got.words == ref.words
         assert got.score == pytest.approx(ref.score, abs=1e-3)
+
+
+class TestHCopyLive:
+    def test_live_capture_matches_file(self, tmp_path, monkeypatch):
+        """HCopy with SOURCEKIND=HAUDIO pulls the audio source dry and
+        converts — identical features to the file path."""
+        import numpy as np
+
+        from htk_tpu.io.htkfeat import read_htk_file
+        from htk_tpu.tools import hcopy
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(4)
+        write_wav("u.wav", synth_utterance(["sil", "aa", "sil"], rng))
+        open("cfg_file", "w").write(
+            "SOURCEFORMAT = WAV\nTARGETKIND = MFCC_E_D\nENORMALISE = F\n")
+        open("cfg_live", "w").write(
+            "SOURCEFORMAT = WAV\nTARGETKIND = MFCC_E_D\nENORMALISE = F\n"
+            "SOURCEKIND = HAUDIO\n")
+        assert hcopy.run(["-C", "cfg_file", "u.wav", "a.mfc"]) == 0
+        assert hcopy.run(["-C", "cfg_live", "u.wav", "b.mfc"]) == 0
+        fa = read_htk_file("a.mfc")
+        fb = read_htk_file("b.mfc")
+        np.testing.assert_allclose(fb.data, fa.data, atol=1e-5)

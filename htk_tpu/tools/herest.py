@@ -285,8 +285,11 @@ def run(argv: List[str]) -> int:
             _wb(comp, means=base_means, variances=base_vars)
             accs = sum_accs(acc_list)
         else:
-            accs = trainer.accumulate(utts, batch_size=batch_size,
-                                      trace=ta.trace)
+            from ..utils.metrics import maybe_profile
+
+            with maybe_profile(cfg, "HERest"):
+                accs = trainer.accumulate(utts, batch_size=batch_size,
+                                          trace=ta.trace)
 
         if p_mode > 0:
             os.makedirs(out_dir, exist_ok=True)
@@ -304,6 +307,10 @@ def run(argv: List[str]) -> int:
             f"Reestimation complete - average log prob per frame = "
             f"{tl / max(tf, 1.0):.5f} ({nu} utterances, {int(tf)} frames)"
         )
+    from ..utils.metrics import emit_metric
+
+    emit_metric(cfg, "HERest", logp_per_frame=tl / max(tf, 1.0),
+                frames=int(tf), utterances=nu)
 
     if ta.has("K"):
         # transform estimation mode (HERest adaptation): estimate one

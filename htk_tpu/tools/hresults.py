@@ -174,6 +174,11 @@ def run(argv: List[str]) -> int:
           f"N={sent_n}]")
     print(f"WORD: %Corr={corr:.2f}, Acc={acc:.2f} [H={tot_h}, D={tot_d}, "
           f"S={tot_s}, I={tot_i}, N={tot_n}]")
+    from ..utils.metrics import emit_metric
+
+    emit_metric(ta.config, "HResults", corr=round(corr, 4),
+                acc=round(acc, 4), sent_correct=round(scorr, 4),
+                h=tot_h, d=tot_d, s=tot_s, i=tot_i, n=tot_n)
     if ta.has("p") and confusion:
         print("------------------------ Confusion Matrix -------------------------")
         for (r, hh), c in sorted(confusion.items(), key=lambda kv: -kv[1]):

@@ -303,6 +303,7 @@ def run(argv: List[str]) -> int:
                      and not comp.discrete and len(files) > 1)
         if use_batch:
             from ..algo.decode import decode_batch
+            from ..utils.metrics import maybe_profile
 
             entries, featl = [], []
             for fn in files:
@@ -316,12 +317,13 @@ def run(argv: List[str]) -> int:
                            key=lambda i: featl[i].shape[0])
             results: List = [None] * len(featl)
             bsz = int(cfg.int_("DECODEBATCH", 8, module="HREC") or 8)
-            for i0 in range(0, len(order), bsz):
-                idx = order[i0 : i0 + bsz]
-                rs = decode_batch(net, comp, [featl[j] for j in idx],
-                                  lm_scale, word_pen)
-                for j, r in zip(idx, rs):
-                    results[j] = r
+            with maybe_profile(cfg, "HVite"):
+                for i0 in range(0, len(order), bsz):
+                    idx = order[i0 : i0 + bsz]
+                    rs = decode_batch(net, comp, [featl[j] for j in idx],
+                                      lm_scale, word_pen)
+                    for j, r in zip(idx, rs):
+                        results[j] = r
             for e, res in zip(entries, results):
                 tr = Transcription(alternatives=[[]])
                 if res is None:

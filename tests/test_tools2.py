@@ -353,3 +353,19 @@ class TestHLEdExtra:
             Label("sil"), Label("a"), Label("c"), Label("sil")]])
         out = ed.apply(tr)
         assert [l.name for l in out.labels] == ["b", "c"]
+
+
+class TestHSGen:
+    def test_walks_and_stats(self, tmp_path, monkeypatch, capsys):
+        from htk_tpu.tools import hbuild, hsgen
+
+        monkeypatch.chdir(tmp_path)
+        open("wl", "w").write("one\ntwo\n")
+        open("dict", "w").write("one o\ntwo t\n")
+        assert hbuild.run(["wl", "net.slf"]) == 0
+        assert hsgen.run(["-n", "10", "-l", "net.slf", "dict"]) == 0
+        out = capsys.readouterr().out.splitlines()
+        assert len(out) == 10 and out[0].startswith("1.")
+        assert hsgen.run(["-n", "10", "-q", "-s", "net.slf", "dict"]) == 0
+        out = capsys.readouterr().out
+        assert "Perplexity" in out and "Average Sentence Length" in out

@@ -80,7 +80,9 @@ class StreamingFrontend:
         self.lookahead = la
 
         self._samples = np.zeros(0, np.float32)  # not-yet-framed tail
-        self._statics: List[np.ndarray] = []  # computed static rows
+        # geometric-growth statics buffer: a live session appends for
+        # hours, so per-chunk reallocation must be amortised O(1)
+        self._stat_buf = np.empty((256, cfg.n_static()), np.float32)
         self._n_statics = 0
         self._emitted = 0  # frames whose full vector has been returned
         self._flushed = False
@@ -111,8 +113,14 @@ class StreamingFrontend:
                     1 if pk.has_qual(cfg.target_kind, pk.HASENERGY) else 0)
                 st = st.copy()
                 st[:, :ncep] -= self._cepmean[None, :ncep]
-            self._statics.append(st)
-            self._n_statics += n
+            need = self._n_statics + n
+            if need > len(self._stat_buf):
+                grown = np.empty((max(2 * len(self._stat_buf), need),
+                                  self._stat_buf.shape[1]), np.float32)
+                grown[: self._n_statics] = self._stat_buf[: self._n_statics]
+                self._stat_buf = grown
+            self._stat_buf[self._n_statics: need] = st
+            self._n_statics = need
             self._samples = self._samples[n * shift:]
             n_avail -= n
 
@@ -123,28 +131,36 @@ class StreamingFrontend:
         while the stream is still open (callers only ask for frames whose
         whole regression window is already buffered, so no end clamp can
         bind).
+
+        Only the statics window [lo - lookahead, hi + lookahead) is
+        touched, so per-frame work stays O(1) over arbitrarily long
+        live sessions; regression index clamps stay GLOBAL (utterance
+        start / t_end), never at the window edge — window rows whose
+        own neighbours fall outside are never read for [lo, hi).
         """
         cfg = self.cfg
         kind = cfg.target_kind
-        x = np.concatenate(self._statics, axis=0) if self._statics else \
-            np.zeros((0, 1), np.float32)
-        T = x.shape[0]
+        T = self._n_statics
+        w0 = max(0, lo - self.lookahead)
+        w1 = min(T, hi + self.lookahead)
+        x = self._stat_buf[w0:w1]
         t_max = (T - 1) if t_end is None else t_end
 
         def regress(block: np.ndarray, win: int) -> np.ndarray:
-            t = np.arange(block.shape[0])
+            tg = np.arange(w0, w0 + block.shape[0])  # global frame index
+            n = block.shape[0]
             if cfg.simple_diffs:
                 acc = np.zeros_like(block)
                 for th in range(1, win + 1):
-                    hi_i = np.minimum(t_max, t + th)
-                    lo_i = np.maximum(0, t - th)
+                    hi_i = np.clip(np.minimum(t_max, tg + th) - w0, 0, n - 1)
+                    lo_i = np.clip(np.maximum(0, tg - th) - w0, 0, n - 1)
                     acc = acc + (block[hi_i] - block[lo_i])
                 return acc / np.float32(2.0 * win)
             sigma2 = np.float32(2.0 * sum(th * th for th in range(1, win + 1)))
             acc = np.zeros_like(block)
             for th in range(1, win + 1):
-                hi_i = np.minimum(t_max, t + th)
-                lo_i = np.maximum(0, t - th)
+                hi_i = np.clip(np.minimum(t_max, tg + th) - w0, 0, n - 1)
+                lo_i = np.clip(np.maximum(0, tg - th) - w0, 0, n - 1)
                 acc = acc + np.float32(th) * (block[hi_i] - block[lo_i])
             return acc / sigma2
 
@@ -157,7 +173,7 @@ class StreamingFrontend:
                 blocks.append(a)
                 if pk.has_qual(kind, pk.HASTHIRD):
                     blocks.append(regress(a, cfg.third_window))
-        out = np.concatenate(blocks, axis=1)
+        out = np.concatenate(blocks, axis=1)[lo - w0: hi - w0]
         if pk.has_qual(kind, pk.HASNULLE):
             has_e = pk.has_qual(kind, pk.HASENERGY)
             has_0 = pk.has_qual(kind, pk.HASZEROC)
@@ -166,7 +182,7 @@ class StreamingFrontend:
             drop = cfg.n_static() - 1
             keep = [i for i in range(out.shape[1]) if i != drop]
             out = out[:, keep]
-        return out[lo:hi]
+        return out
 
     # -- public API ------------------------------------------------------
 

@@ -250,6 +250,82 @@ def htkbook_features(samples, kind, num_chans=20, num_ceps=12, lifter=22,
     return np.concatenate(blocks, axis=1)
 
 
+def htkbook_plp(samples, num_chans=20, num_ceps=12, lifter=22,
+                lpc_order=12, frame_size=400, frame_shift=160,
+                preem=0.97, compress=0.33):
+    """PLP cepstra per the published recipe (Hermansky 1990 as adopted
+    by the HTKBook's PLP section): mel filterbank -> equal-loudness
+    weighting E(f) = (f^2/(f^2+1.6e5))^2 (f^2+1.44e6)/(f^2+9.61e6) ->
+    cube-root compression -> IDFT to autocorrelation -> Levinson-Durbin
+    -> LPC-to-cepstra c_n = -(a_n + (1/n) sum (n-i) a_i c_{n-i}) ->
+    liftering.  Scalar float64, independent of the package."""
+    fft_n = 2
+    while fft_n < frame_size:
+        fft_n *= 2
+    W = mel_filterbank(fft_n, num_chans, FS)
+    ham = 0.54 - 0.46 * np.cos(
+        2.0 * math.pi * np.arange(frame_size) / (frame_size - 1))
+    # equal loudness at the channel centre frequencies
+    nby2 = fft_n // 2
+    mhi = mel(nby2 * FS / fft_n)
+    eql = np.zeros(num_chans)
+    for c in range(1, num_chans + 1):
+        cf_mel = c * mhi / (num_chans + 1)
+        f = 700.0 * (math.exp(cf_mel / 1127.0) - 1.0)
+        fsq = f * f
+        fsub = fsq / (fsq + 1.6e5)
+        eql[c - 1] = fsub * fsub * ((fsq + 1.44e6) / (fsq + 9.61e6))
+
+    n = (len(samples) - frame_size) // frame_shift + 1
+    out = []
+    for t in range(n):
+        s = samples[t * frame_shift: t * frame_shift + frame_size].copy()
+        for j in range(frame_size - 1, 0, -1):
+            s[j] -= preem * s[j - 1]
+        s[0] *= 1.0 - preem
+        s *= ham
+        spec = np.abs(np.fft.rfft(s, n=fft_n)) ** 2  # power spectrum
+        aspec = np.maximum((spec @ W) * eql, 1e-10) ** compress
+        # symmetric IDFT over duplicated-edge auditory spectrum
+        pts = num_chans + 2
+        padded = np.concatenate([[aspec[0]], aspec, [aspec[-1]]])
+        autoc = np.zeros(lpc_order + 1)
+        for i in range(lpc_order + 1):
+            acc = 0.0
+            for j in range(pts):
+                w = 1.0 if j in (0, pts - 1) else 2.0
+                acc += w * padded[j] * math.cos(
+                    math.pi * i * j / (num_chans + 1))
+            autoc[i] = acc / (2.0 * (num_chans + 1))
+        # Levinson-Durbin
+        E = autoc[0]
+        a = np.zeros(lpc_order + 1)
+        for i in range(1, lpc_order + 1):
+            acc = autoc[i]
+            for j in range(1, i):
+                acc -= a[j] * autoc[i - j]
+            k = acc / max(E, 1e-20)
+            new_a = a.copy()
+            new_a[i] = k
+            for j in range(1, i):
+                new_a[j] = a[j] - k * a[i - j]
+            a = new_a
+            E *= 1.0 - k * k
+        # LPC -> cepstra
+        c = np.zeros(num_ceps + 1)
+        for m in range(1, num_ceps + 1):
+            acc = a[m] if m <= lpc_order else 0.0
+            for i in range(1, min(m, lpc_order + 1)):
+                acc += ((m - i) / m) * a[i] * c[m - i]
+            c[m] = -acc
+        vec = c[1:]
+        for i in range(1, num_ceps + 1):
+            vec[i - 1] *= 1.0 + (lifter / 2.0) * math.sin(
+                math.pi * i / lifter)
+        out.append(vec)
+    return np.array(out)
+
+
 KINDS = ["MFCC_E_D_A_Z", "MFCC_0", "FBANK"]
 
 
@@ -260,6 +336,7 @@ def main():
     for kind in KINDS:
         nch = 24 if kind == "FBANK" else 20
         out["feat_" + kind] = htkbook_features(wave, kind, num_chans=nch)
+    out["feat_PLP"] = htkbook_plp(wave)
     path = os.path.join(os.path.dirname(__file__), "mfcc_golden.npz")
     np.savez_compressed(path, **out)
     for kind in KINDS:

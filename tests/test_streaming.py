@@ -63,7 +63,8 @@ class TestAudioSources:
 
 
 class TestStreamingFrontend:
-    @pytest.mark.parametrize("kind", ["MFCC_E_D_A", "MFCC_0_D", "FBANK_D_A"])
+    @pytest.mark.parametrize("kind", ["MFCC_E_D_A", "MFCC_0_D", "FBANK_D_A",
+                                      "MFCC_E_D_A_T"])
     def test_matches_batch(self, kind):
         wave = _wave()
         cfg = FrontendConfig(target_kind=pk.str2parmkind(kind),

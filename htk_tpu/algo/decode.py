@@ -30,6 +30,7 @@ import numpy as np
 
 from ..models.hmmset import CompiledHMMSet
 from ..ops.outp import all_state_outp
+from ..utils.errors import HError
 from ..utils.logmath import LZERO, LSMALL
 from .net import DecodeNetwork
 
@@ -180,7 +181,6 @@ def decode_scan_uniform(
     C = Ns // S
     K = band.shape[0]
     if C >= 32767 or T >= 65535:
-        from ..utils.errors import HError
         HError(8520, "decode_scan_uniform: %d rows / %d frames exceed the "
                      "packed-record range (32k rows, 64k frames)", C, T)
     neg = jnp.asarray(LZERO, outp_states.dtype)
@@ -669,6 +669,11 @@ def _lv_pipeline(net, comp, precision, max_active, state_mode=False):
     d = _net_dev(net)
     key = ("pipe", precision, max_active, state_mode,
            id(comp) if comp is not None else None)
+    # the jitted program bakes comp's parameters in as constants, and the
+    # cache key uses id(comp) — retain comp so a freed set's id can never
+    # be reused for a different parameter set against the same net
+    if comp is not None:
+        d.setdefault("comp_refs", {})[id(comp)] = comp
     fn = d["jits"].get(key)
     if fn is None:
         S = net.uniform_width

@@ -23,6 +23,7 @@ applied to a loaded HMMSet. Implemented commands:
   UT itemlist             untie (private copies of shared states)
   FV file                 load + apply variance floors (vFloors)
   RN id                   rename the HMM-set identifier
+  JO size floor           tied-mixture join parameters for HK TIEDHS
   HK kind                 convert set kind (DISCRETEHS / TIEDHS / ...)
   SH                      show summary
 
@@ -69,6 +70,8 @@ class Editor:
         self.trees: List[Tree] = []
         self.stats: Dict[Tuple[str, int], float] = {}  # (hmm, state) -> occ
         self.ro_threshold = 0.0
+        self.jo_size: Optional[int] = None  # JO: tied-mixture pool size
+        self.jo_floor: Optional[float] = None  # JO: weight floor
         self.baseclasses: Dict[str, tuple] = {}  # fname -> (macro, classes)
 
     # -- commands --------------------------------------------------------
@@ -579,8 +582,10 @@ class Editor:
         from ..io.mmf import MINMIX, MixPDF, StreamElem
 
         hs = self.hset
-        M = int(self.cfg.int_("NUMTIEDMIX", 64, module="HHED") or 64) \
-            if self.cfg else 64
+        M = self.jo_size if self.jo_size else (
+            int(self.cfg.int_("NUMTIEDMIX", 64, module="HHED") or 64)
+            if self.cfg else 64)
+        w_floor = self.jo_floor if self.jo_floor is not None else MINMIX
 
         def logsumexp(a, axis=0):
             hi = _np.max(a, axis=axis, keepdims=True)
@@ -651,7 +656,7 @@ class Editor:
                                    - 0.5 * (mp.gconst + maha))
                     lp = logsumexp(_np.stack(lps), axis=0)
                     p = _np.maximum(_np.exp(lp - logsumexp(lp, axis=0)),
-                                    MINMIX)
+                                    w_floor)
                     p = p / p.sum()
                     ns = StreamElem(weights=[float(x) for x in p],
                                     mixes=list(pool),
@@ -670,6 +675,15 @@ class Editor:
         if self.trace:
             print(f"HHEd: HK TIEDHS converted {n_conv} states to "
                   f"{[len(p) for p in pools]}-component tied pools")
+
+    def cmd_jo(self, size: int, floor: float):
+        """JO size floor: set tied-mixture join parameters (HHEd.c
+        JoinOp): the pool size and weight floor used by a subsequent
+        HK TIEDHS conversion."""
+        self.jo_size = int(size)
+        self.jo_floor = float(floor)
+        if self.trace:
+            print(f"HHEd: JO size={size} floor={floor}")
 
     def cmd_nc(self, n: int, macro: str, spec: str):
         """NC n macro itemlist: data-driven bottom-up state clustering.
@@ -1003,6 +1017,8 @@ def run_script(text: str, ed: Editor):
             ed.cmd_sw(int(r.next()), int(r.next()))
         elif op == "RC":
             ed.cmd_rc(int(r.next()), r.next().strip('"'))
+        elif op == "JO":
+            ed.cmd_jo(int(r.next()), float(r.next()))
         elif op == "NC":
             n = int(r.next())
             macro = r.next()

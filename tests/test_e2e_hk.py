@@ -86,9 +86,10 @@ def test_hk_tiedhs_conversion_chain(trained, capsys):
     (text + binary), retrain one iteration, decode at 100%."""
     from htk_tpu.io.mmf import load_mmf, save_mmf
 
-    open("hkt.hed", "w").write("HK TIEDHS\n")
-    open("cfg_tm", "w").write("HHED: NUMTIEDMIX = 6\n")
-    assert hhed.run(["-C", "cfg_tm", "-T", "1", "-H", "hmm2/hmmdefs",
+    # JO sets the pool size + weight floor for the conversion (the HTK
+    # tied-mixture join parameters); no config key needed
+    open("hkt.hed", "w").write("JO 6 1e-5\nHK TIEDHS\n")
+    assert hhed.run(["-T", "1", "-H", "hmm2/hmmdefs",
                      "-M", "tied0", "hkt.hed", "monophones"]) == 0
     out = capsys.readouterr().out
     assert "HK TIEDHS converted" in out

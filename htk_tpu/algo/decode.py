@@ -78,7 +78,6 @@ def decode_scan(
     T, Ns = outp_states.shape
     K = band.shape[0]
     Nn = n_nodes
-    sidx = jnp.arange(Ns, dtype=jnp.int32)
     # static node-membership mask and per-state entry gather matrix
     node_mask = node_of_state[None, :] == jnp.arange(Nn, dtype=jnp.int32)[:, None]
     neg = jnp.asarray(LZERO, outp_states.dtype)

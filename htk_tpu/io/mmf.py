@@ -1043,10 +1043,33 @@ def save_mmf(hset: HMMSet, path: str, binary: bool = False) -> None:
     binary=True (the tools' -B flag) writes HTK's ':'-code binary form:
     same macro structure, keywords as symbol bytes, parameters as raw
     big-endian shorts/floats.
+
+    The MMF is the training checkpoint (SURVEY §5.4), so the write is
+    ATOMIC: a temp file in the same directory is fsync'd and renamed
+    over the target — a crash mid-save can never leave a truncated
+    hmmdefs behind (the orbax-style guarantee SURVEY §5.3 calls for).
     """
-    if binary:
-        with open(path, "wb") as f:
-            _BinWriter(hset, _BinFile(f)).write_all()
-        return
-    with open(path, "w") as f:
-        _Writer(hset, f).write_all()
+    import os as _os
+    import tempfile as _tempfile
+
+    d = _os.path.dirname(_os.path.abspath(path)) or "."
+    fd, tmp = _tempfile.mkstemp(dir=d, prefix=_os.path.basename(path) + ".",
+                                suffix=".tmp")
+    try:
+        if binary:
+            with _os.fdopen(fd, "wb") as f:
+                _BinWriter(hset, _BinFile(f)).write_all()
+                f.flush()
+                _os.fsync(f.fileno())
+        else:
+            with _os.fdopen(fd, "w") as f:
+                _Writer(hset, f).write_all()
+                f.flush()
+                _os.fsync(f.fileno())
+        _os.replace(tmp, path)
+    except BaseException:
+        try:
+            _os.unlink(tmp)
+        except OSError:
+            pass
+        raise

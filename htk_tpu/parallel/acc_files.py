@@ -27,11 +27,29 @@ _FIELDS = ("occ", "sum_x", "sum_xx", "wt_occ", "tr",
 
 
 def dump_accs(accs: Accumulators, path: str) -> None:
-    # write via a file object so numpy keeps the exact .acc filename
-    with open(path, "wb") as f:
-        np.savez_compressed(
-            f, __version__=1, **{k: np.asarray(getattr(accs, k)) for k in _FIELDS}
-        )
+    # atomic (temp + fsync + rename): a crashed shard must either leave
+    # a complete .acc to combine or nothing — never a truncated file
+    # that poisons the -p 0 combine (SURVEY §5.3 idempotent recovery)
+    import os
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=os.path.basename(path) + ".",
+                               suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez_compressed(
+                f, __version__=1,
+                **{k: np.asarray(getattr(accs, k)) for k in _FIELDS})
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_accs(path: str) -> Accumulators:

@@ -168,6 +168,8 @@ def fb_utterance(
     n_states: int,
     tr_flat: int,
     precision: str = "highest",
+    fc_proj=None,  # (M, D, D) full-covariance precision Cholesky
+    fc_mu=None,  # (M, D) transformed means (FULLC training)
 ) -> Tuple[jnp.ndarray, Accumulators]:
     """Forward-backward + accumulation for one utterance (HFB.c FBUtt)."""
     T, D = feats.shape
@@ -180,8 +182,14 @@ def fb_utterance(
     blocks = list(slot_blocks) if slot_blocks else [(0, maxmix)]
 
     # 1. observation likelihoods for the states this utterance touches
-    Wt, c = pack_gaussians(means, variances, gconsts)
-    mix_lp = mix_scores(feats, Wt, c, precision=precision)  # (T, M)
+    if fc_proj is not None:
+        from ..ops.outp import full_cov_mix_scores
+
+        mix_lp = full_cov_mix_scores(feats, fc_proj, fc_mu, gconsts,
+                                     precision=precision)
+    else:
+        Wt, c = pack_gaussians(means, variances, gconsts)
+        mix_lp = mix_scores(feats, Wt, c, precision=precision)  # (T, M)
     st_mix = state_mix[comp_state]  # (Q, n_slots)
     st_logw = state_logw[comp_state]
     gathered = mix_lp[:, jnp.maximum(st_mix, 0)]  # (T, Q, n_slots)
@@ -310,6 +318,7 @@ def mix_posteriors_utterance(
     *, means, variances, gconsts, state_mix, state_logw,
     state_sw=None, slot_blocks=None,
     precision: str = "highest",
+    fc_proj=None, fc_mu=None,
 ):
     """Per-frame physical-Gaussian posteriors gamma (T, M) for one
     utterance — the adaptation-statistics front half of fb_utterance."""
@@ -318,8 +327,14 @@ def mix_posteriors_utterance(
     maxmix = state_mix.shape[1]
     Q = comp_state.shape[0]
     blocks = list(slot_blocks) if slot_blocks else [(0, maxmix)]
-    Wt, c = pack_gaussians(means, variances, gconsts)
-    mix_lp = mix_scores(feats, Wt, c, precision=precision)
+    if fc_proj is not None:
+        from ..ops.outp import full_cov_mix_scores
+
+        mix_lp = full_cov_mix_scores(feats, fc_proj, fc_mu, gconsts,
+                                     precision=precision)
+    else:
+        Wt, c = pack_gaussians(means, variances, gconsts)
+        mix_lp = mix_scores(feats, Wt, c, precision=precision)
     st_mix = state_mix[comp_state]
     st_logw = state_logw[comp_state]
     st_sw = state_sw[comp_state] if state_sw is not None else None

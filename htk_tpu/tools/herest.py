@@ -130,6 +130,11 @@ def run(argv: List[str]) -> int:
         if not extra:
             HError(1030, "HERest: -p 0 needs accumulator files")
         accs = sum_accs([load_accs(p) for p in extra])
+        if comp.full_cov:
+            fc_xxT = None
+            for p in extra:
+                side = np.load(p + ".fcx.npy")
+                fc_xxT = side if fc_xxT is None else fc_xxT + side
     else:
         mlfs = [MLF.load(p) for p in ta.get_all("I")]
         label_dir = ta.get("L")
@@ -138,6 +143,9 @@ def run(argv: List[str]) -> int:
         if not files:
             HError(1030, "HERest: no training files\n%s", USAGE)
 
+        if comp.full_cov and (retrain or ta.has("a") or ta.has("K")):
+            HError(7060, "HERest: full-covariance training combines with "
+                         "neither -r nor adaptation modes")
         if retrain and comp.discrete:
             HError(7060, "HERest: -r single-pass retraining needs a "
                          "continuous-density set")
@@ -174,7 +182,9 @@ def run(argv: List[str]) -> int:
                 paired[0][1], cfg2)
             retrain_dim = int(d2_probe.shape[1])
 
-        if use_dev_comp:
+        if comp.full_cov:
+            trainer = None  # dedicated path below (algo/fullcov_train)
+        elif use_dev_comp:
             from ..algo.trainer import DeviceCompositeTrainer
 
             trainer = DeviceCompositeTrainer(comp)
@@ -284,6 +294,13 @@ def run(argv: List[str]) -> int:
                     uset, batch_size=batch_size, trace=ta.trace))
             _wb(comp, means=base_means, variances=base_vars)
             accs = sum_accs(acc_list)
+        elif comp.full_cov:
+            from ..algo.fullcov_train import fullcov_accumulate
+            from ..utils.metrics import maybe_profile
+
+            with maybe_profile(cfg, "HERest"):
+                accs, fc_xxT = fullcov_accumulate(comp, utts,
+                                                  trace=ta.trace)
         else:
             from ..utils.metrics import maybe_profile
 
@@ -295,6 +312,9 @@ def run(argv: List[str]) -> int:
             os.makedirs(out_dir, exist_ok=True)
             acc_path = os.path.join(out_dir, f"HER{p_mode}.acc")
             dump_accs(accs, acc_path)
+            if comp.full_cov:
+                # full second moments ride a sidecar next to the .acc
+                np.save(acc_path + ".fcx.npy", fc_xxT)
             if ta.trace:
                 print(f"HERest: dumped accumulators to {acc_path}")
             return 0
@@ -534,7 +554,14 @@ def run(argv: List[str]) -> int:
         return 0
 
     map_tau = cfg.flt_("MAPTAU", 0.0, module="HMAP") or 0.0
-    if retrain or (p_mode == 0 and ta.has("r")):
+    if comp.full_cov:
+        from ..algo.fullcov_train import fullcov_update
+
+        comp, n_upd = fullcov_update(hset, comp, accs, fc_xxT, flags,
+                                     min_var=min_var)
+        if ta.trace:
+            print(f"HERest: FULLC update touched {n_upd} Gaussians")
+    elif retrain or (p_mode == 0 and ta.has("r")):
         # single-pass retraining update: weights/transitions from the
         # alignment statistics as usual; means/variances wholesale from
         # the channel-2 moment sums, set takes channel 2's geometry

@@ -127,3 +127,108 @@ def test_fullc_training_rejected():
     comp = compile_hmmset(_to_fullc(_diag_set()))
     with pytest.raises(HTKError):
         Trainer(comp)
+
+
+class TestFullCovTraining:
+    def _fullc_set(self, dim=3):
+        """separable_set converted to FULLC (inverse-covariance full
+        matrices seeded from the diagonal model)."""
+        from test_decode import separable_set  # noqa: F401
+        from htk_tpu.models.proto import clone_proto, make_proto
+
+        hs = make_proto(nstates=4, dim=dim, parm_kind="USER")
+        cl = clone_proto(hs, "proto", ["a", "b"])
+        rng = np.random.default_rng(0)
+        for nm, h in cl.hmms.items():
+            c = 4.0 if nm == "a" else -4.0
+            for k, si in enumerate(h.states):
+                mp = si.streams[0].mixes[0]
+                mp.mean = (c + 0.3 * k + 0.1 * rng.normal(size=dim)).astype(
+                    np.float32)
+                mp.var = np.eye(dim, dtype=np.float32) * 1.2  # inv cov
+                mp.cov_kind = "FULLC"
+                mp.fix_gconst()
+        cl.cov_kind = "FULLC"
+        return cl
+
+    def _corpus(self, n=8, dim=3, seed=1):
+        """Correlated per-class emissions: x = A_c z + mu_c."""
+        rng = np.random.default_rng(seed)
+        A = {"a": np.array([[1.0, 0.8, 0.0], [0.0, 0.6, 0.0],
+                            [0.0, 0.5, 0.9]]),
+             "b": np.array([[0.7, 0.0, 0.0], [0.6, 1.0, 0.0],
+                            [0.0, 0.0, 0.8]])}
+        mu = {"a": 4.0, "b": -4.0}
+        utts = []
+        for i in range(n):
+            seq = ["a", "b"] if i % 2 == 0 else ["b", "a"]
+            frames = []
+            for p in seq:
+                z = rng.normal(size=(10, dim))
+                frames.append(z @ A[p].T + mu[p])
+            utts.append((f"u{i}", np.concatenate(frames).astype(np.float32),
+                         seq))
+        return utts
+
+    def test_em_improves_and_learns_offdiagonals(self):
+        from htk_tpu.algo.fullcov_train import (fullcov_accumulate,
+                                                fullcov_update)
+        from htk_tpu.algo.trainer import prepare_utterance
+        from htk_tpu.models.hmmset import compile_hmmset
+
+        hs = self._fullc_set()
+        comp = compile_hmmset(hs)
+        assert comp.full_cov
+        data = self._corpus()
+
+        logps = []
+        for it in range(3):
+            utts = [prepare_utterance(comp, nm, f, seq)
+                    for nm, f, seq in data]
+            accs, xxT = fullcov_accumulate(comp, utts)
+            logps.append(float(np.asarray(accs.total_logp)))
+            comp, n_upd = fullcov_update(hs, comp, accs, xxT)
+            assert n_upd > 0
+        # EM monotonicity across full-covariance updates
+        assert logps[1] > logps[0]
+        assert logps[2] >= logps[1] - 1e-3
+        # the learned precision is genuinely non-diagonal
+        off = 0.0
+        for mp in hs.hmms["a"].states[1].streams[0].mixes:
+            v = np.asarray(mp.var)
+            off = max(off, float(np.abs(v - np.diag(np.diag(v))).max()))
+        assert off > 0.05
+
+    def test_herest_tool_fullc_training(self, tmp_path, monkeypatch,
+                                        capsys):
+        from htk_tpu.io.htkfeat import write_htk_file
+        from htk_tpu.io.mmf import load_mmf, save_mmf
+        from htk_tpu.io.parmkind import str2parmkind
+        from htk_tpu.tools import herest
+
+        monkeypatch.chdir(tmp_path)
+        hs = self._fullc_set()
+        save_mmf(hs, "hmmdefs")
+        data = self._corpus(n=6)
+        with open("phones.mlf", "w") as f:
+            f.write("#!MLF!#\n")
+            for nm, feats, seq in data:
+                write_htk_file(f"{nm}.usr", feats, 100000,
+                               str2parmkind("USER"))
+                f.write(f'"*/{nm}.lab"\n' + "\n".join(seq) + "\n.\n")
+        open("train.scp", "w").write(
+            "\n".join(f"{nm}.usr" for nm, _f, _s in data))
+        open("list", "w").write("a\nb\n")
+        open("cfg", "w").write("TARGETKIND = USER\n")
+        import os
+        os.makedirs("out", exist_ok=True)
+        assert herest.run(["-C", "cfg", "-T", "1", "-I", "phones.mlf",
+                           "-H", "hmmdefs", "-M", "out",
+                           "-S", "train.scp", "list"]) == 0
+        out = capsys.readouterr().out
+        assert "FULLC update touched" in out
+        h2 = load_mmf("out/hmmdefs")
+        mp = h2.hmms["a"].states[0].streams[0].mixes[0]
+        assert mp.cov_kind == "FULLC"
+        v = np.asarray(mp.var)
+        assert np.abs(v - np.diag(np.diag(v))).max() > 0.01

@@ -110,17 +110,21 @@ def fullcov_update(hset, comp: CompiledHMMSet, accs, xxT: np.ndarray,
         if occ[i] <= MINOCC:
             continue
         mu = sum_x[i] / occ[i]
-        cov = xxT[i] / occ[i] - np.outer(mu, mu)
-        cov = 0.5 * (cov + cov.T) + min_var * np.eye(D)  # diagonal loading
-        if flags.means:
-            mp.mean = mu.astype(np.float32)
+        inv = None
         if flags.variances:
+            cov = xxT[i] / occ[i] - np.outer(mu, mu)
+            cov = 0.5 * (cov + cov.T) + min_var * np.eye(D)  # diag loading
             try:
                 inv = np.linalg.inv(cov)
             except np.linalg.LinAlgError:
+                # keep BOTH old mean and old covariance — a new mean
+                # paired with a stale covariance is not a valid update
                 HRError(7032, "fullcov_update: singular covariance for "
-                              "Gaussian %d — kept old", i)
+                              "Gaussian %d — parameters kept", i)
                 continue
+        if flags.means:
+            mp.mean = mu.astype(np.float32)
+        if inv is not None:
             mp.var = inv.astype(np.float32)  # MMF stores INVCOVAR
             mp.cov_kind = "FULLC"
             mp.fix_gconst()

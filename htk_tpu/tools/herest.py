@@ -133,7 +133,12 @@ def run(argv: List[str]) -> int:
         if comp.full_cov:
             fc_xxT = None
             for p in extra:
-                side = np.load(p + ".fcx.npy")
+                try:
+                    side = np.load(p + ".fcx.npy")
+                except OSError:
+                    HError(7111, "HERest -p 0: FULLC set needs the "
+                                 "second-moment sidecar %s.fcx.npy "
+                                 "(dumped by the matching -p N run)", p)
                 fc_xxT = side if fc_xxT is None else fc_xxT + side
     else:
         mlfs = [MLF.load(p) for p in ta.get_all("I")]

@@ -8,7 +8,7 @@ binds). Run on the accelerator backend: python benchmarks/timit_scale.py
 import time, numpy as np, jax
 import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from bench import build_model
-from htk_tpu.algo.trainer import Trainer, prepare_utterance
+from htk_tpu.algo.trainer import DeviceCompositeTrainer, Trainer, prepare_utterance, prepare_utterance_ids
 from htk_tpu.algo.reestimate import reestimate, UpdateFlags
 from htk_tpu.models.hmmset import write_back
 
@@ -22,11 +22,13 @@ for i in range(N):
     n_ph = int(rng.integers(30, 50))
     seq = [names[j] for j in rng.integers(0, len(names), n_ph)]
     feats = rng.normal(size=(T, 39)).astype(np.float32)
-    utts.append(prepare_utterance(comp, f"u{i}", feats, seq))
+    utts.append(prepare_utterance_ids(comp, f"u{i}", feats, seq))
 t_prep = time.perf_counter() - t0
 print(f"prep {N} utts: {t_prep:.1f}s", flush=True)
 
-tr = Trainer(comp, precision="default")
+# device-side composite assembly (HERest DEVICECOMPOSITE): logA/segment
+# maps built on-chip from model-id sequences — the fastest trainer path
+tr = DeviceCompositeTrainer(comp, precision="default")
 t0 = time.perf_counter()
 accs = tr.accumulate(utts[:32], batch_size=16)  # warm compile
 print(f"warmup: {time.perf_counter()-t0:.1f}s", flush=True)

@@ -157,9 +157,13 @@ def run(argv: List[str]) -> int:
         if retrain and ta.has("a"):
             HError(1030, "HERest: -r cannot combine with -a input "
                          "transforms")
+        # device-side composite assembly is the default trainer path
+        # (86 vs 64 utt/s/chip at TIMIT scale, benchmarks/timit_scale);
+        # HTKTPU: DEVICECOMPOSITE = F restores host assembly. Adaptation
+        # estimation (-K) needs the host composite objects.
         use_dev_comp = (
-            cfg.bool_("DEVICECOMPOSITE", False, module="HTKTPU")
-            and not comp.discrete and not retrain
+            cfg.bool_("DEVICECOMPOSITE", True, module="HTKTPU")
+            and not comp.discrete and not retrain and not ta.has("K")
         )
         # -r pairs the script: "old new" on one line or alternating lines
         pairs = {}

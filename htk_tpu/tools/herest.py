@@ -164,6 +164,7 @@ def run(argv: List[str]) -> int:
         use_dev_comp = (
             cfg.bool_("DEVICECOMPOSITE", True, module="HTKTPU")
             and not comp.discrete and not retrain and not ta.has("K")
+            and not comp.full_cov  # dedicated path needs host composites
         )
         # -r pairs the script: "old new" on one line or alternating lines
         pairs = {}

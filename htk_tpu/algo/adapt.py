@@ -99,16 +99,62 @@ class Transform:
         return feats @ self.A.T + self.b[None, :]
 
 
+def _estimate_mllr_mean_fc(comp: CompiledHMMSet, accs: Accumulators
+                           ) -> Transform:
+    """Exact global MLLR mean solve for a full-covariance set.
+
+    Full precisions couple the rows of W, so instead of D independent
+    (D+1)-dim solves the normal equations become ONE D(D+1) system:
+        sum_m P_m W (occ_m xi_m xi_m^T) = sum_m P_m sumx_m xi_m^T
+    flattened as A[(i,a),(j,b)] = sum_m P_m[i,j] S_m[a,b] — ~1.5k
+    unknowns at D=39, one host f64 solve (the heavy part is a single
+    (D^2, M)x(M, (D+1)^2) GEMM). P_m comes from the compiled precision
+    Cholesky (fc_proj = L, P = L L^T), which also embeds DIAGC Gaussians
+    of a mixed set correctly.
+    """
+    occ = np.asarray(accs.occ, np.float64)
+    sum_x = np.asarray(accs.sum_x, np.float64)
+    L = comp.fc_proj.astype(np.float64)
+    P = L @ np.swapaxes(L, 1, 2)  # (M, D, D) precisions
+    mu = comp.means.astype(np.float64)
+    M, D = mu.shape
+    Dp = D + 1
+    xi = np.concatenate([np.ones((M, 1)), mu], axis=1)  # (M, Dp)
+    S = np.einsum("m,ma,mb->mab", occ, xi, xi)  # (M, Dp, Dp)
+    T2 = P.reshape(M, D * D).T @ S.reshape(M, Dp * Dp)
+    A = (T2.reshape(D, D, Dp, Dp).transpose(0, 2, 1, 3)
+           .reshape(D * Dp, D * Dp))
+    y = np.einsum("mij,mj->mi", P, sum_x)  # (M, D) = P_m sumx_m
+    K = y.T @ xi  # (D, Dp)
+    A += np.eye(D * Dp) * 1e-6  # ridge for unseen dims
+    W = np.linalg.solve(A, K.reshape(-1)).reshape(D, Dp)
+    return Transform(kind="MLLRMEAN", A=W[:, 1:].copy(), b=W[:, 0].copy())
+
+
+def fc_mu_from_means(comp: CompiledHMMSet, means: np.ndarray) -> np.ndarray:
+    """FULLC scorer projected means after a mean-space transform.
+
+    fc_mu = mu @ L per Gaussian; covariances are untouched by MLLRMEAN,
+    so fc_proj and the gConsts stay as compiled."""
+    return np.einsum("md,mde->me", means.astype(np.float64),
+                     comp.fc_proj.astype(np.float64)).astype(np.float32)
+
+
 def estimate_mllr_mean(comp: CompiledHMMSet, accs: Accumulators,
                        min_occ: float = 1e-2) -> Transform:
-    """Global MLLR mean transform from standard FB accumulators."""
+    """Global MLLR mean transform from standard FB accumulators.
+
+    Full-covariance sets route to the exact coupled-row solve; diagonal
+    sets use HAdapt's row-wise closed form."""
     occ = np.asarray(accs.occ, np.float64)
+    if occ.sum() < min_occ:
+        HError(7440, "estimate_mllr_mean: no adaptation data")
+    if getattr(comp, "full_cov", False):
+        return _estimate_mllr_mean_fc(comp, accs)
     sum_x = np.asarray(accs.sum_x, np.float64)
     mu = comp.means.astype(np.float64)
     var = comp.variances.astype(np.float64)
     M, D = mu.shape
-    if occ.sum() < min_occ:
-        HError(7440, "estimate_mllr_mean: no adaptation data")
 
     xi = np.concatenate([np.ones((M, 1)), mu], axis=1)  # (M, D+1)
     W = np.zeros((D, D + 1))
@@ -132,7 +178,11 @@ def estimate_mllr_var(
     sigma'^2 = H * sigma^2 with H the occupancy-weighted second moment of
     the data about the (mean-adapted) Gaussian means, normalised by the
     model variances:  H_d = sum_m E_m[(x_d - mu'_md)^2] / sigma2_md over
-    sum_m occ_m.  Padded dims (multi-stream PAD_VAR) are excluded."""
+    sum_m occ_m.  Padded dims (multi-stream PAD_VAR) are excluded.
+    Diagonal sets only — a diagonal H on a full covariance is undefined."""
+    if getattr(comp, "full_cov", False):
+        HError(7450, "estimate_mllr_var: full-covariance sets adapt "
+                     "means only (MLLRMEAN)")
     occ = np.asarray(accs.occ, np.float64)
     if sel is not None:
         occ = np.where(sel, occ, 0.0)

@@ -148,9 +148,10 @@ def run(argv: List[str]) -> int:
         if not files:
             HError(1030, "HERest: no training files\n%s", USAGE)
 
-        if comp.full_cov and (retrain or ta.has("a") or ta.has("K")):
+        if comp.full_cov and (retrain or ta.has("a")):
             HError(7060, "HERest: full-covariance training combines with "
-                         "neither -r nor adaptation modes")
+                         "neither -r nor -a input transforms (-K MLLRMEAN "
+                         "estimation is supported)")
         if retrain and comp.discrete:
             HError(7060, "HERest: -r single-pass retraining needs a "
                          "continuous-density set")
@@ -441,12 +442,24 @@ def run(argv: List[str]) -> int:
             n_reg = max(n_reg, int(bc_classes.max()) + 1)
         mllr_var = cfg.bool_("MLLRVAR", False, module="HADAPT") or False
         occ_thresh = cfg.flt_("OCCTHRESH", 700.0, module="HADAPT") or 700.0
+        if comp.full_cov and (kind != "MLLRMEAN" or mllr_var):
+            HError(7450, "HERest -K: full-covariance sets estimate "
+                         "MLLRMEAN mean transforms only (TRANSKIND %s%s)",
+                   kind, ", MLLRVAR" if mllr_var else "")
+
+        def _spk_accs(uset):
+            if len(groups) == 1:
+                return accs
+            if comp.full_cov:
+                from ..algo.fullcov_train import fullcov_accumulate
+
+                return fullcov_accumulate(comp, uset, trace=ta.trace)[0]
+            return trainer.accumulate(uset, batch_size=batch_size)
+
         for spk, uset in groups.items():
             tmf_path = os.path.join(out_xf_dir, f"{spk}.tmf")
             if kind == "MLLRMEAN":
-                spk_accs = (accs if len(groups) == 1
-                            else trainer.accumulate(uset,
-                                                    batch_size=batch_size))
+                spk_accs = _spk_accs(uset)
                 if n_reg > 1:
                     from ..algo.adapt import (build_regression_classes,
                                               estimate_mllr_classes,

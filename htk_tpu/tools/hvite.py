@@ -142,6 +142,22 @@ def run(argv: List[str]) -> int:
     base_means = comp.means.copy() if xforms else None
     base_vars = comp.variances.copy() if xforms else None
     base_gconsts = comp.gconsts.copy() if xforms else None
+    # a set that loaded full-covariance (as opposed to one a transform
+    # promotes to the FULLC scorer below) adapts means only: MLLRMEAN
+    # moves fc_mu, CMLLR stays in feature space, and anything that would
+    # re-Cholesky against the placeholder diagonal variances is refused
+    native_fc = bool(comp.full_cov) and bool(xforms)
+    if native_fc:
+        for chain in xforms.values():
+            for x in chain:
+                bad = ((x[1] and x[1][0].kind == "CMLLR")
+                       or any(y.var_scale is not None for y in x[1])
+                       ) if isinstance(x, tuple) else (
+                           x.kind == "MLLRCOV" or x.var_scale is not None)
+                if bad:
+                    HError(7450, "HVite: full-covariance sets adapt with "
+                                 "MLLRMEAN (model) and plain CMLLR "
+                                 "(feature) transforms only")
 
     def _has_model_xf(chain):
         return any(isinstance(x, tuple)
@@ -208,6 +224,17 @@ def run(argv: List[str]) -> int:
                 cov_xf = xf  # full variance transform, applied last
             else:  # CMLLR: feature space
                 data = xf.apply_to_features(data).astype(data.dtype)
+        if native_fc:
+            # full-covariance set: MLLRMEAN means project through the
+            # compiled precision Cholesky (covariances untouched, so
+            # fc_proj/gConsts stay); cur_m falls back to base_means for
+            # a speaker with a feature-only chain, restoring the set
+            if any_model_xf:
+                from ..algo.adapt import fc_mu_from_means
+
+                comp.means = cur_m.astype(np.float32)
+                comp.fc_mu = fc_mu_from_means(comp, cur_m)
+            return data
         # drop any previous speaker's full-cov override first so
         # write_back's diagonal guard and gconsts stay consistent
         if comp.full_cov and base_gconsts is not None:

@@ -232,3 +232,175 @@ class TestFullCovTraining:
         assert mp.cov_kind == "FULLC"
         v = np.asarray(mp.var)
         assert np.abs(v - np.diag(np.diag(v))).max() > 0.01
+
+
+class TestFullCovAdaptation:
+    """MLLR mean adaptation on FULLC sets (the exact coupled-row solve)."""
+
+    def _accs_for_target(self, comp, target, occ_per_mix=50.0):
+        from htk_tpu.algo.fb import Accumulators
+
+        M = comp.n_mix
+        S, mm = comp.state_mix.shape
+        occ = np.full(M, occ_per_mix, np.float32)
+        return Accumulators(
+            occ=occ,
+            sum_x=(occ[:, None] * target).astype(np.float32),
+            sum_xx=(occ[:, None]
+                    * (target**2 + comp.variances)).astype(np.float32),
+            wt_occ=np.full((S, mm), occ_per_mix, np.float32),
+            tr=np.zeros(comp.log_transp.size, np.float32),
+            total_logp=np.float32(0.0),
+            total_frames=np.float32(occ_per_mix * M),
+            n_utts=np.float32(1.0),
+        )
+
+    def test_matches_rowwise_solution_on_diagonal_precisions(self):
+        """With diagonal precisions the coupled D(D+1) system decouples
+        into HAdapt's row-wise solves — both paths must agree."""
+        from htk_tpu.algo.adapt import estimate_mllr_mean
+
+        comp_d = compile_hmmset(_diag_set())
+        comp_f = compile_hmmset(_to_fullc(_diag_set()))
+        assert comp_f.full_cov and not comp_d.full_cov
+        A = np.array([[1.1, 0.2, 0.0], [0.0, 0.9, -0.1], [0.1, 0.0, 1.0]])
+        b = np.array([0.4, -0.3, 0.2])
+        target = comp_d.means.astype(np.float64) @ A.T + b
+        xf_d = estimate_mllr_mean(comp_d, self._accs_for_target(
+            comp_d, target))
+        xf_f = estimate_mllr_mean(comp_f, self._accs_for_target(
+            comp_f, target))
+        np.testing.assert_allclose(xf_f.A, xf_d.A, atol=1e-3)
+        np.testing.assert_allclose(xf_f.b, xf_d.b, atol=1e-3)
+
+    def test_exact_recovery_with_correlated_precisions(self):
+        from htk_tpu.algo.adapt import estimate_mllr_mean, estimate_mllr_var
+
+        hs = _to_fullc(_diag_set(), corr=0.4)
+        # _diag_set means are constant across dims, which makes A
+        # unidentifiable (only W xi at the observed means is determined);
+        # jitter per-dim so full recovery is well-posed
+        rng = np.random.default_rng(5)
+        for h in hs.hmms.values():
+            for si in h.states:
+                mp = si.streams[0].mixes[0]
+                mp.mean = (mp.mean + rng.normal(size=DIM)).astype(np.float32)
+        comp = compile_hmmset(hs)
+        A = np.array([[0.95, 0.15, 0.0], [-0.1, 1.05, 0.1],
+                      [0.0, 0.05, 0.9]])
+        b = np.array([0.5, 0.0, -0.4])
+        target = comp.means.astype(np.float64) @ A.T + b
+        accs = self._accs_for_target(comp, target)
+        xf = estimate_mllr_mean(comp, accs)
+        np.testing.assert_allclose(xf.A, A, atol=1e-2)
+        np.testing.assert_allclose(xf.b, b, atol=1e-2)
+        # diagonal variance scaling is undefined on a full covariance
+        with pytest.raises(HTKError):
+            estimate_mllr_var(comp, accs, xf.apply_to_means(comp.means))
+
+    def _fullc_decode_setup(self, shift):
+        """FULLC models + word loop + a shifted test utterance on disk."""
+        from htk_tpu.io.htkfeat import write_htk_file
+        from htk_tpu.io.parmkind import str2parmkind
+        from htk_tpu.tools import hbuild
+
+        save_mmf(_to_fullc(_diag_set(), corr=0.3), "hmmdefs")
+        open("list", "w").write("aa\niy\nsil\n")
+        open("dict", "w").write("A aa\nI iy\nS [] sil\n")
+        open("wlist", "w").write("A\nI\nS\n")
+        open("cfg", "w").write("TARGETKIND = USER\n")
+        assert hbuild.run(["wlist", "wdnet.slf"]) == 0
+        feats = emit_frames(["sil", "aa", "iy", "aa", "sil"], seed=7) + shift
+        write_htk_file("test.usr", feats.astype(np.float32), 100000,
+                       str2parmkind("USER"))
+
+    def _rec_words(self, path):
+        return [t[2] for t in (line.split() for line in open(path))
+                if len(t) >= 3 and t[0].isdigit()]
+
+    def test_herest_k_estimates_and_hvite_j_applies(self, tmp_path,
+                                                    monkeypatch):
+        """HERest -K on a FULLC set writes a MLLRMEAN TMF recovering the
+        speaker shift; HVite -J decodes the shifted data with it."""
+        from htk_tpu.algo.adapt import load_tmf
+        from htk_tpu.io.htkfeat import write_htk_file
+        from htk_tpu.io.parmkind import str2parmkind
+        from htk_tpu.tools import herest, hvite
+
+        monkeypatch.chdir(tmp_path)
+        shift = np.array([1.5, -1.0, 0.8], np.float32)
+        self._fullc_decode_setup(shift)
+        with open("phones.mlf", "w") as f:
+            f.write("#!MLF!#\n")
+            for i in range(4):
+                seq = ["sil", "aa", "iy", "sil"] if i % 2 == 0 else \
+                    ["sil", "iy", "aa", "sil"]
+                feats = emit_frames(seq, seed=20 + i) + shift
+                write_htk_file(f"a{i}.usr", feats.astype(np.float32),
+                               100000, str2parmkind("USER"))
+                f.write(f'"*/a{i}.lab"\n' + "\n".join(seq) + "\n.\n")
+        open("adapt.scp", "w").write("\n".join(f"a{i}.usr"
+                                               for i in range(4)))
+        assert herest.run(["-C", "cfg", "-I", "phones.mlf", "-H", "hmmdefs",
+                           "-K", "xf", "-S", "adapt.scp", "list"]) == 0
+        name, xf = load_tmf("xf/global.tmf")
+        assert xf.kind == "MLLRMEAN"
+        # the transform must move every mean by ~the speaker shift (A/b
+        # individually are unidentifiable here: _diag_set means are
+        # constant across dims, and that functional is what decode uses)
+        comp = compile_hmmset(load_mmf("hmmdefs"))
+        np.testing.assert_allclose(xf.apply_to_means(comp.means),
+                                   comp.means + shift, atol=0.5)
+
+        assert hvite.run(["-C", "cfg", "-w", "wdnet.slf", "-J", "xf",
+                          "-i", "rec.mlf", "-H", "hmmdefs",
+                          "dict", "list", "test.usr"]) == 0
+        assert self._rec_words("rec.mlf") == ["A", "I", "A"]
+
+    def test_hvite_identity_cmllr_keeps_fullc_scorer(self, tmp_path,
+                                                     monkeypatch, capsys):
+        """Regression: a feature-space CMLLR chain on a natively-FULLC
+        set must NOT drop the full-covariance scorer (it used to clear
+        fc_proj and decode against the placeholder diagonal variances).
+        An identity CMLLR must reproduce the unadapted path score."""
+        from htk_tpu.algo.adapt import Transform, save_tmf
+        from htk_tpu.tools import hvite
+
+        monkeypatch.chdir(tmp_path)
+        self._fullc_decode_setup(shift=0.0)
+        import os
+        os.makedirs("xfc", exist_ok=True)
+        save_tmf("xfc/global.tmf", "global",
+                 Transform(kind="CMLLR", A=np.eye(DIM), b=np.zeros(DIM)))
+
+        def score_of(args):
+            assert hvite.run(args) == 0
+            line = [l for l in capsys.readouterr().out.splitlines()
+                    if "test" in l and "[" in l][-1]
+            return float(line.rsplit("[", 1)[1].rstrip("]"))
+
+        s0 = score_of(["-C", "cfg", "-T", "1", "-w", "wdnet.slf",
+                       "-i", "rec0.mlf", "-H", "hmmdefs",
+                       "dict", "list", "test.usr"])
+        s1 = score_of(["-C", "cfg", "-T", "1", "-w", "wdnet.slf",
+                       "-J", "xfc", "-i", "rec1.mlf", "-H", "hmmdefs",
+                       "dict", "list", "test.usr"])
+        assert self._rec_words("rec0.mlf") == \
+            self._rec_words("rec1.mlf") == ["A", "I", "A"]
+        assert s1 == pytest.approx(s0, abs=0.02)
+
+    def test_hvite_rejects_mllrcov_on_fullc(self, tmp_path, monkeypatch):
+        from htk_tpu.algo.adapt import Transform, save_tmf
+        from htk_tpu.tools import hvite
+
+        monkeypatch.chdir(tmp_path)
+        self._fullc_decode_setup(shift=0.0)
+        import os
+        os.makedirs("xm", exist_ok=True)
+        save_tmf("xm/global.tmf", "global",
+                 Transform(kind="MLLRCOV", A=np.eye(DIM) * 1.1,
+                           b=np.zeros(DIM)))
+        with pytest.raises(HTKError):
+            hvite.run(["-C", "cfg", "-w", "wdnet.slf", "-J", "xm",
+                       "-i", "r.mlf", "-H", "hmmdefs",
+                       "dict", "list", "test.usr"])

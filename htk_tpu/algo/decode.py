@@ -212,19 +212,23 @@ def decode_scan_uniform(
             bo_arg = jnp.argmax(bo).astype(jnp.int32)
             entry_n = bo_best + xw["uni"]
             an = jnp.full((C,), bo_arg, jnp.int32)
-            parts_v, parts_a = [], []
-            for preds, scores in xw["buckets"]:
-                cand = WE[preds] + scores  # (Cb, Fb)
-                k = jnp.argmax(cand, axis=1)
-                parts_v.append(
-                    jnp.take_along_axis(cand, k[:, None], axis=1)[:, 0])
-                parts_a.append(
-                    jnp.take_along_axis(preds, k[:, None], axis=1)[:, 0])
-            exp_v = jnp.concatenate(parts_v)[xw["inv"]]
-            exp_a = jnp.concatenate(parts_a)[xw["inv"]]
-            take = exp_v > entry_n
-            entry_n = jnp.maximum(entry_n, exp_v) + word_pen
-            an = jnp.where(take, exp_a, an)
+            if xw["buckets"]:  # an LM can carry zero explicit bigrams
+                parts_v, parts_a = [], []
+                for preds, scores in xw["buckets"]:
+                    cand = WE[preds] + scores  # (Cb, Fb)
+                    # max + argmax fuse over ONE pass of cand; the winning
+                    # source comes from the static preds table with a
+                    # Cb-sized gather (NOT a second slot-sized gather)
+                    parts_v.append(jnp.max(cand, axis=1))
+                    k = jnp.argmax(cand, axis=1)
+                    parts_a.append(
+                        preds[jnp.arange(preds.shape[0]), k])
+                exp_v = jnp.concatenate(parts_v)[xw["inv"]]
+                exp_a = jnp.concatenate(parts_a)[xw["inv"]]
+                take = exp_v > entry_n
+                entry_n = jnp.maximum(entry_n, exp_v)
+                an = jnp.where(take, exp_a, an)
+            entry_n = entry_n + word_pen
         elif max_active is not None and max_active < C:
             vals, idxs = jax.lax.top_k(WE, max_active)
             rows = trans[idxs]  # (A, C) contiguous row gather
@@ -375,21 +379,24 @@ def _make_uniform_step(B, Ns, band, a0, aE, S, entry_bonus_row, trans,
             bo_arg = jnp.argmax(bo, axis=1).astype(jnp.int32)
             entry_n = bo_best[:, None] + xw["uni"][None]
             an = jnp.broadcast_to(bo_arg[:, None], (B, C))
-            parts_v, parts_a = [], []
-            for preds, scores in xw["buckets"]:
-                cand = WE[:, preds] + scores[None]  # (B, Cb, Fb)
-                k = jnp.argmax(cand, axis=2)
-                parts_v.append(jnp.take_along_axis(
-                    cand, k[..., None], axis=2)[..., 0])
-                pb = jnp.broadcast_to(preds[None], cand.shape).astype(
-                    jnp.int32)
-                parts_a.append(jnp.take_along_axis(
-                    pb, k[..., None], axis=2)[..., 0])
-            exp_v = jnp.concatenate(parts_v, axis=1)[:, xw["inv"]]
-            exp_a = jnp.concatenate(parts_a, axis=1)[:, xw["inv"]]
-            take = exp_v > entry_n
-            entry_n = jnp.maximum(entry_n, exp_v) + word_pen
-            an = jnp.where(take, exp_a, an)
+            if xw["buckets"]:  # an LM can carry zero explicit bigrams
+                parts_v, parts_a = [], []
+                for preds, scores in xw["buckets"]:
+                    cand = WE[:, preds] + scores[None]  # (B, Cb, Fb)
+                    # max + argmax fuse over ONE pass of cand; the winning
+                    # source comes from the static preds table with a
+                    # (B, Cb)-sized gather (NOT a second slot-sized gather
+                    # through a materialised broadcast of preds)
+                    parts_v.append(jnp.max(cand, axis=2))
+                    k = jnp.argmax(cand, axis=2)
+                    parts_a.append(
+                        preds[jnp.arange(preds.shape[0])[None], k])
+                exp_v = jnp.concatenate(parts_v, axis=1)[:, xw["inv"]]
+                exp_a = jnp.concatenate(parts_a, axis=1)[:, xw["inv"]]
+                take = exp_v > entry_n
+                entry_n = jnp.maximum(entry_n, exp_v)
+                an = jnp.where(take, exp_a, an)
+            entry_n = entry_n + word_pen
         elif max_active is not None and max_active < C:
             vals, idxs = jax.lax.top_k(WE, max_active)  # (B, A)
             rows = trans[idxs]  # (B, A, C)

@@ -8,7 +8,9 @@ builds a 20k-word back-off bigram system over 2k tied 8-mix triphone
 states, decodes a batch on the current backend, and prints xRT.
 
 Run on the accelerator: python benchmarks/lv20k.py
-(~3 min host network build + one compile; sizes shrink with SMOKE=1).
+(~10 s host network build + one compile; sizes shrink with SMOKE=1).
+Measured on v5e through the dev tunnel: 0.043 xRT at B=8, T=500
+(round 2; was 0.087 before the fused max/argmax + mult-4 bucketing).
 """
 import os
 import statistics

@@ -11,6 +11,8 @@ Run on the accelerator: python benchmarks/lv20k.py
 (~10 s host network build + one compile; sizes shrink with SMOKE=1).
 Measured on v5e through the dev tunnel: 0.043 xRT at B=8, T=500
 (round 2; was 0.087 before the fused max/argmax + mult-4 bucketing).
+VOCAB=50000 (800k network states; uint32 word-link records carry 17 row
+bits, so up to 131k (word, pron) rows): 0.142 xRT. VOCAB=100000: 0.375.
 """
 import os
 import statistics
@@ -22,6 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np  # noqa: E402
 
 SMOKE = os.environ.get("SMOKE") == "1"
+VOCAB = int(os.environ.get("VOCAB", "20000"))  # try 50000: 0.14 xRT
 
 
 def main():
@@ -31,7 +34,7 @@ def main():
     from htk_tpu.algo.decode import decode_batch
     from htk_tpu.algo.lvnet import compile_lv_loop
 
-    V = 2000 if SMOKE else 20000
+    V = 2000 if SMOKE else VOCAB
     t0 = time.perf_counter()
     comp, vocab, words, lm = build_tied_triphone_system(
         V, n_tied=(200 if SMOKE else 2000), seed=11)

@@ -32,7 +32,13 @@ from ..models.hmmset import CompiledHMMSet
 from ..ops.outp import all_state_outp
 from ..utils.errors import HError
 from ..utils.logmath import LZERO, LSMALL
+
 from .net import DecodeNetwork
+
+# word-link record packing: one uint32 per state, (wn+1) << REC_TBITS | t
+REC_TBITS = 15
+REC_TMASK = (1 << REC_TBITS) - 1          # max frame index (32767)
+REC_MAXROWS = (1 << (32 - REC_TBITS)) - 2  # max (word, pron) rows (131k)
 
 
 @dataclass
@@ -179,15 +185,18 @@ def decode_scan_uniform(
     T, Ns = outp_states.shape
     C = Ns // S
     K = band.shape[0]
-    if C >= 32767 or T >= 65535:
+    if C >= REC_MAXROWS or T > REC_TMASK:
         HError(8520, "decode_scan_uniform: %d rows / %d frames exceed the "
-                     "packed-record range (32k rows, 64k frames)", C, T)
+                     "packed-record range (%d rows, %d frames — chunk "
+                     "longer audio)", C, T, REC_MAXROWS, REC_TMASK)
     neg = jnp.asarray(LZERO, outp_states.dtype)
     col = jnp.arange(S, dtype=jnp.int32)[None, :]
-    # (wn, wt) word-link records ride ONE int32 per state:
-    # code = (wn+1) * 65536 + (wt+1); 0 = no record (wn = wt = -1).
+    # (wn, wt) word-link records ride ONE uint32 per state:
+    # code = (wn+1) << REC_TBITS | t; 0 = no record (wn = wt = -1).
     # Halves record-propagation traffic, which profiles as the second
-    # biggest step cost after the cross-word matvec at LV sizes.
+    # biggest step cost after the cross-word matvec at LV sizes. 15 bits
+    # of t leave 17 for rows: 131k (word, pron) rows — 64k-vocab LVCSR
+    # with pronunciation variants fits.
 
     def step(carry, inp):
         v, rec = carry
@@ -201,8 +210,8 @@ def decode_scan_uniform(
         ok = WE > LSMALL
         prec = jnp.max(jnp.where(onehot, rec.reshape(C, S), 0), axis=1)
         prec = jnp.where(ok, prec, 0)
-        pwn = prec // 65536 - 1
-        pwt = prec % 65536 - 1
+        pwn = (prec >> REC_TBITS).astype(jnp.int32) - 1
+        pwt = (prec & REC_TMASK).astype(jnp.int32) - 1
 
         # 2. cross-word max-plus: factored back-off form when available,
         # else dense matvec (optionally top-A pruned)
@@ -240,9 +249,12 @@ def decode_scan_uniform(
             entry_n = jnp.max(cand, axis=0) + word_pen
             an = jnp.argmax(cand, axis=0).astype(jnp.int32)
         entry_n = jnp.where(t == 0, start_entry, entry_n)
-        # entry record: (an, t-1) -> code (an+1)*65536 + t; t==0 entries
-        # carry (-1, -1) = code 0
-        entry_rec = jnp.where(t == 0, 0, (an + 1) * 65536 + t)
+        # entry record: (an, t-1) -> code (an+1) << REC_TBITS | t;
+        # t==0 entries carry (-1, -1) = code 0
+        entry_rec = jnp.where(
+            t == 0, 0,
+            ((an + 1).astype(jnp.uint32) << REC_TBITS)
+            | t.astype(jnp.uint32)).astype(jnp.uint32)
 
         entry_s = (entry_n + entry_bonus_row)[:, None]  # (C, 1) row bcast
         entry_flat = (entry_s + a0.reshape(C, S)).reshape(Ns)
@@ -269,14 +281,14 @@ def decode_scan_uniform(
 
     init = (
         jnp.full((Ns,), LZERO, outp_states.dtype),
-        jnp.zeros((Ns,), jnp.int32),
+        jnp.zeros((Ns,), jnp.uint32),
     )
     (v, rec), (WEs, pwns, pwts) = jax.lax.scan(
         step, init, (outp_states, jnp.arange(T))
     )
     # unpack the final carry back to the (v, wn, wt) interface
-    wn = rec // 65536 - 1
-    wt = rec % 65536 - 1
+    wn = (rec >> REC_TBITS).astype(jnp.int32) - 1
+    wt = (rec & REC_TMASK).astype(jnp.int32) - 1
     return (v, wn, wt), (WEs, pwns, pwts)
 
 
@@ -316,9 +328,10 @@ def decode_scan_uniform_batch(
     step = _make_uniform_step(
         B, Ns, band, a0, aE, S, entry_bonus_row, trans, start_entry,
         word_pen, beam, max_active, xw, use_pallas)
-    if T >= 65535:
+    if T > REC_TMASK:
         HError(8520, "decode_scan_uniform_batch: %d frames exceed the "
-                     "packed-record range", T)
+                     "packed-record range (%d — chunk longer audio)",
+               T, REC_TMASK)
 
     def body(carry, t):
         outp_t = jax.lax.dynamic_index_in_dim(
@@ -327,11 +340,11 @@ def decode_scan_uniform_batch(
 
     init = (
         jnp.full((B, Ns), LZERO, outp_states.dtype),
-        jnp.zeros((B, Ns), jnp.int32),
+        jnp.zeros((B, Ns), jnp.uint32),
     )
     (v, rec), (WEs, pwns, pwts) = jax.lax.scan(body, init, jnp.arange(T))
-    wn = rec // 65536 - 1
-    wt = rec % 65536 - 1
+    wn = (rec >> REC_TBITS).astype(jnp.int32) - 1
+    wt = (rec & REC_TMASK).astype(jnp.int32) - 1
     # match vmap(decode_scan_uniform) output layout: records (B, T, C)
     return (v, wn, wt), (jnp.swapaxes(WEs, 0, 1),
                          jnp.swapaxes(pwns, 0, 1),
@@ -344,9 +357,9 @@ def _make_uniform_step(B, Ns, band, a0, aE, S, entry_bonus_row, trans,
     """The batched per-frame update as step(carry, outp_t, t)."""
     C = Ns // S
     K = band.shape[0]
-    if C >= 32767:
+    if C >= REC_MAXROWS:
         HError(8520, "decode_scan_uniform_batch: %d rows exceed the "
-                     "packed-record range", C)
+                     "packed-record range (%d)", C, REC_MAXROWS)
     if use_pallas is None:
         # measured on v5e at C=5k: the kernel's exact dense max-plus is
         # VPU-compute-bound (B*C^2 compare/select ~ 1.2G ops/frame) and
@@ -370,8 +383,8 @@ def _make_uniform_step(B, Ns, band, a0, aE, S, entry_bonus_row, trans,
         ok = WE > LSMALL
         prec = jnp.max(jnp.where(onehot, rec.reshape(B, C, S), 0), axis=2)
         prec = jnp.where(ok, prec, 0)
-        pwn = prec // 65536 - 1
-        pwt = prec % 65536 - 1
+        pwn = (prec >> REC_TBITS).astype(jnp.int32) - 1
+        pwt = (prec & REC_TMASK).astype(jnp.int32) - 1
 
         if xw is not None:
             bo = WE + xw["bow"][None]
@@ -416,7 +429,10 @@ def _make_uniform_step(B, Ns, band, a0, aE, S, entry_bonus_row, trans,
             an = jnp.argmax(cand, axis=1).astype(jnp.int32)
 
         entry_n = jnp.where(t == 0, start_entry[None], entry_n)
-        entry_rec = jnp.where(t == 0, 0, (an + 1) * 65536 + t)
+        entry_rec = jnp.where(
+            t == 0, 0,
+            ((an + 1).astype(jnp.uint32) << REC_TBITS)
+            | t.astype(jnp.uint32)).astype(jnp.uint32)
         entry_flat = ((entry_n + entry_bonus_row[None])[..., None]
                       + a0_r).reshape(B, Ns)
         erec_flat = jnp.broadcast_to(
@@ -713,10 +729,20 @@ def _lv_pipeline(net, comp, precision, max_active, state_mode=False):
             # OutP is computed CHUNK-WISE inside the scan: the full
             # (B, T, Ns) plane is ~2.5 GB at 5k vocab — materialising it
             # costs an extra HBM round-trip and caps the batch size.
-            CH = 64 if T % 64 == 0 else T
+            # The chunk itself is sized to ~1 GB: at 100k-vocab rows
+            # (1.6M network states) a 64-frame chunk alone would be
+            # 3.3 GB, so large nets drop to shorter chunks.
+            CH = T
+            for c in (64, 32, 16, 8):
+                if T % c == 0:
+                    CH = c
+                    break
+            while (CH > 8 and CH % 2 == 0 and T % (CH // 2) == 0
+                   and B * CH * Ns * 4 > 1 << 30):
+                CH //= 2
             init = (
                 jnp.full((B, Ns), LZERO, jnp.float32),
-                jnp.zeros((B, Ns), jnp.int32),
+                jnp.zeros((B, Ns), jnp.uint32),
             )
 
             def outer(carry, c):
@@ -735,8 +761,8 @@ def _lv_pipeline(net, comp, precision, max_active, state_mode=False):
             WEs = jnp.swapaxes(recs[0].reshape(T, B, C), 0, 1)
             pwns = jnp.swapaxes(recs[1].reshape(T, B, C), 0, 1)
             pwts = jnp.swapaxes(recs[2].reshape(T, B, C), 0, 1)
-            wn = rec // 65536 - 1
-            wt = rec % 65536 - 1
+            wn = (rec >> REC_TBITS).astype(jnp.int32) - 1
+            wt = (rec & REC_TMASK).astype(jnp.int32) - 1
             nodes, t0s, t1s, scores = _traceback_device(
                 v, wn, wt, WEs, pwns, pwts, d["aE"],
                 d["end_exit"] * lm_scale, t_reals, S=S)

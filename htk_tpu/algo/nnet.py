@@ -39,6 +39,8 @@ class SGDConfig:
     adagrad_k: float = 1.0  # ADAGRAD damping constant [LC]
     frame_rand: bool = True  # FRAMERAND
     seed: int = 0
+    weight_decay: float = 0.0  # WEIGHTDECAY: L2 penalty added to grads
+    grad_clip: float = 0.0  # GRADCLIP: elementwise gradient clamp [LC]
 
 
 def make_cache(
@@ -58,8 +60,19 @@ def make_cache(
     return np.concatenate(xs), np.concatenate(ys)
 
 
-@functools.partial(jax.jit, static_argnames=("acts", "lr", "momentum"))
-def _sgd_step(params, vel, x, y, acts, lr, momentum):
+def _regularise(grads, params, wd, clip):
+    """WEIGHTDECAY adds the L2 term to the gradients; GRADCLIP clamps
+    them elementwise (HNTrainSGD.c update options [LC])."""
+    if wd:
+        grads = jax.tree.map(lambda g, p: g + wd * p, grads, params)
+    if clip:
+        grads = jax.tree.map(lambda g: jnp.clip(g, -clip, clip), grads)
+    return grads
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("acts", "lr", "momentum", "wd", "clip"))
+def _sgd_step(params, vel, x, y, acts, lr, momentum, wd=0.0, clip=0.0):
     def loss_fn(p):
         logits = forward(p, list(acts), x, return_logits=True)
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -68,13 +81,15 @@ def _sgd_step(params, vel, x, y, acts, lr, momentum):
         return ce, acc
 
     (ce, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    grads = _regularise(grads, params, wd, clip)
     new_vel = jax.tree.map(lambda v, g: momentum * v - lr * g, vel, grads)
     new_params = jax.tree.map(lambda p, v: p + v, params, new_vel)
     return new_params, new_vel, ce, acc
 
 
-@functools.partial(jax.jit, static_argnames=("acts", "lr", "k"))
-def _sgd_step_adagrad(params, ssg, x, y, acts, lr, k):
+@functools.partial(jax.jit,
+                   static_argnames=("acts", "lr", "k", "wd", "clip"))
+def _sgd_step_adagrad(params, ssg, x, y, acts, lr, k, wd=0.0, clip=0.0):
     """AdaGrad update (HNTrainSGD.c AdaGrad scheduler): per-parameter
     rate lr / sqrt(k + sum of squared gradients). [LC k default]"""
     def loss_fn(p):
@@ -85,14 +100,16 @@ def _sgd_step_adagrad(params, ssg, x, y, acts, lr, k):
         return ce, acc
 
     (ce, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    grads = _regularise(grads, params, wd, clip)
     new_ssg = jax.tree.map(lambda s, g: s + g * g, ssg, grads)
     new_params = jax.tree.map(
         lambda p, g, s: p - lr * g / jnp.sqrt(k + s), params, grads, new_ssg)
     return new_params, new_ssg, ce, acc
 
 
-@functools.partial(jax.jit, static_argnames=("acts", "lr", "momentum"))
-def _sgd_step_soft(params, vel, x, c, acts, lr, momentum):
+@functools.partial(jax.jit,
+                   static_argnames=("acts", "lr", "momentum", "wd", "clip"))
+def _sgd_step_soft(params, vel, x, c, acts, lr, momentum, wd=0.0, clip=0.0):
     """Sequence-discriminative step: c = gamma_num - gamma_den per frame
     and state; dF/dlogit = -(c) exactly because each frame's c sums to 0
     (the softmax coupling term vanishes), so the MMI gradient is plain
@@ -103,6 +120,7 @@ def _sgd_step_soft(params, vel, x, c, acts, lr, momentum):
         return -(c * logp).sum(axis=1).mean()
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
+    grads = _regularise(grads, params, wd, clip)
     new_vel = jax.tree.map(lambda v, g: momentum * v - lr * g, vel, grads)
     new_params = jax.tree.map(lambda p, v: p + v, params, new_vel)
     return new_params, new_vel, loss
@@ -163,11 +181,13 @@ def train_ann(
                 params, vel, ce, acc = _sgd_step_adagrad(
                     params, vel, jnp.asarray(xtr[idx]),
                     jnp.asarray(ytr[idx]), acts, lr, cfg.adagrad_k,
+                    wd=cfg.weight_decay, clip=cfg.grad_clip,
                 )
             else:
                 params, vel, ce, acc = _sgd_step(
                     params, vel, jnp.asarray(xtr[idx]),
                     jnp.asarray(ytr[idx]), acts, lr, cfg.momentum,
+                    wd=cfg.weight_decay, clip=cfg.grad_clip,
                 )
             tot_ce += float(ce)
             tot_acc += float(acc)
@@ -349,7 +369,8 @@ def train_ann_sequence(ann, comp, utt_feats, names_list, cfg, n_iters=4,
             idx = order[i : i + bs]
             params, vel, _loss = _sgd_step_soft(
                 params, vel, jnp.asarray(x[idx]), jnp.asarray(c[idx]),
-                acts, cfg.lr, cfg.momentum)
+                acts, cfg.lr, cfg.momentum,
+                wd=cfg.weight_decay, clip=cfg.grad_clip)
         for l, (W, b) in zip(ann.layers, params):
             l.weight = np.asarray(W)
             l.bias = np.asarray(b)

@@ -15,7 +15,8 @@ Usage: HNTrainSGD [options] hmmList trainFiles...
   Config (HNTRAINSGD module): LEARNRATE, MOMENTUM, MINIBATCHSIZE,
   MAXEPOCHNUM, LRSCHEDULER (NEWBOB/EXPDECAY/LIST/ADAGRAD/FIXED),
   LRVALUES (per-epoch rates for LIST), ADAGRADK, HIDDENSIZE (e.g.
-  "512 512"), CONTEXT, ACTIVATION, CRITERION (CE | MMI — MMI runs
+  "512 512"), CONTEXT, ACTIVATION, WEIGHTDECAY (L2 added to the
+  gradients), GRADCLIP (elementwise clamp), CRITERION (CE | MMI — MMI runs
   phone-loop-denominator sequence-discriminative fine-tuning after the
   CE pass; SEQITERS / SEQLEARNRATE control it)
   Standard: -A -C -D -S -T -V
@@ -126,6 +127,8 @@ def run(argv: List[str]) -> int:
         lr_list=([float(v) for v in lr_values.split()] if lr_values else None),
         adagrad_k=cfg.flt_("ADAGRADK", 1.0, module=m),
         frame_rand=cfg.bool_("FRAMERAND", True, module=m),
+        weight_decay=cfg.flt_("WEIGHTDECAY", 0.0, module=m) or 0.0,
+        grad_clip=cfg.flt_("GRADCLIP", 0.0, module=m) or 0.0,
     )
     train_ann(ann, x, y, scfg, trace=ta.trace)
 
@@ -138,7 +141,9 @@ def run(argv: List[str]) -> int:
         n_seq = cfg.int_("SEQITERS", 4, module=m)
         seq_lr = cfg.flt_("SEQLEARNRATE", scfg.lr * 0.1, module=m)
         scfg_seq = SGDConfig(lr=seq_lr, momentum=scfg.momentum,
-                             batch_size=scfg.batch_size)
+                             batch_size=scfg.batch_size,
+                             weight_decay=scfg.weight_decay,
+                             grad_clip=scfg.grad_clip)
         if ta.trace:
             print(f"HNTrainSGD: MMI sequence training, {n_seq} iterations")
         _ann, objs = train_ann_sequence(ann, comp, utt_feats, names_list,

@@ -104,6 +104,47 @@ class TestSchedulers:
         out = np.asarray(hybrid_outp(ann, allf, prior_scale=0.0))
         assert (out.argmax(1) == y).mean() > 0.9
 
+    def test_weight_decay_shrinks_weights(self):
+        """WEIGHTDECAY pulls the solution toward smaller weights while
+        still learning the (easily separable) classes."""
+        (x, y), allf = self._data()
+
+        def norms(wd):
+            ann = init_ann("t", in_dim=4, hidden=[16], out_dim=3,
+                           context=0, activation="RELU", seed=0)
+            cfg = SGDConfig(lr=0.05, n_epochs=25, batch_size=32, seed=0,
+                            scheduler="FIXED", weight_decay=wd)
+            train_ann(ann, x, y, cfg)
+            out = np.asarray(hybrid_outp(ann, allf, prior_scale=0.0))
+            acc = (out.argmax(1) == y).mean()
+            return sum(float(np.square(l.weight).sum())
+                       for l in ann.layers), acc
+
+        n0, acc0 = norms(0.0)
+        n1, acc1 = norms(1e-2)
+        assert acc0 > 0.9 and acc1 >= 0.85
+        assert n1 < 0.8 * n0, (n0, n1)
+
+    def test_grad_clip_bounds_first_update(self):
+        """With GRADCLIP = c, no parameter may move farther than lr*c
+        in the first (zero-velocity) step."""
+        from htk_tpu.algo.nnet import _sgd_step, ann_params
+        import jax, jax.numpy as jnp
+
+        (x, y), _allf = self._data()
+        ann = init_ann("t", in_dim=4, hidden=[16], out_dim=3, context=0,
+                       activation="RELU", seed=0)
+        params = ann_params(ann)
+        vel = jax.tree.map(jnp.zeros_like, params)
+        acts = tuple(l.activation for l in ann.layers)
+        clip, lr = 0.01, 0.1
+        new_p, _v, _ce, _acc = _sgd_step(
+            params, vel, jnp.asarray(x[:64]), jnp.asarray(y[:64]),
+            acts, lr, 0.0, wd=0.0, clip=clip)
+        for (w0, b0), (w1, b1) in zip(params, new_p):
+            assert float(jnp.abs(w1 - w0).max()) <= lr * clip + 1e-7
+            assert float(jnp.abs(b1 - b0).max()) <= lr * clip + 1e-7
+
 
 class TestSequenceMMI:
     def test_mmi_objective_rises(self):

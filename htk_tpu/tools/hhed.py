@@ -815,6 +815,107 @@ class Editor:
         if self.trace:
             print(f"HHEd: RN hmmSetId = {new_id}")
 
+    def cmd_fc(self):
+        """FC: convert every diagonal Gaussian to full covariance
+        (HHEd.c FullCovarCommand). The new <INVCOVAR> is diag(1/var),
+        so likelihoods are unchanged until reestimation learns the
+        off-diagonals (HERest's dedicated FULLC path)."""
+        n = 0
+        done = set()
+        for h in self.hset.hmms.values():
+            for si in h.states:
+                for se in si.streams:
+                    for mp in se.mixes or []:
+                        if mp is None or id(mp) in done:
+                            continue
+                        done.add(id(mp))
+                        if mp.cov_kind != "DIAGC":
+                            continue
+                        mp.var = np.diag(
+                            1.0 / np.asarray(mp.var, np.float64)
+                        ).astype(np.float32)
+                        mp.cov_kind = "FULLC"
+                        mp.fix_gconst()
+                        n += 1
+        self.hset.cov_kind = "FULLC"
+        if self.trace:
+            print(f"HHEd: FC converted {n} Gaussians to FULLC")
+
+    def cmd_sk(self, kind: str):
+        """SK kind: set the sample kind of the set (HHEd.c
+        SetSampKindCommand) — used when the feature pipeline changes
+        without touching the parameters."""
+        from ..io.parmkind import str2parmkind
+
+        self.hset.parm_kind = int(str2parmkind(kind))
+        if self.trace:
+            print(f"HHEd: SK parmKind = {kind}")
+
+    def cmd_fa(self, frac: float):
+        """FA f: variance floor := f * average per-dim variance over the
+        set's Gaussians (HHEd.c FloorAverageCommand), stored as the
+        varFloor1 macro and applied immediately. The average is
+        occupancy-weighted when LS stats are loaded, plain otherwise
+        [LC — the reference's exact weighting is unverified]."""
+        num = None
+        den = 0.0
+        for h in self.hset.hmms.values():
+            for q, si in enumerate(h.states):
+                occ = (self.stats.get((h.name, q + 2), 1.0)
+                       if self.stats else 1.0)
+                for se in si.streams:
+                    for w, mp in zip(se.weights, se.mixes or []):
+                        if mp is None or mp.cov_kind != "DIAGC":
+                            continue
+                        wt = occ * float(w)
+                        v = np.asarray(mp.var, np.float64) * wt
+                        num = v if num is None else num + v
+                        den += wt
+        if num is None or den <= 0:
+            HError(2640, "FA: no diagonal Gaussians to average")
+        floor = (frac * num / den).astype(np.float32)
+        self.hset.macros.setdefault("v", {})["varFloor1"] = floor
+        n_fl = 0
+        done = set()
+        for h in self.hset.hmms.values():
+            for si in h.states:
+                for se in si.streams:
+                    for mp in se.mixes or []:
+                        if mp is None or id(mp) in done \
+                                or mp.cov_kind != "DIAGC":
+                            continue
+                        done.add(id(mp))
+                        v = np.maximum(mp.var, floor[: len(mp.var)])
+                        if not np.array_equal(v, mp.var):
+                            n_fl += 1
+                        mp.var = v.astype(np.float32)
+                        mp.fix_gconst()
+        if self.trace:
+            print(f"HHEd: FA floor = {frac} * avg var, "
+                  f"floored {n_fl} variance vectors")
+
+    def cmd_mm(self, macro: str, spec: str):
+        """MM macro itemlist: make each item into a macro named
+        macro<N> (HHEd.c MakeIntoMacrosCommand) so a later save writes
+        them as shared ~s/~t/~m definitions."""
+        items = parse_item_list(spec, self.hset)
+        kind = items[0].kind
+        code = {"state": "s", "transP": "t", "mix": "m"}.get(kind)
+        if code is None:
+            HError(2640, "MM: unsupported item kind %s "
+                         "(state/transP/mix)", kind)
+        tab = self.hset.macros.setdefault(code, {})
+        for i, it in enumerate(items):
+            if kind == "state":
+                obj = it.hmm.states[it.state_idx - 2]
+            elif kind == "transP":
+                obj = it.hmm.transp
+            else:
+                obj = _get_mix(it)
+            tab[f"{macro}{i + 1}"] = obj
+        if self.trace:
+            print(f"HHEd: MM made {len(items)} ~{code} macros '{macro}*'")
+
     def cmd_st(self, path: str):
         save_trees(path, self.questions, self.trees)
         if self.trace:
@@ -1029,6 +1130,15 @@ def run_script(text: str, ed: Editor):
             ed.cmd_fv(r.next())
         elif op == "RN":
             ed.cmd_rn(r.next())
+        elif op == "FC":
+            ed.cmd_fc()
+        elif op == "SK":
+            ed.cmd_sk(r.next())
+        elif op == "FA":
+            ed.cmd_fa(float(r.next()))
+        elif op == "MM":
+            macro = r.next()
+            ed.cmd_mm(macro, r.next())
         else:
             HError(2650, "HHEd: unknown command %s", op)
 

@@ -304,3 +304,69 @@ class TestNCUTFVRN:
             for si in h.states:
                 assert float(si.streams[0].mixes[0].var.min()) >= 0.9 - 1e-6
         assert hs.hmm_set_id == "MYSET"
+
+
+class TestFCSKFAMM:
+    def test_fc_preserves_likelihood_until_retrained(self, tmp_path):
+        """FC seeds INVCOVAR = diag(1/var): alignment scores must be
+        unchanged, and the saved set must round-trip as FULLC."""
+        from htk_tpu.algo.composite import build_composite
+        from htk_tpu.algo.viterbi import align
+
+        hs = mono_set()
+        rng = np.random.default_rng(4)
+        feats = rng.normal(size=(30, 4)).astype(np.float32)
+
+        def logp(hset):
+            comp = compile_hmmset(hset)
+            hmm = build_composite(
+                comp, [comp.model_id(n) for n in ("aa", "iy", "sil")])
+            return align(comp, hmm, feats).score
+
+        before = logp(hs)
+        run_script("FC", Editor(hs))
+        assert all(mp.cov_kind == "FULLC"
+                   for h in hs.hmms.values() for si in h.states
+                   for mp in si.streams[0].mixes)
+        after = logp(hs)
+        assert after == pytest.approx(before, rel=1e-5)
+        p = str(tmp_path / "mmf")
+        save_mmf(hs, p)
+        assert "<INVCOVAR>" in open(p).read()
+        assert compile_hmmset(load_mmf(p)).full_cov
+
+    def test_sk_changes_parm_kind(self, tmp_path):
+        from htk_tpu.io.parmkind import str2parmkind
+
+        hs = mono_set()
+        run_script("SK MFCC_E_D_A", Editor(hs))
+        p = str(tmp_path / "mmf")
+        save_mmf(hs, p)
+        assert load_mmf(p).parm_kind == int(str2parmkind("MFCC_E_D_A"))
+
+    def test_fa_builds_and_applies_floor(self):
+        hs = mono_set()
+        vars_before = np.stack(
+            [si.streams[0].mixes[0].var
+             for h in hs.hmms.values() for si in h.states])
+        avg = vars_before.mean(axis=0)
+        run_script("FA 0.8", Editor(hs))
+        floor = np.asarray(hs.macros["v"]["varFloor1"])
+        np.testing.assert_allclose(floor, 0.8 * avg, rtol=1e-5)
+        for h in hs.hmms.values():
+            for si in h.states:
+                assert np.all(si.streams[0].mixes[0].var >= floor - 1e-7)
+
+    def test_mm_names_macros_and_roundtrips(self, tmp_path):
+        hs = mono_set()
+        run_script("MM st {(aa,iy).state[2]}", Editor(hs))
+        assert "st1" in hs.macros["s"] and "st2" in hs.macros["s"]
+        assert hs.macros["s"]["st1"] is hs.hmms["aa"].states[0]
+        p = str(tmp_path / "mmf")
+        save_mmf(hs, p)
+        txt = open(p).read()
+        assert '~s "st1"' in txt and '~s "st2"' in txt
+        h2 = load_mmf(p)
+        np.testing.assert_allclose(
+            h2.hmms["aa"].states[0].streams[0].mixes[0].mean,
+            hs.hmms["aa"].states[0].streams[0].mixes[0].mean, rtol=1e-5)

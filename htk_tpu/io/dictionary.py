@@ -53,11 +53,14 @@ class Vocab:
 _OUTSYM_RE = re.compile(r"^\[(?P<sym>[^\]]*)\]$")
 
 
-def read_dict(path: str) -> Vocab:
+def read_dict(path: str, cfg=None) -> Vocab:
     """Parse an HTK dictionary (HDict.c : ReadDict)."""
+    from ..utils.filters import filtered
+
     v = Vocab()
     try:
-        lines = open(path, "r").read().splitlines()
+        with filtered(path, "HDICTFILTER", cfg) as p:
+            lines = open(p, "r").read().splitlines()
     except OSError as e:
         HError(8010, "ReadDict: cannot open dictionary %s (%s)", path, e)
     for raw in lines:

@@ -62,9 +62,12 @@ class NGramLM:
         return bo + self.logp_tri(w2, w3, w4)
 
 
-def read_arpa(path: str) -> NGramLM:
+def read_arpa(path: str, cfg=None) -> NGramLM:
+    from ..utils.filters import filtered
+
     try:
-        lines = open(path, "r", errors="replace").read().splitlines()
+        with filtered(path, "HLANGMODFILTER", cfg) as p:
+            lines = open(p, "r", errors="replace").read().splitlines()
     except OSError as e:
         HError(8110, "ReadLModel: cannot open LM %s (%s)", path, e)
     lm = NGramLM()

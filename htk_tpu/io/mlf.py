@@ -124,14 +124,17 @@ class MLF:
         self._exact: Dict[str, Transcription] = {}
 
     @classmethod
-    def load(cls, path: str) -> "MLF":
+    def load(cls, path: str, cfg=None) -> "MLF":
         m = cls()
-        m.read(path)
+        m.read(path, cfg)
         return m
 
-    def read(self, path: str) -> None:
+    def read(self, path: str, cfg=None) -> None:
+        from ..utils.filters import filtered
+
         try:
-            data = open(path, "rb").read()
+            with filtered(path, "HLABELFILTER", cfg) as p:
+                data = open(p, "rb").read()
         except OSError as e:
             HError(6510, "LoadMasterFile: cannot open MLF %s (%s)", path, e)
         if self._read_native(data):

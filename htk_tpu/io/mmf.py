@@ -679,7 +679,7 @@ class _Parser:
 _OLD_PICKLE_MAGIC = b"#!HTK-TPU-BMMF!#"  # round-1 format, now rejected
 
 
-def load_mmf(paths, hset: Optional[HMMSet] = None) -> HMMSet:
+def load_mmf(paths, hset: Optional[HMMSet] = None, cfg=None) -> HMMSet:
     """Load one or more MMF files into an HMMSet (HModel.c : LoadHMMSet).
 
     Text and ':'-code binary MMFs share one tokenizer; binary keywords
@@ -690,9 +690,12 @@ def load_mmf(paths, hset: Optional[HMMSet] = None) -> HMMSet:
     if isinstance(paths, str):
         paths = [paths]
     hset = hset or HMMSet()
+    from ..utils.filters import filtered
+
     for p in paths:
         try:
-            data = open(p, "rb").read()
+            with filtered(p, "HMMDEFFILTER", cfg) as fp:
+                data = open(fp, "rb").read()
         except OSError as e:
             HError(7010, "load_mmf: cannot open %s (%s)", p, e)
         if data.startswith(_OLD_PICKLE_MAGIC):
@@ -706,10 +709,14 @@ def load_mmf(paths, hset: Optional[HMMSet] = None) -> HMMSet:
     return hset
 
 
-def load_hmm_list(path: str) -> List[Tuple[str, Optional[str]]]:
+def load_hmm_list(path: str, cfg=None) -> List[Tuple[str, Optional[str]]]:
     """HMM list file: 'logical [physical]' per line (HModel.c LoadHMMList)."""
+    from ..utils.filters import filtered
+
     out = []
-    for ln in open(path):
+    with filtered(path, "HMMLISTFILTER", cfg) as _p:
+        lines_src = open(_p).read().splitlines()
+    for ln in lines_src:
         ln = ln.strip()
         if not ln or ln.startswith("#"):
             continue

@@ -79,9 +79,12 @@ def _parse_fields(line: str) -> Dict[str, str]:
     return out
 
 
-def read_slf(path: str) -> Lattice:
+def read_slf(path: str, cfg=None) -> Lattice:
+    from ..utils.filters import filtered
+
     try:
-        lines = open(path, "r").read().splitlines()
+        with filtered(path, "HNETFILTER", cfg) as p:
+            lines = open(p, "r").read().splitlines()
     except OSError as e:
         HError(8210, "ReadLattice: cannot open %s (%s)", path, e)
     lat = Lattice()

@@ -84,48 +84,59 @@ def open_speech_file(
         return (feats, period,
                 fcfg.target_kind & ~(pk.HASCOMPX | pk.HASCRCC), e)
     src_fmt_c = (cfg.str_("SOURCEFORMAT", "HTK", module="HWAVE") or "HTK").upper()
-    if src_kind == "ANON":
-        # HTK's ANON: take the kind from the file itself. For HTK-format
-        # files peek at the 12-byte header; non-HTK audio formats imply
-        # WAVEFORM.
-        if src_fmt_c == "HTK":
-            try:
-                with open(e.physical, "rb") as f:
-                    hdr = f.read(12)
-                kind_code = int(np.frombuffer(hdr[10:12], dtype=">i2")[0])
-                src_kind = pk.BASE_KINDS[pk.base_kind(kind_code)]
-            except Exception:
-                src_kind = "WAVEFORM"
-        else:
-            src_kind = "WAVEFORM"
-    if pk.base_kind(pk.str2parmkind(src_kind)) == pk.BASE_KINDS.index("WAVEFORM"):
-        src_fmt = cfg.str_("SOURCEFORMAT", "HTK", module="HWAVE") or "HTK"
-        src_rate = cfg.int_("SOURCERATE", 0, module="HWAVE") or cfg.int_(
-            "SOURCERATE", 0, module="HPARM"
-        )
-        wv = read_wave(e.physical, fmt=src_fmt, source_rate=src_rate or None)
-        samples = wv.samples
-        if e.start is not None:
-            samples = samples[e.start : e.end + 1]
-        fcfg = FrontendConfig.from_config(cfg, wv.samp_period)
-        feats = compute_features(samples, fcfg)
-        period = int(fcfg.target_rate)
-        return feats, period, fcfg.target_kind & ~(pk.HASCOMPX | pk.HASCRCC), e
-    if src_fmt_c in ("ESIG", "ESIGNAL"):
-        # ESIG feature file: no HTK parm kind in the container, so the
-        # kind comes from SOURCEKIND (USER when unspecified), as HParm
-        # requires for Entropic inputs
-        from ..io.esignal import read_esig
+    # HShell xxFILTER channels: feature reads (and the ANON header peek)
+    # go through HPARMFILTER, waveform reads through HWAVEFILTER
+    from ..utils.filters import cleanup, maybe_filter
 
-        ef = read_esig(e.physical)
-        data = ef.data.astype(np.float32)
+    ppath, ptmp = maybe_filter(e.physical, "HPARMFILTER", cfg)
+    wtmp = None
+    try:
+        if src_kind == "ANON":
+            # HTK's ANON: take the kind from the file itself. For
+            # HTK-format files peek at the 12-byte header; non-HTK audio
+            # formats imply WAVEFORM.
+            if src_fmt_c == "HTK":
+                try:
+                    with open(ppath, "rb") as f:
+                        hdr = f.read(12)
+                    kind_code = int(np.frombuffer(hdr[10:12], dtype=">i2")[0])
+                    src_kind = pk.BASE_KINDS[pk.base_kind(kind_code)]
+                except Exception:
+                    src_kind = "WAVEFORM"
+            else:
+                src_kind = "WAVEFORM"
+        if pk.base_kind(pk.str2parmkind(src_kind)) == pk.BASE_KINDS.index("WAVEFORM"):
+            src_fmt = cfg.str_("SOURCEFORMAT", "HTK", module="HWAVE") or "HTK"
+            src_rate = cfg.int_("SOURCERATE", 0, module="HWAVE") or cfg.int_(
+                "SOURCERATE", 0, module="HPARM"
+            )
+            wpath, wtmp = maybe_filter(e.physical, "HWAVEFILTER", cfg)
+            wv = read_wave(wpath, fmt=src_fmt, source_rate=src_rate or None)
+            samples = wv.samples
+            if e.start is not None:
+                samples = samples[e.start : e.end + 1]
+            fcfg = FrontendConfig.from_config(cfg, wv.samp_period)
+            feats = compute_features(samples, fcfg)
+            period = int(fcfg.target_rate)
+            return feats, period, fcfg.target_kind & ~(pk.HASCOMPX | pk.HASCRCC), e
+        if src_fmt_c in ("ESIG", "ESIGNAL"):
+            # ESIG feature file: no HTK parm kind in the container, so the
+            # kind comes from SOURCEKIND (USER when unspecified), as HParm
+            # requires for Entropic inputs
+            from ..io.esignal import read_esig
+
+            ef = read_esig(ppath)
+            data = ef.data.astype(np.float32)
+            if e.start is not None:
+                data = data[e.start : e.end + 1]
+            kind = pk.str2parmkind(
+                src_kind if src_kind not in ("ANON", "WAVEFORM") else "USER")
+            return data, ef.samp_period or 100000, kind, e
+        ff = read_htk_file(ppath)
+        data = ff.data
         if e.start is not None:
             data = data[e.start : e.end + 1]
-        kind = pk.str2parmkind(
-            src_kind if src_kind not in ("ANON", "WAVEFORM") else "USER")
-        return data, ef.samp_period or 100000, kind, e
-    ff = read_htk_file(e.physical)
-    data = ff.data
-    if e.start is not None:
-        data = data[e.start : e.end + 1]
-    return data, ff.samp_period, ff.parm_kind & ~(pk.HASCOMPX | pk.HASCRCC), e
+        return data, ff.samp_period, ff.parm_kind & ~(pk.HASCOMPX | pk.HASCRCC), e
+    finally:
+        cleanup(ptmp)
+        cleanup(wtmp)

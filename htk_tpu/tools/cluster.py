@@ -224,7 +224,7 @@ def run(argv: List[str]) -> int:
     bigrams: Counter = Counter()
     unigrams: Counter = Counter()
     for path in files:
-        for sent in read_sentences(path):
+        for sent in read_sentences(path, ta.config):
             seq = [ENTER] + sent + [EXIT]
             for w in seq:
                 unigrams[w] += 1

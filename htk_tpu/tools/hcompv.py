@@ -51,7 +51,7 @@ def run(argv: List[str]) -> int:
     if not train:
         HError(1030, "HCompV: no training files\n%s", USAGE)
 
-    hset = load_mmf(hmm_file)
+    hset = load_mmf(hmm_file, cfg=ta.config)
     if not hset.hmms:
         HError(7035, "HCompV: no HMM in %s", hmm_file)
     proto_name = next(iter(hset.hmms))
@@ -66,7 +66,7 @@ def run(argv: List[str]) -> int:
 
         from .hinit import collect_segments
 
-        mlfs = [MLF.load(p) for p in ta.get_all("I")]
+        mlfs = [MLF.load(p, ta.config) for p in ta.get_all("I")]
         segs = collect_segments(train, cfg, seg_label, mlfs, ta.get("L"),
                                 ta.get("X", "lab"), None)
     else:

@@ -49,7 +49,7 @@ def run(argv: List[str]) -> int:
     force_platform_from_env()
     ta = parse_args("HCopy", argv, OPTS, usage=USAGE)
     cfg = ta.config
-    mlfs = [MLF.load(p) for p in ta.get_all("I")]
+    mlfs = [MLF.load(p, ta.config) for p in ta.get_all("I")]
 
     pairs = []
     if ta.script:

@@ -97,11 +97,11 @@ def run(argv: List[str]) -> int:
     if not mmfs:
         HError(1030, "HDecode: at least one -H mmf required")
 
-    hset = load_mmf(mmfs)
+    hset = load_mmf(mmfs, cfg=ta.config)
     comp = compile_hmmset(hset)
-    vocab = read_dict(dict_file)
-    load_hmm_list(hmm_list_file)
-    lm = read_arpa(ta.get("w"))
+    vocab = read_dict(dict_file, ta.config)
+    load_hmm_list(hmm_list_file, ta.config)
+    lm = read_arpa(ta.get("w", ta.config))
 
     # sentence boundary words (HDecode STARTWORD/ENDWORD config): when
     # the dictionary gives them pronunciations (recipe convention

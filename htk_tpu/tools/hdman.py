@@ -133,7 +133,7 @@ def run(argv: List[str]) -> int:
 
     merged = Vocab()
     for s in srcs:
-        v = read_dict(s)
+        v = read_dict(s, ta.config)
         for name, w in v.words.items():
             for p in w.prons:
                 # first dictionary wins for duplicate pronunciations (HTK

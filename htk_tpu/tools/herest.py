@@ -107,8 +107,8 @@ def run(argv: List[str]) -> int:
     mmfs = ta.get_all("H")
     if not mmfs:
         HError(1030, "HERest: at least one -H mmf required\n%s", USAGE)
-    hset = load_mmf(mmfs)
-    hmm_list = load_hmm_list(hmm_list_file)
+    hset = load_mmf(mmfs, cfg=ta.config)
+    hmm_list = load_hmm_list(hmm_list_file, ta.config)
     missing = [l for l, p in hmm_list if (p or l) not in hset.hmms]
     if missing:
         HError(7035, "HERest: HMMs not in MMF: %s", " ".join(missing[:5]))
@@ -141,7 +141,7 @@ def run(argv: List[str]) -> int:
                                  "(dumped by the matching -p N run)", p)
                 fc_xxT = side if fc_xxT is None else fc_xxT + side
     else:
-        mlfs = [MLF.load(p) for p in ta.get_all("I")]
+        mlfs = [MLF.load(p, ta.config) for p in ta.get_all("I")]
         label_dir = ta.get("L")
         label_ext = ta.get("X", "lab")
         files = ta.script + extra

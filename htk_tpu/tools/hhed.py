@@ -99,7 +99,7 @@ class Editor:
             self.cmd_ls(path)
 
     def cmd_cl(self, list_path: str):
-        names = [l for l, p in load_hmm_list(list_path)]
+        names = [l for l, p in load_hmm_list(list_path, self.cfg)]
         hset = self.hset
         n_new = 0
         for nm in names:
@@ -200,7 +200,7 @@ class Editor:
             )
 
     def cmd_au(self, list_path: str):
-        names = [l for l, p in load_hmm_list(list_path)]
+        names = [l for l, p in load_hmm_list(list_path, self.cfg)]
         by_phone: Dict[Tuple[str, int], Tree] = {}
         for t in self.trees:
             by_phone[(t.base_phone, t.state_idx)] = t
@@ -1149,8 +1149,8 @@ def run(argv: List[str]) -> int:
     mmfs = ta.get_all("H")
     if not mmfs:
         HError(1030, "HHEd: at least one -H mmf required\n%s", USAGE)
-    hset = load_mmf(mmfs)
-    load_hmm_list(hmm_list_file)
+    hset = load_mmf(mmfs, cfg=ta.config)
+    load_hmm_list(hmm_list_file, ta.config)
 
     ed = Editor(hset, trace=ta.trace, cfg=ta.config)
     run_script(open(script_file).read(), ed)

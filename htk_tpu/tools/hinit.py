@@ -81,7 +81,7 @@ def run(argv: List[str]) -> int:
     if not files:
         HError(1030, "HInit: no training files\n%s", USAGE)
 
-    hset = load_mmf(hmm_file)
+    hset = load_mmf(hmm_file, cfg=ta.config)
     name = next(iter(hset.hmms))
     h = hset.hmms[name]
     n_emit = h.nstates - 2
@@ -89,7 +89,7 @@ def run(argv: List[str]) -> int:
     max_iter = int(ta.get("i", 20) or 20)
     eps = float(ta.get("e", 1e-4) or 1e-4)
 
-    mlfs = [MLF.load(p) for p in ta.get_all("I")]
+    mlfs = [MLF.load(p, ta.config) for p in ta.get_all("I")]
     segs = collect_segments(
         files, cfg, ta.get("l"), mlfs, ta.get("L"), ta.get("X", "lab"),
         None,

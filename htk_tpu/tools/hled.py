@@ -177,12 +177,12 @@ def run(argv: List[str]) -> int:
     ta = parse_args("HLEd", argv, OPTS, min_args=1, usage=USAGE)
     script_file = ta.args[0]
     files = ta.script + ta.args[1:]
-    vocab = read_dict(ta.get("d")) if ta.has("d") else None
+    vocab = read_dict(ta.get("d", ta.config)) if ta.has("d") else None
 
     ed = LabelEditor(vocab)
     ed.parse_script(open(script_file).read())
 
-    mlfs = [MLF.load(p) for p in ta.get_all("I")]
+    mlfs = [MLF.load(p, ta.config) for p in ta.get_all("I")]
     out_mlf_path = ta.get("i")
     out_mlf = MLF() if out_mlf_path else None
     out_dir = ta.get("l")
@@ -196,7 +196,7 @@ def run(argv: List[str]) -> int:
         except OSError as e:
             HError(6510, "HLEd: cannot open %s (%s)", fn, e)
         if first == "#!MLF!#":
-            m = MLF.load(fn)
+            m = MLF.load(fn, ta.config)
             for pattern, tr in m.entries:
                 entries.append((pattern, tr))
         else:

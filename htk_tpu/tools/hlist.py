@@ -75,16 +75,22 @@ def run(argv: List[str]) -> int:
         data, period, kind, e = open_speech_file(fn, ta.config)
         n, w = data.shape
         print("-" * 72)
-        try:
-            with open(e.physical, "rb") as fh:
-                is_esig = fh.read(7) == b"Esignal"
-        except OSError:
-            is_esig = False
-        src = None if is_esig else _source_header(e.physical)
-        if is_esig:
-            from ..io.esignal import read_esig
+        # the Source header block reads the file directly, so the HParm
+        # input filter applies here too (gzipped corpora etc.)
+        from ..utils.filters import filtered
 
-            ef = read_esig(e.physical)
+        with filtered(e.physical, "HPARMFILTER", ta.config) as phys:
+            try:
+                with open(phys, "rb") as fh:
+                    is_esig = fh.read(7) == b"Esignal"
+            except OSError:
+                is_esig = False
+            src = None if is_esig else _source_header(phys)
+            if is_esig:
+                from ..io.esignal import read_esig
+
+                ef = read_esig(phys)
+        if is_esig:
             width = 2 if ef.dtype_name == "SHORT" else 4
             _print_block(f"Source: {e.logical}", ef.data.shape[0],
                          ef.data.shape[1] * width, ef.samp_period or period,

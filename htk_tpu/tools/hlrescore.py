@@ -47,19 +47,19 @@ OPTS = {
 
 def run(argv: List[str]) -> int:
     ta = parse_args("HLRescore", argv, OPTS, min_args=1, usage=USAGE)
-    read_dict(ta.args[0])  # parity: dict validates word coverage
+    read_dict(ta.args[0], ta.config)  # parity: dict validates word coverage
     lat_files = ta.script + ta.args[1:]
     if not lat_files:
         HError(1030, "HLRescore: no lattice files\n%s", USAGE)
 
-    lm = read_arpa(ta.get("n")) if ta.has("n") else None
+    lm = read_arpa(ta.get("n", ta.config)) if ta.has("n") else None
     out_mlf_path = ta.get("i")
     out_mlf = MLF() if out_mlf_path else None
     out_dir = ta.get("l", ".")
     lat_ext = ta.get("y", "lat")
 
     for lf in lat_files:
-        lat = read_slf(lf)
+        lat = read_slf(lf, ta.config)
         stem = os.path.splitext(os.path.basename(lf))[0]
         if lm is not None:
             lat = apply_lm(lat, lm)

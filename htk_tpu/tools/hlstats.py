@@ -90,7 +90,7 @@ def estimate_backoff_bigram(sents: List[List[str]], discount=0.5,
 def run(argv: List[str]) -> int:
     ta = parse_args("HLStats", argv, OPTS, min_args=1, usage=USAGE)
     files = ta.script + ta.args[1:]
-    mlfs = [MLF.load(p) for p in ta.get_all("I")]
+    mlfs = [MLF.load(p, ta.config) for p in ta.get_all("I")]
 
     sents: List[List[str]] = []
     for m in mlfs:
@@ -99,7 +99,7 @@ def run(argv: List[str]) -> int:
     for fn in files:
         first = open(fn).readline().strip()
         if first == "#!MLF!#":
-            m = MLF.load(fn)
+            m = MLF.load(fn, ta.config)
             for _pat, tr in m.entries:
                 sents.append([l.name for l in tr.labels])
         else:
@@ -129,7 +129,7 @@ def run(argv: List[str]) -> int:
 
             # matrix rows follow the hmmList label order with the
             # sentence boundary tokens appended (HLStats.c vocabulary)
-            order = [l for l, _p in load_hmm_list(ta.args[0])]
+            order = [l for l, _p in load_hmm_list(ta.args[0], ta.config)]
             order = [ENTER] + order + [EXIT]
             known = set(lm.unigrams)
             order = [w for w in order if w in known]

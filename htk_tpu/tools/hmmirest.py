@@ -196,11 +196,11 @@ def run(argv: List[str]) -> int:
     if not ta.has("r"):
         HError(1030, "HMMIRest: denominator lattice dir (-r) required")
 
-    hset = load_mmf(mmfs)
-    load_hmm_list(hmm_list_file)
+    hset = load_mmf(mmfs, cfg=ta.config)
+    load_hmm_list(hmm_list_file, ta.config)
     comp = compile_hmmset(hset)
-    vocab = read_dict(ta.get("d")) if ta.has("d") else None
-    mlfs = [MLF.load(p) for p in ta.get_all("I")]
+    vocab = read_dict(ta.get("d", ta.config)) if ta.has("d") else None
+    mlfs = [MLF.load(p, ta.config) for p in ta.get_all("I")]
     lm_scale = float(ta.get("s", 1.0) or 1.0)
 
     ecfg = EBWConfig(
@@ -228,7 +228,7 @@ def run(argv: List[str]) -> int:
         if not os.path.exists(den_path):
             HRError(12030, "HMMIRest: no denominator lattice for %s", stem)
             continue
-        den_lat = read_slf(den_path)
+        den_lat = read_slf(den_path, ta.config)
         if vocab is None:
             HError(1030, "HMMIRest: word lattices need a dictionary (-d)")
 
@@ -271,7 +271,7 @@ def run(argv: List[str]) -> int:
 
         # MMI numerator
         if ta.has("q"):
-            num_lat = read_slf(os.path.join(ta.get("q"), f"{stem}.lat"))
+            num_lat = read_slf(os.path.join(ta.get("q", ta.config), f"{stem}.lat"))
             num_total, _ = accumulate_lattice(
                 num_lat, vocab, comp, trainer, data, period, stem, lm_scale,
                 num_total,

@@ -73,11 +73,11 @@ def run(argv: List[str]) -> int:
     mmfs = ta.get_all("H")
     if not mmfs:
         HError(1030, "HNTrainSGD: -H mmf required (state inventory)")
-    hset = load_mmf(mmfs)
-    load_hmm_list(ta.args[0])
+    hset = load_mmf(mmfs, cfg=ta.config)
+    load_hmm_list(ta.args[0], ta.config)
     comp = compile_hmmset(hset)
 
-    mlfs = [MLF.load(p) for p in ta.get_all("I")]
+    mlfs = [MLF.load(p, ta.config) for p in ta.get_all("I")]
     utt_feats = []
     names_list = []
     for fn in files:

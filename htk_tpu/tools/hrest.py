@@ -58,14 +58,14 @@ def run(argv: List[str]) -> int:
     if not files:
         HError(1030, "HRest: no training files\n%s", USAGE)
 
-    hset = load_mmf(hmm_file)
+    hset = load_mmf(hmm_file, cfg=ta.config)
     name = next(iter(hset.hmms))
     flags = UpdateFlags.parse(ta.get("u", "tmvw"))
     min_var = float(ta.get("v", 1e-6) or 1e-6)
     max_iter = int(ta.get("i", 20) or 20)
     eps = float(ta.get("e", 1e-4) or 1e-4)
 
-    mlfs = [MLF.load(p) for p in ta.get_all("I")]
+    mlfs = [MLF.load(p, ta.config) for p in ta.get_all("I")]
     segs = collect_segments(files, cfg, ta.get("l"), mlfs, ta.get("L"),
                             ta.get("X", "lab"), None)
     n_emit = hset.hmms[name].nstates - 2

@@ -96,7 +96,7 @@ def run(argv: List[str]) -> int:
     rec_files = ta.script + ta.args[1:]
     if not rec_files:
         HError(1030, "HResults: no recognition files\n%s", USAGE)
-    mlfs = [MLF.load(p) for p in ta.get_all("I")]
+    mlfs = [MLF.load(p, ta.config) for p in ta.get_all("I")]
     ref_dir = ta.get("L")
     ref_ext = ta.get("X", "lab")
 
@@ -127,7 +127,7 @@ def run(argv: List[str]) -> int:
         except OSError as e:
             HError(3310, "HResults: cannot open %s (%s)", rf, e)
         if first == "#!MLF!#":
-            m = MLF.load(rf)
+            m = MLF.load(rf, ta.config)
             for pattern, tr in m.entries:
                 rec_entries.append((pattern, [l.name for l in tr.labels]))
         else:

@@ -40,8 +40,8 @@ MAX_LEN = 200
 
 def run(argv: List[str]) -> int:
     ta = parse_args("HSGen", argv, OPTS, min_args=2, usage=USAGE)
-    lat = read_slf(ta.args[0])
-    read_dict(ta.args[1])  # validated for parity with HTK's arg order
+    lat = read_slf(ta.args[0], ta.config)
+    read_dict(ta.args[1], ta.config)  # validated for parity with HTK's arg order
     n = int(ta.get("n", 100) or 100)
     seed = ta.config.int_("SEED", 0, module="HTKTPU") or 0
     rng = np.random.default_rng(seed)

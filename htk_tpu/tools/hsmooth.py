@@ -74,8 +74,8 @@ def run(argv: List[str]) -> int:
     mmfs = ta.get_all("H")
     if not mmfs:
         HError(1030, "HSmooth: at least one -H mmf required\n%s", USAGE)
-    hset = load_mmf(mmfs)
-    load_hmm_list(ta.args[0])
+    hset = load_mmf(mmfs, cfg=ta.config)
+    load_hmm_list(ta.args[0], ta.config)
     comp = compile_hmmset(hset)
     acc_files = ta.args[1:] + ta.script
     if len(acc_files) < 2:

@@ -110,7 +110,7 @@ def run(argv: List[str]) -> int:
     mmfs = ta.get_all("H")
     if not mmfs:
         HError(1030, "HVite: at least one -H mmf required")
-    hset = load_mmf(mmfs)
+    hset = load_mmf(mmfs, cfg=ta.config)
     comp = compile_hmmset(hset)
 
     # input adaptation transforms (-J dir): per-speaker TMFs selected by
@@ -263,8 +263,8 @@ def run(argv: List[str]) -> int:
             comp.fc_proj, comp.fc_mu, comp.gconsts = fc_proj, fc_mu, gc
             comp.full_cov = True
         return data
-    vocab = read_dict(dict_file)
-    load_hmm_list(hmm_list_file)  # validated for parity; comp holds models
+    vocab = read_dict(dict_file, ta.config)
+    load_hmm_list(hmm_list_file, ta.config)  # validated for parity; comp holds models
 
     lm_scale = float(ta.get("s", 1.0) or 1.0)
     word_pen = float(ta.get("p", 0.0) or 0.0)
@@ -287,7 +287,7 @@ def run(argv: List[str]) -> int:
     if ta.has("w"):
         from ..algo.net import word_internal_phone_map
 
-        lat = read_slf(ta.get("w"))
+        lat = read_slf(ta.get("w", ta.config))
         # HNet.c config: FORCECXTEXP forces full cross-word context
         # expansion; ALLOWXWRDEXP permits it when the set is context-
         # dependent. CFPHONES (own key [LC]) lists transparent phones.
@@ -444,7 +444,7 @@ def run(argv: List[str]) -> int:
                           f"[{res.score:.2f}]")
             _emit(tr, e.logical, out_mlf, out_dir, out_ext)
     elif ta.has("a"):
-        mlfs = [MLF.load(p) for p in ta.get_all("I")]
+        mlfs = [MLF.load(p, ta.config) for p in ta.get_all("I")]
         label_dir = ta.get("L")
         label_ext = ta.get("X", "lab")
         bound = ta.get("b")

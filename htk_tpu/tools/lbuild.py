@@ -42,10 +42,10 @@ OPTS = {
 ENTER, EXIT = "<s>", "</s>"
 
 
-def read_sentences(path: str) -> List[List[str]]:
+def read_sentences(path: str, cfg=None) -> List[List[str]]:
     first = open(path).readline().strip()
     if first == "#!MLF!#":
-        m = MLF.load(path)
+        m = MLF.load(path, cfg)
         return [[l.name for l in tr.labels] for _pat, tr in m.entries]
     sents = []
     for ln in open(path):
@@ -206,7 +206,7 @@ def run(argv: List[str]) -> int:
     else:
         sents = []
         for f in files:
-            sents.extend(read_sentences(f))
+            sents.extend(read_sentences(f, ta.config))
         lm = build_lm(sents, **kw)
         n_in = f"{len(sents)} sentences"
     write_arpa(lm, out_lm)

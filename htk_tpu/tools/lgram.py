@@ -152,7 +152,7 @@ def run_lgprep(argv: List[str]) -> int:
     tabs = {k: Counter() for k in range(1, order + 1)}
     n_sent = 0
     for path in files:
-        for sent in read_sentences(path):
+        for sent in read_sentences(path, ta.config):
             n_sent += 1
             seq = [ENTER] + sent + [EXIT]
             for w in seq:

@@ -89,12 +89,12 @@ def prune(lm: NGramLM, min_logp: float) -> None:
 
 def run(argv: List[str]) -> int:
     ta = parse_args("LMerge", argv, OPTS, min_args=2, usage=USAGE)
-    main_lm = read_arpa(ta.args[0])
+    main_lm = read_arpa(ta.args[0], ta.config)
     out_path = ta.args[1]
     models = [main_lm]
     weights = [1.0]
     for w, lmf in ta.get_all("i"):
-        models.append(read_arpa(lmf))
+        models.append(read_arpa(lmf, ta.config))
         weights.append(float(w))
         weights[0] = max(1.0 - sum(weights[1:]), 0.0)
     lm = interpolate(models, weights) if len(models) > 1 else main_lm
@@ -112,7 +112,7 @@ def run_lnorm(argv: List[str]) -> int:
          "c": Option("c", 1, "count cutoff (accepted)", typ=int)},
         min_args=2, usage="Usage: LNorm [options] inLM outLM",
     )
-    lm = read_arpa(ta.args[0])
+    lm = read_arpa(ta.args[0], ta.config)
     if ta.has("p"):
         prune(lm, float(ta.get("p")))
     else:

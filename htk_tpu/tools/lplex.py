@@ -32,7 +32,7 @@ OPTS = {
 
 def run(argv: List[str]) -> int:
     ta = parse_args("LPlex", argv, OPTS, min_args=1, usage=USAGE)
-    lm = read_arpa(ta.args[0])
+    lm = read_arpa(ta.args[0], ta.config)
     files = ta.args[1:] + ta.script
     if not files:
         HError(1030, "LPlex: no test files\n%s", USAGE)
@@ -44,7 +44,7 @@ def run(argv: List[str]) -> int:
     n_oov = 0
     n_sents = 0
     for f in files:
-        for sent in read_sentences(f):
+        for sent in read_sentences(f, ta.config):
             seq = [ENTER] + sent + [EXIT]
             lp = 0.0
             for i in range(1, len(seq)):

@@ -39,7 +39,7 @@ def subset(lm: NGramLM, keep) -> NGramLM:
 
 def run_subset(argv: List[str]) -> int:
     ta = parse_args("LSubset", argv, {}, min_args=3, usage=USAGE_SUBSET)
-    lm = read_arpa(ta.args[0])
+    lm = read_arpa(ta.args[0], ta.config)
     keep = {
         ln.split()[0]
         for ln in open(ta.args[1]).read().splitlines() if ln.strip()
@@ -67,11 +67,11 @@ def run_adapt(argv: List[str]) -> int:
         HError(1030, "LAdapt: no adaptation text\n%s", USAGE_ADAPT)
     sents = []
     for f in files:
-        sents.extend(read_sentences(f))
+        sents.extend(read_sentences(f, ta.config))
     lm = build_lm(sents, order=int(ta.get("n", 2) or 2))
     if ta.has("i"):
         w, base_path = ta.get("i")
-        base = read_arpa(base_path)
+        base = read_arpa(base_path, ta.config)
         lm = interpolate([lm, base], [1.0 - float(w), float(w)])
     write_arpa(lm, out_path)
     if ta.trace:

@@ -234,3 +234,79 @@ class TestEsig:
         assert hlist.run(["-C", "cfge", "-h", "f.esig"]) == 0
         out = capsys.readouterr().out
         assert "ESIG" in out and "FLOAT" in out and "Num Samples:          5" in out
+
+
+class TestIOFilters:
+    """HShell xxFILTER channels (utils/filters.py)."""
+
+    def _cfg(self, **kv):
+        from htk_tpu.utils.config import Config
+
+        c = Config()
+        for k, v in kv.items():
+            c.set(k, v)
+        return c
+
+    def test_parm_filter_decompresses(self, tmp_path, monkeypatch):
+        import gzip
+
+        from htk_tpu.tools._common import open_speech_file
+
+        monkeypatch.chdir(tmp_path)
+        x = np.random.default_rng(0).normal(size=(12, 5)).astype(np.float32)
+        write_htk_file("a.usr", x, 100000, pk.str2parmkind("USER"))
+        gzip.open("a.usr.gz", "wb").write(open("a.usr", "rb").read())
+        cfg = self._cfg(HPARMFILTER="gunzip -c $", TARGETKIND="USER")
+        data, period, kind, _e = open_speech_file("a.usr.gz", cfg)
+        np.testing.assert_allclose(data, x, rtol=1e-6)
+        assert period == 100000
+
+    def test_wave_filter_and_stdin_form(self, tmp_path, monkeypatch):
+        import gzip
+
+        from htk_tpu.tools._common import open_speech_file
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(1)
+        s = (rng.normal(size=4000) * 1000).astype(np.int16)
+        write_wave("a.wav", Waveform(samples=s, samp_period=625), fmt="WAV")
+        gzip.open("a.wav.gz", "wb").write(open("a.wav", "rb").read())
+        # no '$' in the command: the file arrives on stdin
+        cfg = self._cfg(HWAVEFILTER="gunzip -c",
+                        SOURCEFORMAT="WAV", SOURCEKIND="WAVEFORM",
+                        TARGETKIND="MFCC_E")
+        data, _p, _k, _e = open_speech_file("a.wav.gz", cfg)
+        cfg2 = self._cfg(SOURCEFORMAT="WAV", SOURCEKIND="WAVEFORM",
+                         TARGETKIND="MFCC_E")
+        want, _p2, _k2, _e2 = open_speech_file("a.wav", cfg2)
+        np.testing.assert_allclose(data, want, rtol=1e-6)
+
+    def test_label_filter_on_mlf(self, tmp_path, monkeypatch):
+        import gzip
+
+        from htk_tpu.io.mlf import MLF
+
+        monkeypatch.chdir(tmp_path)
+        gzip.open("l.mlf.gz", "wt").write(
+            '#!MLF!#\n"*/u1.lab"\naa\niy\n.\n')
+        m = MLF.load("l.mlf.gz", self._cfg(HLABELFILTER="gunzip -c $"))
+        pats = [pat for pat, _tr in m.entries]
+        assert pats == ["*/u1.lab"]
+
+    def test_filter_failure_is_numbered(self, tmp_path, monkeypatch):
+        from htk_tpu.utils.filters import maybe_filter
+
+        monkeypatch.chdir(tmp_path)
+        open("x", "w").write("hi")
+        with pytest.raises(HTKError) as ei:
+            maybe_filter("x", "HPARMFILTER",
+                         self._cfg(HPARMFILTER="false"))
+        assert "+1013" in str(ei.value) or "1013" in str(ei.value)
+
+    def test_no_filter_is_identity(self, tmp_path):
+        from htk_tpu.utils.filters import maybe_filter
+
+        p = str(tmp_path / "y")
+        open(p, "w").write("z")
+        path, tmp = maybe_filter(p, "HPARMFILTER", self._cfg())
+        assert path == p and tmp is None

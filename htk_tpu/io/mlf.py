@@ -230,8 +230,12 @@ class MLF:
         self.entries.append((pattern, tr))
         self._exact[pattern] = tr
 
-    def save(self, path: str, with_times: bool = True, with_scores: bool = False):
-        with open(path, "w") as f:
+    def save(self, path: str, with_times: bool = True,
+             with_scores: bool = False, cfg=None):
+        from ..utils.filters import filtered_output
+
+        with filtered_output(path, "HLABELOFILTER", cfg) as p, \
+                open(p, "w") as f:
             f.write("#!MLF!#\n")
             for pattern, tr in self.entries:
                 f.write(f'"{pattern}"\n')

@@ -128,7 +128,10 @@ def run(argv: List[str]) -> int:
             out_kind |= pk.HASCOMPX
         if save_crc:
             out_kind |= pk.HASCRCC
-        write_htk_file(tgt, data, period, out_kind)
+        from ..utils.filters import filtered_output
+
+        with filtered_output(tgt, "HPARMOFILTER", ta.config) as _tgt:
+            write_htk_file(_tgt, data, period, out_kind)
         if ta.trace:
             print(
                 f"{' + '.join(srcs)} -> {tgt} "

@@ -216,7 +216,7 @@ def run(argv: List[str]) -> int:
         if out_mlf is not None:
             out_mlf.add(f"*/{stem}.rec", tr)
     if out_mlf is not None:
-        out_mlf.save(out_mlf_path, with_times=False)
+        out_mlf.save(out_mlf_path, with_times=False, cfg=ta.config)
     return 0
 
 

@@ -212,7 +212,7 @@ def run(argv: List[str]) -> int:
             save_label_file(path, new_tr, with_times=False)
 
     if out_mlf is not None:
-        out_mlf.save(out_mlf_path, with_times=False)
+        out_mlf.save(out_mlf_path, with_times=False, cfg=ta.config)
         if ta.trace:
             print(f"HLEd: wrote {out_mlf_path} ({len(out_mlf.entries)} entries)")
     return 0

@@ -83,7 +83,7 @@ def run(argv: List[str]) -> int:
             write_slf(lat, os.path.join(out_dir, f"{stem}.{lat_ext}"))
 
     if out_mlf is not None:
-        out_mlf.save(out_mlf_path, with_times=False)
+        out_mlf.save(out_mlf_path, with_times=False, cfg=ta.config)
     return 0
 
 

@@ -513,7 +513,8 @@ def run(argv: List[str]) -> int:
 
     if out_mlf is not None:
         out_mlf.save(out_mlf_path, with_times=not sup_times,
-                     with_scores=(ta.has("m") and not sup_scores))
+                     with_scores=(ta.has("m") and not sup_scores),
+                     cfg=ta.config)
         if ta.trace:
             print(f"HVite: wrote {out_mlf_path}")
     return 0
@@ -568,7 +569,7 @@ def _run_live(ta, cfg, net, comp, lm_scale, word_pen, out_mlf,
             print(f"live: {' '.join(res.words)}  [{res.score:.2f}]")
     _emit(tr, logical, out_mlf, out_dir, out_ext)
     if out_mlf is not None:
-        out_mlf.save(out_mlf_path, with_times=True, with_scores=False)
+        out_mlf.save(out_mlf_path, with_times=True, with_scores=False, cfg=ta.config)
         if ta.trace:
             print(f"HVite: wrote {out_mlf_path}")
     return 0

@@ -75,3 +75,36 @@ def filtered(path: str, key: str, cfg):
         yield p
     finally:
         cleanup(tmp)
+
+
+@contextlib.contextmanager
+def filtered_output(path: str, key: str, cfg):
+    """Write-side xxOFILTER hook (e.g. ``HPARMOFILTER = gzip -c > $``).
+
+    Yields the path the writer should produce. With no filter that is
+    ``path`` itself. With a filter, the writer lands in a temp file
+    whose bytes are piped to the command on stdin; ``$`` is replaced by
+    the (quoted) destination, and a command with no ``$`` writes the
+    destination from its stdout."""
+    spec = cfg.str_(key, None) if cfg is not None else None
+    if not spec:
+        yield path
+        return
+    fd, tmp = tempfile.mkstemp(prefix="htkoflt_")
+    os.close(fd)
+    try:
+        yield tmp
+        with open(tmp, "rb") as produced:
+            if "$" in spec:
+                cmd = spec.replace("$", shlex.quote(path))
+                r = subprocess.run(cmd, shell=True, stdin=produced,
+                                   stderr=subprocess.PIPE)
+            else:
+                with open(path, "wb") as out:
+                    r = subprocess.run(spec, shell=True, stdin=produced,
+                                       stdout=out, stderr=subprocess.PIPE)
+        if r.returncode != 0:
+            HError(1013, "%s output filter '%s' failed for %s: %s", key,
+                   spec, path, r.stderr.decode(errors="replace").strip())
+    finally:
+        cleanup(tmp)

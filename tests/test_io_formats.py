@@ -310,3 +310,36 @@ class TestIOFilters:
         open(p, "w").write("z")
         path, tmp = maybe_filter(p, "HPARMFILTER", self._cfg())
         assert path == p and tmp is None
+
+    def test_output_filter_roundtrip(self, tmp_path, monkeypatch):
+        """HPARMOFILTER compresses what HCopy writes; HPARMFILTER reads
+        it back bit-identically."""
+        import gzip
+
+        from htk_tpu.tools import hcopy
+        from htk_tpu.tools._common import open_speech_file
+
+        monkeypatch.chdir(tmp_path)
+        x = np.random.default_rng(2).normal(size=(9, 6)).astype(np.float32)
+        write_htk_file("in.usr", x, 100000, pk.str2parmkind("USER"))
+        open("cfgo", "w").write(
+            "TARGETKIND = USER\nHPARMOFILTER = gzip -c > $\n")
+        assert hcopy.run(["-C", "cfgo", "in.usr", "out.usr.gz"]) == 0
+        assert gzip.open("out.usr.gz", "rb").read(1)  # really gzipped
+        cfg = self._cfg(HPARMFILTER="gunzip -c $", TARGETKIND="USER")
+        data, _p, _k, _e = open_speech_file("out.usr.gz", cfg)
+        np.testing.assert_allclose(data, x, rtol=1e-6)
+
+    def test_label_output_filter(self, tmp_path, monkeypatch):
+        import gzip
+
+        from htk_tpu.io.mlf import MLF, Label, Transcription
+
+        monkeypatch.chdir(tmp_path)
+        m = MLF()
+        m.entries.append(("*/u.lab", Transcription(
+            alternatives=[[Label(name="aa")]])))
+        m.save("o.mlf.gz", with_times=False,
+               cfg=self._cfg(HLABELOFILTER="gzip -c > $"))
+        txt = gzip.open("o.mlf.gz", "rt").read()
+        assert txt.startswith("#!MLF!#") and "aa" in txt

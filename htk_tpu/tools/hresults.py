@@ -13,6 +13,7 @@ Usage: HResults [options] hmmList recFiles...
            meaning delete)          -p      print confusion matrix
   -t       output per-utterance alignments
   -s       strip triphone contexts before scoring
+  -k mask  speaker mask (% captures): per-speaker breakdown table
   Standard: -A -C -D -S -T -V
 """
 
@@ -37,6 +38,7 @@ OPTS = {
     "t": Option("t", 0, "print alignments"),
     "s": Option("s", 0, "strip triphone contexts"),
     "f": Option("f", 0, "full results"),
+    "k": Option("k", 1, "speaker mask (per-speaker breakdown)"),
 }
 
 SUB_COST, INS_COST, DEL_COST = 10, 7, 7
@@ -118,6 +120,9 @@ def run(argv: List[str]) -> int:
     tot_h = tot_s = tot_d = tot_i = tot_n = 0
     sent_ok = sent_n = 0
     confusion: Dict[Tuple[str, str], int] = {}
+    # -k mask: per-speaker tallies [h, d, s, i, n, snt, snt_ok]
+    spk_mask = ta.get("k")
+    by_spk: Dict[str, List[int]] = {}
 
     # rec files may be label files or MLFs
     rec_entries: List[Tuple[str, List[str]]] = []
@@ -152,6 +157,18 @@ def run(argv: List[str]) -> int:
         sent_n += 1
         if s == 0 and d == 0 and i == 0:
             sent_ok += 1
+        if spk_mask:
+            from ..algo.adapt import speaker_from_mask
+
+            t = by_spk.setdefault(speaker_from_mask(spk_mask, key),
+                                  [0, 0, 0, 0, 0, 0, 0])
+            t[0] += h
+            t[1] += d
+            t[2] += s
+            t[3] += i
+            t[4] += len(ref)
+            t[5] += 1
+            t[6] += int(s == 0 and d == 0 and i == 0)
         for r, hh in pairs:
             if r is not None and hh is not None and r != hh:
                 confusion[(r, hh)] = confusion.get((r, hh), 0) + 1
@@ -179,6 +196,19 @@ def run(argv: List[str]) -> int:
     emit_metric(ta.config, "HResults", corr=round(corr, 4),
                 acc=round(acc, 4), sent_correct=round(scorr, 4),
                 h=tot_h, d=tot_d, s=tot_s, i=tot_i, n=tot_n)
+    if spk_mask and by_spk:
+        # HResults.c speaker-by-speaker breakdown table
+        print(",-------------------------------------------------------------------.")
+        print("| SPKR   | # Snt |  Corr     Sub     Del     Ins     Err    S. Err  |")
+        print("|--------+-------+--------------------------------------------------|")
+        for spk in sorted(by_spk):
+            h, d, su, i, n, snt, sok = by_spk[spk]
+            n = max(n, 1)
+            print(f"| {spk:<6} | {snt:5d} | {100.0 * h / n:6.2f} "
+                  f"{100.0 * su / n:7.2f} {100.0 * d / n:7.2f} "
+                  f"{100.0 * i / n:7.2f} {100.0 * (su + d + i) / n:7.2f} "
+                  f"{100.0 * (snt - sok) / max(snt, 1):8.2f}  |")
+        print("`-------------------------------------------------------------------'")
     if ta.has("p") and confusion:
         print("------------------------ Confusion Matrix -------------------------")
         for (r, hh), c in sorted(confusion.items(), key=lambda kv: -kv[1]):

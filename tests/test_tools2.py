@@ -369,3 +369,32 @@ class TestHSGen:
         assert hsgen.run(["-n", "10", "-q", "-s", "net.slf", "dict"]) == 0
         out = capsys.readouterr().out
         assert "Perplexity" in out and "Average Sentence Length" in out
+
+
+class TestHResultsSpeakers:
+    def test_k_mask_per_speaker_table(self, tmp_path, monkeypatch, capsys):
+        """HResults -k %%%* groups utterances by the captured speaker id
+        and prints the SPKR breakdown table with per-speaker error."""
+        # mask */%%%%_* captures the 4 chars between "*/" and "_"
+        from htk_tpu.tools import hresults
+
+        monkeypatch.chdir(tmp_path)
+        open("words.mlf", "w").write(
+            '#!MLF!#\n'
+            '"*/spkA_1.lab"\nONE\nTWO\n.\n'
+            '"*/spkA_2.lab"\nONE\n.\n'
+            '"*/spkB_1.lab"\nTWO\nTWO\n.\n')
+        open("rec.mlf", "w").write(
+            '#!MLF!#\n'
+            '"*/spkA_1.rec"\nONE\nTWO\n.\n'      # spkA: all correct
+            '"*/spkA_2.rec"\nONE\n.\n'
+            '"*/spkB_1.rec"\nTWO\nONE\n.\n')     # spkB: 1 sub of 2
+        open("list", "w").write("ONE\nTWO\n")
+        assert hresults.run(["-I", "words.mlf", "-k", "*/%%%%_*",
+                             "list", "rec.mlf"]) == 0
+        out = capsys.readouterr().out
+        assert "| SPKR" in out
+        a = [l for l in out.splitlines() if l.startswith("| spkA")][0]
+        b = [l for l in out.splitlines() if l.startswith("| spkB")][0]
+        assert "100.00" in a and "    2 |" in a  # 2 sentences, all correct
+        assert " 50.00" in b                      # 50% corr / 50% sub

@@ -65,6 +65,9 @@ class FrontendConfig:
     simple_diffs: bool = False  # SIMPLEDIFFS
     lpc_order: int = 12  # LPCORDER (PLP)
     comp_factor: float = 0.33  # COMPRESSFACT (PLP cube-root)
+    warp_freq: float = 1.0  # WARPFREQ (VTLN warp factor; 1.0 = off)
+    warp_lcut: float = 0.0  # WARPLCUTOFF (Hz)
+    warp_ucut: float = 0.0  # WARPUCUTOFF (Hz; 0 -> 0.8 * top [LC])
 
     @classmethod
     def from_config(cls, cfg: Config, samp_period: int) -> "FrontendConfig":
@@ -94,6 +97,9 @@ class FrontendConfig:
             simple_diffs=cfg.bool_("SIMPLEDIFFS", False, module=m),
             lpc_order=cfg.int_("LPCORDER", 12, module=m),
             comp_factor=cfg.flt_("COMPRESSFACT", 0.33, module=m),
+            warp_freq=cfg.flt_("WARPFREQ", 1.0, module=m),
+            warp_lcut=cfg.flt_("WARPLCUTOFF", 0.0, module=m),
+            warp_ucut=cfg.flt_("WARPUCUTOFF", 0.0, module=m),
         )
 
     # -- derived static geometry ----------------------------------------
@@ -163,6 +169,26 @@ def _mel(freq_hz: float) -> float:
     return 1127.0 * math.log(1.0 + freq_hz / 700.0)
 
 
+def _warp_freq(f: float, fl: float, fu: float, alpha: float,
+               min_f: float, max_f: float) -> float:
+    """Piecewise-linear VTLN frequency warp (HTKBook 5.10 / HSigP.c
+    WarpFreq [LC — boundary-piece coefficients follow the published
+    endpoint-preserving form]): slope 1/alpha inside [cl, cu], linear
+    boundary pieces pinning W(min_f) = min_f and W(max_f) = max_f."""
+    if alpha == 1.0:
+        return f
+    scale = 1.0 / alpha
+    cu = fu * 2.0 / (1.0 + scale)
+    cl = fl * 2.0 / (1.0 + scale)
+    if f > cu and max_f > cu:
+        au = (max_f - cu * scale) / (max_f - cu)
+        return au * (f - cu) + scale * cu
+    if f < cl and cl > min_f:
+        al = (cl * scale - min_f) / (cl - min_f)
+        return al * (f - min_f) + min_f
+    return scale * f
+
+
 def mel_weight_matrix(cfg: FrontendConfig) -> np.ndarray:
     """Triangular mel filterbank as an (n_rfft_bins, num_chans) matrix.
 
@@ -191,6 +217,17 @@ def mel_weight_matrix(cfg: FrontendConfig) -> np.ndarray:
     cf = np.zeros(max_chan + 1)
     for chan in range(1, max_chan + 1):
         cf[chan] = (chan / max_chan) * (mhi - mlo) + mlo
+    if cfg.warp_freq != 1.0:
+        # VTLN (WARPFREQ): warp the channel centres' linear frequency,
+        # endpoints pinned so the analysis band is unchanged
+        min_f = max(cfg.lo_freq, 0.0)
+        max_f = cfg.hi_freq if cfg.hi_freq > 0 else fs / 2.0
+        fu = cfg.warp_ucut if cfg.warp_ucut > 0 else 0.8 * max_f
+        fl = max(cfg.warp_lcut, min_f)
+        for chan in range(1, max_chan + 1):
+            f_hz = 700.0 * (math.exp(cf[chan] / 1127.0) - 1.0)
+            cf[chan] = _mel(_warp_freq(f_hz, fl, fu, cfg.warp_freq,
+                                       min_f, max_f))
 
     # loChan: highest centre at or below each bin's mel frequency
     lo_chan = np.full(nby2 + 1, -1, dtype=np.int64)

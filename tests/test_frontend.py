@@ -188,3 +188,65 @@ class TestFrontendParity:
         a2 = compute_features(w, cfg2)
         b2 = compute_features(np.concatenate([w, np.zeros(3000, np.float32)]), cfg2)
         np.testing.assert_allclose(a2, b2[:n_common], atol=1e-4)
+
+
+class TestVTLN:
+    """WARPFREQ piecewise-linear vocal-tract-length normalisation."""
+
+    def _cfg(self, **kw):
+        from htk_tpu.ops.dsp import FrontendConfig
+        from htk_tpu.io.parmkind import str2parmkind
+
+        return FrontendConfig(target_kind=str2parmkind("MFCC_E"),
+                              samp_period=625, **kw)
+
+    def test_warp_function_endpoints_and_slope(self):
+        from htk_tpu.ops.dsp import _warp_freq
+
+        fl, fu, a, lo, hi = 300.0, 3000.0, 1.2, 0.0, 4000.0
+        assert _warp_freq(lo, fl, fu, a, lo, hi) == pytest.approx(lo)
+        assert _warp_freq(hi, fl, fu, a, lo, hi) == pytest.approx(hi)
+        # central band: slope 1/alpha
+        assert _warp_freq(1000.0, fl, fu, a, lo, hi) == pytest.approx(
+            1000.0 / a)
+        # monotone over the whole band
+        xs = np.linspace(lo, hi, 200)
+        ys = [_warp_freq(float(x), fl, fu, a, lo, hi) for x in xs]
+        assert np.all(np.diff(ys) > 0)
+        # identity at alpha = 1
+        assert _warp_freq(1234.5, fl, fu, 1.0, lo, hi) == 1234.5
+
+    def test_warped_filterbank_moves_channels(self):
+        from htk_tpu.ops.dsp import mel_weight_matrix
+
+        W0 = mel_weight_matrix(self._cfg())
+        W1 = mel_weight_matrix(self._cfg(warp_freq=1.1))
+        assert W0.shape == W1.shape
+        assert np.abs(W0 - W1).max() > 0.01  # genuinely different
+        # every channel still collects some energy (no dead triangles)
+        assert (W1.sum(axis=0) > 0).all()
+        # a small warp change is a small matrix change (continuity)
+        W2 = mel_weight_matrix(self._cfg(warp_freq=1.1001))
+        assert np.abs(W2 - W1).max() < 0.05
+
+    def test_hcopy_warp_config(self, tmp_path, monkeypatch):
+        """WARPFREQ flows from config through HCopy (speaker-specific
+        VTLN configs, the HTK recipe pattern)."""
+        from htk_tpu.io.htkfeat import read_htk_file
+        from htk_tpu.io.wavefile import Waveform, write_wave
+        from htk_tpu.tools import hcopy
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(0)
+        s = (rng.normal(size=16000) * 500).astype(np.int16)
+        write_wave("a.wav", Waveform(samples=s, samp_period=625), fmt="WAV")
+        base = ("SOURCEFORMAT = WAV\nSOURCEKIND = WAVEFORM\n"
+                "TARGETKIND = MFCC_E\n")
+        open("c0", "w").write(base)
+        open("c1", "w").write(base + "WARPFREQ = 1.15\n")
+        assert hcopy.run(["-C", "c0", "a.wav", "f0.mfc"]) == 0
+        assert hcopy.run(["-C", "c1", "a.wav", "f1.mfc"]) == 0
+        f0 = read_htk_file("f0.mfc").data
+        f1 = read_htk_file("f1.mfc").data
+        assert f0.shape == f1.shape
+        assert np.abs(f0 - f1).max() > 1e-3

@@ -243,13 +243,49 @@ class MLF:
                 f.write(".\n")
 
 
-def load_label_file(path: str) -> Transcription:
-    """Read a single .lab file (HLabel.c : LOpen, HTK format)."""
+def load_label_file(path: str, fmt: str = "HTK") -> Transcription:
+    """Read a single .lab file (HLabel.c : LOpen).
+
+    `fmt` selects the source label format (SOURCELABEL / tool -G):
+      HTK    "[start end] name [score]" with times in 100 ns units
+      TIMIT  "start end name" with times in SAMPLE counts at 16 kHz
+             (HLabel's fixed TIMIT convention: x 625 -> 100 ns)
+      ESPS   header lines up to a '#' line, then "time color name" with
+             the END time in seconds (each label runs from the previous
+             time) [LC - field layout from the published waves+ manual]
+    SCRIBE/SAM is not implemented (needs the reference to verify).
+    """
     try:
         lines = open(path, "r").read().splitlines()
     except OSError as e:
         HError(6510, "LOpen: cannot open label file %s (%s)", path, e)
-    return parse_label_body(lines)
+    fmt = (fmt or "HTK").upper()
+    if fmt == "HTK":
+        return parse_label_body(lines)
+    tr = Transcription(alternatives=[[]])
+    if fmt == "TIMIT":
+        for raw in lines:
+            t = raw.split()
+            if len(t) >= 3:
+                tr.alternatives[0].append(Label(
+                    name=t[2], start=int(t[0]) * 625, end=int(t[1]) * 625))
+        return tr
+    if fmt == "ESPS":
+        body = False
+        prev = 0
+        for raw in lines:
+            st = raw.strip()
+            if not body:
+                body = st == "#"
+                continue
+            t = st.split()
+            if len(t) >= 3:
+                end = int(float(t[0]) * 1.0e7)
+                tr.alternatives[0].append(Label(
+                    name=t[2], start=prev, end=end))
+                prev = end
+        return tr
+    HError(6550, "load_label_file: unsupported label format %s", fmt)
 
 
 def save_label_file(path: str, tr: Transcription, with_times: bool = True):
@@ -262,6 +298,7 @@ def find_labels(
     mlfs: Sequence[MLF],
     label_dir: Optional[str] = None,
     label_ext: str = "lab",
+    fmt: str = "HTK",
 ) -> Transcription:
     """Resolve an utterance's transcription the way HTK tools do.
 
@@ -277,7 +314,7 @@ def find_labels(
         if tr is not None:
             return tr
     if os.path.exists(key):
-        return load_label_file(key)
+        return load_label_file(key, fmt)
     # try alongside the data file
     alt = os.path.join(os.path.dirname(logical), name)
     for m in mlfs:

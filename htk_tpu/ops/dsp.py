@@ -61,7 +61,7 @@ class FrontendConfig:
     lo_freq: float = -1.0  # LOFREQ
     hi_freq: float = -1.0  # HIFREQ
     use_power: bool = False  # USEPOWER
-    add_dither: float = 0.0  # ADDDITHER [LC: unsupported, must be 0]
+    add_dither: float = 0.0  # ADDDITHER (uniform +-d, fixed seed)
     simple_diffs: bool = False  # SIMPLEDIFFS
     lpc_order: int = 12  # LPCORDER (PLP)
     comp_factor: float = 0.33  # COMPRESSFACT (PLP cube-root)
@@ -97,6 +97,7 @@ class FrontendConfig:
             simple_diffs=cfg.bool_("SIMPLEDIFFS", False, module=m),
             lpc_order=cfg.int_("LPCORDER", 12, module=m),
             comp_factor=cfg.flt_("COMPRESSFACT", 0.33, module=m),
+            add_dither=cfg.flt_("ADDDITHER", 0.0, module=m),
             warp_freq=cfg.flt_("WARPFREQ", 1.0, module=m),
             warp_lcut=cfg.flt_("WARPLCUTOFF", 0.0, module=m),
             warp_ucut=cfg.flt_("WARPUCUTOFF", 0.0, module=m),
@@ -628,6 +629,13 @@ def compute_features(samples: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
     small set of compiled programs.
     """
     samples = np.asarray(samples, dtype=np.float32)
+    if cfg.add_dither > 0.0 and len(samples):
+        # HParm ADDDITHER: +-d uniform noise so digital silence never
+        # hits log(0). HTK draws from rand(); a fixed-seed generator
+        # keeps our features reproducible run to run.
+        rng = np.random.default_rng(12345)
+        samples = samples + cfg.add_dither * (
+            2.0 * rng.random(len(samples), dtype=np.float32) - 1.0)
     T = num_frames(len(samples), cfg)
     if T < 1:
         HError(6322, "Frontend: utterance too short (%d samples)", len(samples))

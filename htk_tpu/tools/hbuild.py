@@ -219,7 +219,7 @@ def run(argv: List[str]) -> int:
         with open(ta.get("n")) as f:
             head = f.read(4096)
         if "\\data\\" in head:
-            lm = read_arpa(ta.get("n", ta.config))
+            lm = read_arpa(ta.get("n"), ta.config)
         else:
             from ..io.lm import read_matrix_bigram
 

@@ -101,7 +101,7 @@ def run(argv: List[str]) -> int:
     comp = compile_hmmset(hset)
     vocab = read_dict(dict_file, ta.config)
     load_hmm_list(hmm_list_file, ta.config)
-    lm = read_arpa(ta.get("w", ta.config))
+    lm = read_arpa(ta.get("w"), ta.config)
 
     # sentence boundary words (HDecode STARTWORD/ENDWORD config): when
     # the dictionary gives them pronunciations (recipe convention

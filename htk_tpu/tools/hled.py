@@ -50,6 +50,7 @@ OPTS = {
     "L": Option("L", 1, "input label dir"),
     "X": Option("X", 1, "input label ext"),
     "m": Option("m", 0, "strip times (accepted)"),
+    "G": Option("G", 1, "source label format (HTK/TIMIT/ESPS)"),
 }
 
 
@@ -177,7 +178,7 @@ def run(argv: List[str]) -> int:
     ta = parse_args("HLEd", argv, OPTS, min_args=1, usage=USAGE)
     script_file = ta.args[0]
     files = ta.script + ta.args[1:]
-    vocab = read_dict(ta.get("d", ta.config)) if ta.has("d") else None
+    vocab = read_dict(ta.get("d"), ta.config) if ta.has("d") else None
 
     ed = LabelEditor(vocab)
     ed.parse_script(open(script_file).read())
@@ -188,6 +189,11 @@ def run(argv: List[str]) -> int:
     out_dir = ta.get("l")
     out_ext = ta.get("y", "lab")
 
+    # -G / SOURCELABEL: TIMIT (.phn/.wrd sample-count times) and ESPS
+    # label files convert here, the HTK-recipe entry point into MLFs
+    src_fmt = (ta.get("G")
+               or ta.config.str_("SOURCELABEL", "HTK", module="HLABEL")
+               or "HTK")
     # inputs: label files or MLFs listed directly
     entries = []
     for fn in files:
@@ -200,7 +206,7 @@ def run(argv: List[str]) -> int:
             for pattern, tr in m.entries:
                 entries.append((pattern, tr))
         else:
-            entries.append((fn, load_label_file(fn)))
+            entries.append((fn, load_label_file(fn, src_fmt)))
 
     for key, tr in entries:
         new_tr = ed.apply(tr)

@@ -52,7 +52,7 @@ def run(argv: List[str]) -> int:
     if not lat_files:
         HError(1030, "HLRescore: no lattice files\n%s", USAGE)
 
-    lm = read_arpa(ta.get("n", ta.config)) if ta.has("n") else None
+    lm = read_arpa(ta.get("n"), ta.config) if ta.has("n") else None
     out_mlf_path = ta.get("i")
     out_mlf = MLF() if out_mlf_path else None
     out_dir = ta.get("l", ".")

@@ -199,7 +199,7 @@ def run(argv: List[str]) -> int:
     hset = load_mmf(mmfs, cfg=ta.config)
     load_hmm_list(hmm_list_file, ta.config)
     comp = compile_hmmset(hset)
-    vocab = read_dict(ta.get("d", ta.config)) if ta.has("d") else None
+    vocab = read_dict(ta.get("d"), ta.config) if ta.has("d") else None
     mlfs = [MLF.load(p, ta.config) for p in ta.get_all("I")]
     lm_scale = float(ta.get("s", 1.0) or 1.0)
 
@@ -271,7 +271,7 @@ def run(argv: List[str]) -> int:
 
         # MMI numerator
         if ta.has("q"):
-            num_lat = read_slf(os.path.join(ta.get("q", ta.config), f"{stem}.lat"))
+            num_lat = read_slf(os.path.join(ta.get("q"), f"{stem}.lat"), ta.config)
             num_total, _ = accumulate_lattice(
                 num_lat, vocab, comp, trainer, data, period, stem, lm_scale,
                 num_total,

@@ -287,7 +287,7 @@ def run(argv: List[str]) -> int:
     if ta.has("w"):
         from ..algo.net import word_internal_phone_map
 
-        lat = read_slf(ta.get("w", ta.config))
+        lat = read_slf(ta.get("w"), ta.config)
         # HNet.c config: FORCECXTEXP forces full cross-word context
         # expansion; ALLOWXWRDEXP permits it when the set is context-
         # dependent. CFPHONES (own key [LC]) lists transparent phones.

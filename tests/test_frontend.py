@@ -250,3 +250,16 @@ class TestVTLN:
         f1 = read_htk_file("f1.mfc").data
         assert f0.shape == f1.shape
         assert np.abs(f0 - f1).max() > 1e-3
+
+    def test_adddither_breaks_digital_silence(self):
+        """ADDDITHER keeps log-energy finite on all-zero input and is
+        reproducible (fixed seed)."""
+        from htk_tpu.ops.dsp import compute_features
+
+        z = np.zeros(16000, np.int16)
+        f1 = compute_features(z, self._cfg(add_dither=1.0))
+        f2 = compute_features(z, self._cfg(add_dither=1.0))
+        assert np.isfinite(f1).all()
+        np.testing.assert_array_equal(f1, f2)
+        f0 = compute_features(z, self._cfg())
+        assert not np.array_equal(f0, f1)

@@ -209,3 +209,53 @@ class TestMetrics:
                              "rec.mlf"]) == 0
         rec = json.loads(open("m.jsonl").readline())
         assert rec["tool"] == "HResults" and rec["corr"] == 100.0
+
+
+class TestLabelFormats:
+    def test_timit_labels_convert(self, tmp_path, monkeypatch):
+        """HLEd -G TIMIT converts sample-count labels into an HTK MLF
+        (the TIMIT .phn recipe entry point)."""
+        from htk_tpu.io.mlf import MLF
+        from htk_tpu.tools import hled
+
+        monkeypatch.chdir(tmp_path)
+        open("u1.phn", "w").write("0 1600 sil\n1600 9600 aa\n9600 12800 sil\n")
+        open("noop.led", "w").write("\n")
+        assert hled.run(["-G", "TIMIT", "-i", "out.mlf",
+                         "noop.led", "u1.phn"]) == 0
+        m = MLF.load("out.mlf")
+        tr = m.entries[0][1]
+        assert [l.name for l in tr.labels] == ["sil", "aa", "sil"]
+
+    def test_timit_times_scale_by_625(self):
+        from htk_tpu.io.mlf import load_label_file
+        import os, tempfile
+
+        d = tempfile.mkdtemp()
+        p = os.path.join(d, "x.phn")
+        open(p, "w").write("0 16000 aa\n")
+        tr = load_label_file(p, "TIMIT")
+        assert tr.labels[0].start == 0
+        assert tr.labels[0].end == 16000 * 625  # 1 s at 16 kHz
+
+    def test_esps_labels(self, tmp_path):
+        from htk_tpu.io.mlf import load_label_file
+
+        p = str(tmp_path / "x.lab")
+        open(p, "w").write(
+            "signal x\nnfields 1\n#\n  0.50 121 aa\n  1.25 121 iy\n")
+        tr = load_label_file(p, "ESPS")
+        assert [l.name for l in tr.labels] == ["aa", "iy"]
+        assert tr.labels[0].start == 0 and tr.labels[0].end == 5000000
+        assert tr.labels[1].start == 5000000 and tr.labels[1].end == 12500000
+
+    def test_unknown_format_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        from htk_tpu.io.mlf import load_label_file
+        from htk_tpu.utils.errors import HTKError
+
+        p = str(tmp_path / "y.lab")
+        open(p, "w").write("x\n")
+        with _pytest.raises(HTKError):
+            load_label_file(p, "SCRIBE")

@@ -38,6 +38,10 @@ from .net import DecodeNetwork
 # word-link record packing: one uint32 per state, (wn+1) << REC_TBITS | t
 REC_TBITS = 15
 REC_TMASK = (1 << REC_TBITS) - 1          # max frame index (32767)
+
+# per-network LRU bound on (CompiledHMMSet, jitted pipeline) pairs —
+# train-decode loops recompile the set each iteration
+_COMP_CACHE_MAX = 4
 REC_MAXROWS = (1 << (32 - REC_TBITS)) - 2  # max (word, pron) rows (131k)
 
 
@@ -179,8 +183,10 @@ def decode_scan_uniform(
     `xw`: factored cross-word tables (net.xw_backoff, already LM-scaled)
     — replaces the dense matvec/top-k with the back-off leg
     max_i(WE+bow)+uni plus bucketed explicit-bigram gathers:
-    O(#bigrams) per frame, exact at any vocabulary, `max_active`
-    unnecessary and ignored.
+    O(#bigrams) per frame with no row pruning (`max_active` unnecessary
+    and ignored). Both the factored and dense paths implement back-off-
+    NETWORK semantics — max(explicit bigram, bow + uni) — so they agree
+    bit-for-bit (see lvnet.lm_loop_matrices).
     """
     T, Ns = outp_states.shape
     C = Ns // S
@@ -693,9 +699,19 @@ def _lv_pipeline(net, comp, precision, max_active, state_mode=False):
            id(comp) if comp is not None else None)
     # the jitted program bakes comp's parameters in as constants, and the
     # cache key uses id(comp) — retain comp so a freed set's id can never
-    # be reused for a different parameter set against the same net
+    # be reused for a different parameter set against the same net.
+    # LRU-bounded: train-decode loops recompile the set each iteration,
+    # and an unbounded cache would pin every generation's parameters
+    # (plus its jitted executable) in device memory forever.
     if comp is not None:
-        d.setdefault("comp_refs", {})[id(comp)] = comp
+        refs = d.setdefault("comp_refs", {})
+        refs.pop(id(comp), None)
+        refs[id(comp)] = comp  # move-to-end = most recently used
+        while len(refs) > _COMP_CACHE_MAX:
+            old_id, _old = next(iter(refs.items()))
+            del refs[old_id]
+            for k in [k for k in d["jits"] if k[-1] == old_id]:
+                del d["jits"][k]
     fn = d["jits"].get(key)
     if fn is None:
         S = net.uniform_width
@@ -806,6 +822,13 @@ def _dev_lens(t_reals) -> jnp.ndarray:
 
 def _decode_uniform(net, comp, x, t_reals, lm_scale, word_pen, beam,
                     max_active, precision, state_mode=False):
+    # the packed word-link record carries a 15-bit frame field; past it
+    # the frame index would silently overflow into the row bits
+    # (callers chunk long utterances before reaching this point)
+    if x.shape[1] > REC_TMASK:
+        HError(8520, "decode: %d frames exceed the packed record's "
+                     "15-bit frame field (max %d) — chunk the utterance",
+               x.shape[1], REC_TMASK)
     fn = _lv_pipeline(net, comp, precision, max_active, state_mode)
     packed, scores = fn(
         x, _dev_lens(t_reals), _dev_scalar(lm_scale),

@@ -112,7 +112,16 @@ def fullcov_update(hset, comp: CompiledHMMSet, accs, xxT: np.ndarray,
         mu = sum_x[i] / occ[i]
         inv = None
         if flags.variances:
-            cov = xxT[i] / occ[i] - np.outer(mu, mu)
+            if flags.means:
+                cov = xxT[i] / occ[i] - np.outer(mu, mu)
+            else:
+                # means stay fixed: the covariance must be the second
+                # moment AROUND THE RETAINED MEAN m, E[(x-m)(x-m)^T] =
+                # xxT/occ - mu m^T - m mu^T + m m^T, not around the new
+                # sample mean (which would pair inconsistent moments)
+                m_old = np.asarray(mp.mean, np.float64)
+                cov = (xxT[i] / occ[i] - np.outer(mu, m_old)
+                       - np.outer(m_old, mu) + np.outer(m_old, m_old))
             cov = 0.5 * (cov + cov.T) + min_var * np.eye(D)  # diag loading
             try:
                 inv = np.linalg.inv(cov)

@@ -53,9 +53,13 @@ def lm_loop_matrices(words: Sequence[str], lm: NGramLM,
     """Dense back-off bigram word-loop matrices from the ARPA tables.
 
     Returns (trans (W, W), start_entry (W,), end_exit (W,)) in natural
-    logs: trans[i, j] = ln P(w_j | w_i) with the back-off rule
-    bow(w_i) + uni(w_j) overwritten by explicit bigrams (HLM.c
-    GetLMProb semantics, vectorised)."""
+    logs: trans[i, j] = ln P(w_j | w_i) with back-off-NETWORK semantics,
+    max(explicit bigram, bow(w_i) + uni(w_j)) — both paths physically
+    exist in an HBuild back-off word network and the decoder maxes over
+    them (SURVEY §2.3 HBuild; `HTKLib/HLM.c` strict GetLMProb replacement
+    differs only where discounting pushes an explicit bigram below its
+    own back-off product). This matches the factored `_factored_rows`
+    form exactly, so the dense and factored paths agree bit-for-bit."""
     W = len(words)
     idx = {w: k for k, w in enumerate(words)}
     uni = np.empty(W, np.float64)
@@ -70,35 +74,45 @@ def lm_loop_matrices(words: Sequence[str], lm: NGramLM,
         i = idx.get(w1)
         j = idx.get(w2)
         if i is not None and j is not None:
-            trans[i, j] = p
+            trans[i, j] = max(trans[i, j], p)
 
     if sent_start in lm.unigrams:
         ss_bow = lm.unigrams[sent_start][1]
         start_entry = ss_bow + uni
         for (w1, w2), (p, _bo) in lm.bigrams.items():
             if w1 == sent_start and w2 in idx:
-                start_entry[idx[w2]] = p
+                j = idx[w2]
+                start_entry[j] = max(start_entry[j], p)
     else:
         start_entry = uni.copy()
     if sent_end in lm.unigrams:
         end_exit = bow + lm.unigrams[sent_end][0]
         for (w1, w2), (p, _bo) in lm.bigrams.items():
             if w2 == sent_end and w1 in idx:
-                end_exit[idx[w1]] = p
+                i = idx[w1]
+                end_exit[i] = max(end_exit[i], p)
     else:
         end_exit = np.zeros(W, np.float64)
     return trans, start_entry, end_exit
 
 
 def _start_end_vectors(words, lm, sent_start, sent_end):
-    """Word-level start/end log-probs, matching lm_loop_matrices."""
+    """Word-level start/end log-probs, matching lm_loop_matrices'
+    back-off-network max(explicit, bow + uni) semantics."""
     W = len(words)
     if sent_start in lm.unigrams:
-        w_start = np.array([lm.logp_bi(sent_start, w) for w in words])
+        ss_bow = lm.unigrams[sent_start][1]
+        w_start = np.array(
+            [max(lm.logp_bi(sent_start, w), ss_bow + lm.logp_uni(w))
+             for w in words])
     else:
         w_start = np.array([lm.logp_uni(w) for w in words])
     if sent_end in lm.unigrams:
-        w_end = np.array([lm.logp_bi(w, sent_end) for w in words])
+        e_uni = lm.unigrams[sent_end][0]
+        w_end = np.array(
+            [max(lm.logp_bi(w, sent_end),
+                 lm.unigrams[w][1] + e_uni if w in lm.unigrams else LZERO)
+             for w in words])
     else:
         w_end = np.zeros(W, np.float64)
     return w_start, w_end

@@ -84,27 +84,40 @@ def open_speech_file(
         return (feats, period,
                 fcfg.target_kind & ~(pk.HASCOMPX | pk.HASCRCC), e)
     src_fmt_c = (cfg.str_("SOURCEFORMAT", "HTK", module="HWAVE") or "HTK").upper()
-    # HShell xxFILTER channels: feature reads (and the ANON header peek)
-    # go through HPARMFILTER, waveform reads through HWAVEFILTER
+    # HShell xxFILTER channels: feature reads go through HPARMFILTER,
+    # waveform reads through HWAVEFILTER — only the channel actually
+    # opened runs its filter (HShell.c FOpen channel table), so a
+    # configured parm filter never touches (or breaks on) raw audio
     from ..utils.filters import cleanup, maybe_filter
 
-    ppath, ptmp = maybe_filter(e.physical, "HPARMFILTER", cfg)
+    ppath = ptmp = None
     wtmp = None
+
+    def parm_path():
+        nonlocal ppath, ptmp
+        if ppath is None:
+            ppath, ptmp = maybe_filter(e.physical, "HPARMFILTER", cfg)
+        return ppath
+
     try:
         if src_kind == "ANON":
             # HTK's ANON: take the kind from the file itself. For
             # HTK-format files peek at the 12-byte header; non-HTK audio
-            # formats imply WAVEFORM.
+            # formats imply WAVEFORM. Peek the raw bytes first; if they
+            # don't parse as an HTK header, retry through HPARMFILTER
+            # (the file may be stored compressed).
+            src_kind = "WAVEFORM"
             if src_fmt_c == "HTK":
-                try:
-                    with open(ppath, "rb") as f:
-                        hdr = f.read(12)
-                    kind_code = int(np.frombuffer(hdr[10:12], dtype=">i2")[0])
-                    src_kind = pk.BASE_KINDS[pk.base_kind(kind_code)]
-                except Exception:
-                    src_kind = "WAVEFORM"
-            else:
-                src_kind = "WAVEFORM"
+                for path_fn in (lambda: e.physical, parm_path):
+                    try:
+                        with open(path_fn(), "rb") as f:
+                            hdr = f.read(12)
+                        kind_code = int(
+                            np.frombuffer(hdr[10:12], dtype=">i2")[0])
+                        src_kind = pk.BASE_KINDS[pk.base_kind(kind_code)]
+                        break
+                    except Exception:
+                        continue
         if pk.base_kind(pk.str2parmkind(src_kind)) == pk.BASE_KINDS.index("WAVEFORM"):
             src_fmt = cfg.str_("SOURCEFORMAT", "HTK", module="HWAVE") or "HTK"
             src_rate = cfg.int_("SOURCERATE", 0, module="HWAVE") or cfg.int_(
@@ -125,14 +138,14 @@ def open_speech_file(
             # requires for Entropic inputs
             from ..io.esignal import read_esig
 
-            ef = read_esig(ppath)
+            ef = read_esig(parm_path())
             data = ef.data.astype(np.float32)
             if e.start is not None:
                 data = data[e.start : e.end + 1]
             kind = pk.str2parmkind(
                 src_kind if src_kind not in ("ANON", "WAVEFORM") else "USER")
             return data, ef.samp_period or 100000, kind, e
-        ff = read_htk_file(ppath)
+        ff = read_htk_file(parm_path())
         data = ff.data
         if e.start is not None:
             data = data[e.start : e.end + 1]

@@ -684,6 +684,90 @@ def _traceback_device(vb, wnb, wtb, WEb, pwnb, pwtb, aE, end_exit_s,
     return jax.vmap(one)(vb, wnb, wtb, WEb, pwnb, pwtb, t_reals)
 
 
+def _retain_comp(d, comp):
+    """LRU-retain comp against the net's jit cache (see _lv_pipeline)."""
+    if comp is None:
+        return
+    refs = d.setdefault("comp_refs", {})
+    refs.pop(id(comp), None)
+    refs[id(comp)] = comp  # move-to-end = most recently used
+    while len(refs) > _COMP_CACHE_MAX:
+        old_id, _old = next(iter(refs.items()))
+        del refs[old_id]
+        for k in [k for k in d["jits"] if k[-1] == old_id]:
+            del d["jits"][k]
+
+
+def _lv_scan_body(net, comp, d, precision, max_active, state_mode,
+                  x, lm_scale, word_pen, beam):
+    """Traced core shared by the 1-best and lattice LV pipelines:
+    chunk-wise OutP fused into the uniform-row scan.
+
+    Returns the final carry (v, rec) plus the per-frame record planes
+    WEs/pwns/pwts in (B, T, C) layout (plane t = word ends at time t-1).
+    """
+    S = net.uniform_width
+    B, T = x.shape[0], x.shape[1]
+    Ns = len(net.comp_state)
+    C = Ns // S
+    xw_d = d.get("xw")
+    xw_s = None
+    if xw_d is not None:
+        xw_s = {
+            "bow": xw_d["bow"] * lm_scale,
+            "uni": xw_d["uni"] * lm_scale,
+            "buckets": [(p, s * lm_scale)
+                        for p, s in xw_d["buckets"]],
+            "inv": xw_d["inv"],
+        }
+    step = _make_uniform_step(
+        B, Ns, d["band"], d["a0"], d["aE"], S, d["bonus"],
+        d["trans"] * lm_scale, d["start"] * lm_scale,
+        word_pen, beam, max_active, xw_s, None)
+
+    def outp_of(fchunk):
+        if state_mode:  # (B, t, S_phys) external state scores
+            return fchunk[:, :, d["comp_state"]]
+        return jax.vmap(
+            lambda f: _net_outp(net, comp, f, precision))(fchunk)
+
+    # OutP is computed CHUNK-WISE inside the scan: the full
+    # (B, T, Ns) plane is ~2.5 GB at 5k vocab — materialising it
+    # costs an extra HBM round-trip and caps the batch size.
+    # The chunk itself is sized to ~1 GB: at 100k-vocab rows
+    # (1.6M network states) a 64-frame chunk alone would be
+    # 3.3 GB, so large nets drop to shorter chunks.
+    CH = T
+    for c in (64, 32, 16, 8):
+        if T % c == 0:
+            CH = c
+            break
+    while (CH > 8 and CH % 2 == 0 and T % (CH // 2) == 0
+           and B * CH * Ns * 4 > 1 << 30):
+        CH //= 2
+    init = (
+        jnp.full((B, Ns), LZERO, jnp.float32),
+        jnp.zeros((B, Ns), jnp.uint32),
+    )
+
+    def outer(carry, c):
+        fchunk = jax.lax.dynamic_slice_in_dim(x, c * CH, CH, 1)
+        outp_chunk = outp_of(fchunk)  # (B, CH, Ns)
+
+        def inner(carry2, tl):
+            outp_t = jax.lax.dynamic_index_in_dim(
+                outp_chunk, tl, axis=1, keepdims=False)
+            return step(carry2, outp_t, c * CH + tl)
+
+        return jax.lax.scan(inner, carry, jnp.arange(CH))
+
+    (v, rec), recs = jax.lax.scan(outer, init, jnp.arange(T // CH))
+    WEs = jnp.swapaxes(recs[0].reshape(T, B, C), 0, 1)
+    pwns = jnp.swapaxes(recs[1].reshape(T, B, C), 0, 1)
+    pwts = jnp.swapaxes(recs[2].reshape(T, B, C), 0, 1)
+    return (v, rec), WEs, pwns, pwts
+
+
 def _lv_pipeline(net, comp, precision, max_active, state_mode=False):
     """ONE jitted program per net: OutP -> scan -> device traceback.
 
@@ -703,80 +787,15 @@ def _lv_pipeline(net, comp, precision, max_active, state_mode=False):
     # LRU-bounded: train-decode loops recompile the set each iteration,
     # and an unbounded cache would pin every generation's parameters
     # (plus its jitted executable) in device memory forever.
-    if comp is not None:
-        refs = d.setdefault("comp_refs", {})
-        refs.pop(id(comp), None)
-        refs[id(comp)] = comp  # move-to-end = most recently used
-        while len(refs) > _COMP_CACHE_MAX:
-            old_id, _old = next(iter(refs.items()))
-            del refs[old_id]
-            for k in [k for k in d["jits"] if k[-1] == old_id]:
-                del d["jits"][k]
+    _retain_comp(d, comp)
     fn = d["jits"].get(key)
     if fn is None:
         S = net.uniform_width
 
-        xw_d = d.get("xw")
-
         def pipe(x, t_reals, lm_scale, word_pen, beam):
-            B, T = x.shape[0], x.shape[1]
-            Ns = len(net.comp_state)
-            C = Ns // S
-            xw_s = None
-            if xw_d is not None:
-                xw_s = {
-                    "bow": xw_d["bow"] * lm_scale,
-                    "uni": xw_d["uni"] * lm_scale,
-                    "buckets": [(p, s * lm_scale)
-                                for p, s in xw_d["buckets"]],
-                    "inv": xw_d["inv"],
-                }
-            step = _make_uniform_step(
-                B, Ns, d["band"], d["a0"], d["aE"], S, d["bonus"],
-                d["trans"] * lm_scale, d["start"] * lm_scale,
-                word_pen, beam, max_active, xw_s, None)
-
-            def outp_of(fchunk):
-                if state_mode:  # (B, t, S_phys) external state scores
-                    return fchunk[:, :, d["comp_state"]]
-                return jax.vmap(
-                    lambda f: _net_outp(net, comp, f, precision))(fchunk)
-
-            # OutP is computed CHUNK-WISE inside the scan: the full
-            # (B, T, Ns) plane is ~2.5 GB at 5k vocab — materialising it
-            # costs an extra HBM round-trip and caps the batch size.
-            # The chunk itself is sized to ~1 GB: at 100k-vocab rows
-            # (1.6M network states) a 64-frame chunk alone would be
-            # 3.3 GB, so large nets drop to shorter chunks.
-            CH = T
-            for c in (64, 32, 16, 8):
-                if T % c == 0:
-                    CH = c
-                    break
-            while (CH > 8 and CH % 2 == 0 and T % (CH // 2) == 0
-                   and B * CH * Ns * 4 > 1 << 30):
-                CH //= 2
-            init = (
-                jnp.full((B, Ns), LZERO, jnp.float32),
-                jnp.zeros((B, Ns), jnp.uint32),
-            )
-
-            def outer(carry, c):
-                fchunk = jax.lax.dynamic_slice_in_dim(x, c * CH, CH, 1)
-                outp_chunk = outp_of(fchunk)  # (B, CH, Ns)
-
-                def inner(carry2, tl):
-                    outp_t = jax.lax.dynamic_index_in_dim(
-                        outp_chunk, tl, axis=1, keepdims=False)
-                    return step(carry2, outp_t, c * CH + tl)
-
-                return jax.lax.scan(inner, carry, jnp.arange(CH))
-
-            (v, rec), recs = jax.lax.scan(outer, init,
-                                          jnp.arange(T // CH))
-            WEs = jnp.swapaxes(recs[0].reshape(T, B, C), 0, 1)
-            pwns = jnp.swapaxes(recs[1].reshape(T, B, C), 0, 1)
-            pwts = jnp.swapaxes(recs[2].reshape(T, B, C), 0, 1)
+            (v, rec), WEs, pwns, pwts = _lv_scan_body(
+                net, comp, d, precision, max_active, state_mode,
+                x, lm_scale, word_pen, beam)
             wn = (rec >> REC_TBITS).astype(jnp.int32) - 1
             wt = (rec & REC_TMASK).astype(jnp.int32) - 1
             nodes, t0s, t1s, scores = _traceback_device(
@@ -785,6 +804,77 @@ def _lv_pipeline(net, comp, precision, max_active, state_mode=False):
             # ONE packed plane: through the dev tunnel each host fetch
             # pays ~27 ms latency regardless of size
             return jnp.stack([nodes, t0s, t1s], axis=1), scores
+
+        fn = jax.jit(pipe)
+        d["jits"][key] = fn
+    return fn
+
+
+def _lv_lattice_pipeline(net, comp, precision, max_active, k_lat,
+                         state_mode=False):
+    """Jitted batched lattice front half: fused scan + device-side
+    top-K record compaction.
+
+    Shipping the full (B, T, C) word-end planes to the host costs
+    ~30 MB/utterance at LV sizes; lattices only need the records within
+    the lattice beam of each frame's best. The device emits the top
+    `k_lat` records per (utterance, frame) — scores, row ids and packed
+    predecessors — so the host fetch shrinks by C/k_lat (~20x at 5k).
+    The full planes stay resident on device for the rare transitive
+    predecessor resurrections (see generate_lattice_batch).
+    """
+    d = _net_dev(net)
+    key = ("latpipe", precision, max_active, state_mode, k_lat,
+           id(comp) if comp is not None else None)
+    _retain_comp(d, comp)
+    fn = d["jits"].get(key)
+    if fn is None:
+        S = net.uniform_width
+
+        def pipe(x, t_reals, lm_scale, word_pen, beam):
+            (v, rec), WEs, pwns, pwts = _lv_scan_body(
+                net, comp, d, precision, max_active, state_mode,
+                x, lm_scale, word_pen, beam)
+            B, T, C = WEs.shape
+            # final word ends per utterance: plane t_real when t_real < T
+            # (ends at t_real-1 are emitted by scan step t_real), else
+            # from the final carry — mirrors _traceback_device
+            aE = d["aE"]
+            ev = (v + aE[None]).reshape(B, C, S)
+            WEl = jnp.max(ev, axis=2)
+            best_s = jnp.argmax(ev, axis=2)
+            col = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+            onehot = best_s[..., None] == col
+            okl = WEl > LSMALL
+            IMIN = jnp.iinfo(jnp.int32).min
+            wn = (rec >> REC_TBITS).astype(jnp.int32) - 1
+            wt = (rec & REC_TMASK).astype(jnp.int32) - 1
+            pwnl = jnp.where(
+                okl,
+                jnp.max(jnp.where(onehot, wn.reshape(B, C, S), IMIN),
+                        axis=2), -1)
+            pwtl = jnp.where(
+                okl,
+                jnp.max(jnp.where(onehot, wt.reshape(B, C, S), IMIN),
+                        axis=2), -1)
+            use_last = (t_reals >= T)[:, None]
+            trc = jnp.clip(t_reals, 0, T - 1)
+            bi = jnp.arange(B)
+            WE_fin = jnp.where(use_last, WEl, WEs[bi, trc])
+            pwn_fin = jnp.where(use_last, pwnl, pwns[bi, trc])
+            pwt_fin = jnp.where(use_last, pwtl, pwts[bi, trc])
+
+            K = min(k_lat, C)
+            sc_k, ix_k = jax.lax.top_k(WEs, K)  # (B, T, K)
+            ix_k = ix_k.astype(jnp.int32)
+            pn_k = jnp.take_along_axis(pwns, ix_k, axis=2)
+            pt_k = jnp.take_along_axis(pwts, ix_k, axis=2)
+            scf_k, ixf_k = jax.lax.top_k(WE_fin, K)  # (B, K)
+            ixf_k = ixf_k.astype(jnp.int32)
+            pnf_k = jnp.take_along_axis(pwn_fin, ixf_k, axis=1)
+            ptf_k = jnp.take_along_axis(pwt_fin, ixf_k, axis=1)
+            compact = (sc_k, ix_k, pn_k, pt_k, scf_k, ixf_k, pnf_k, ptf_k)
+            return compact, (WEs, pwns, pwts)
 
         fn = jax.jit(pipe)
         d["jits"][key] = fn
@@ -1088,33 +1178,57 @@ def generate_lattice(
     if not rec:
         return (None, res) if want_result else None
 
+    def resolve(pn, pt):
+        score = float(WEs[pt + 1, pn]) if pt < T - 1 else float(WE_fin[pn])
+        if score <= LSMALL:
+            return None
+        ppn = int(pwns[pt + 1, pn]) if pt < T - 1 else int(pwn_fin[pn])
+        ppt = int(pwts[pt + 1, pn]) if pt < T - 1 else int(pwt_fin[pn])
+        return score, ppn, ppt
+
+    lat = _lattice_from_rec(net, rec, resolve, T, frame_period_s,
+                            lm_scale, word_pen)
+    return (lat, res) if want_result else lat
+
+
+def _lattice_from_rec(net, rec, resolve, T_real, frame_period_s,
+                      lm_scale, word_pen):
+    """Build a Lattice from beam-kept word-end records.
+
+    `rec`: {(node, t): (score, pred_node, pred_t)} in deterministic
+    insertion order; `resolve(pn, pt)` recovers a record that the beam
+    dropped (returns (score, ppn, ppt) or None when unavailable).
+    Shared by the sequential and batched lattice generators so both emit
+    byte-identical SLF for identical record sets.
+    """
+    from ..io.slf import Lattice, LArc, LNode, NULL_WORD
+
     # Transitively retain predecessor records referenced by survivors:
     # a beam keeps the best ends per frame, but a kept record's traceback
     # may point at a pruned (pn, pt) — HTK's LatFromPaths never emits arcs
     # to pruned predecessors, so resurrect them from the word-end planes
-    # (their scores are still in WEs) rather than rerouting to the start.
+    # (their scores are still there) rather than rerouting to the start.
     stack = list(rec)
     while stack:
         i, t = stack.pop()
         _, pn, pt = rec[(i, t)]
         if pn < 0 or (pn, pt) in rec:
             continue
-        score = float(WEs[pt + 1, pn]) if pt < T - 1 else float(WE_fin[pn])
-        if score <= LSMALL:
+        got = resolve(pn, pt)
+        if got is None:
             # genuinely unavailable: sever so the arc is dropped, not
             # misattached to the utterance start
             rec[(i, t)] = (rec[(i, t)][0], -1, -2)
             continue
-        ppn = int(pwns[pt + 1, pn]) if pt < T - 1 else int(pwn_fin[pn])
-        ppt = int(pwts[pt + 1, pn]) if pt < T - 1 else int(pwt_fin[pn])
-        rec[(pn, pt)] = (score, ppn, ppt)
+        rec[(pn, pt)] = got
         stack.append((pn, pt))
 
     lat = Lattice(lmscale=lm_scale, wdpenalty=word_pen)
     start_id = 0
     lat.nodes.append(LNode(id=0, time=0.0, word=NULL_WORD))
     end_id = 1
-    lat.nodes.append(LNode(id=1, time=T * frame_period_s, word=NULL_WORD))
+    lat.nodes.append(
+        LNode(id=1, time=T_real * frame_period_s, word=NULL_WORD))
     node_id = {}
     for (i, t) in sorted(rec, key=lambda k: (k[1], k[0])):
         nid = len(lat.nodes)
@@ -1145,8 +1259,126 @@ def generate_lattice(
             lat.arcs.append(LArc(id=aid, start=node_id[(pn, pt)], end=nid,
                                  aclike=ac, lmlike=lm))
             aid += 1
-        if t == T - 1 and end_exit[i] > LSMALL:
+        if t == T_real - 1 and end_exit[i] > LSMALL:
             lat.arcs.append(LArc(id=aid, start=nid, end=end_id,
                                  aclike=0.0, lmlike=float(end_exit[i])))
             aid += 1
-    return (lat, res) if want_result else lat
+    return lat
+
+
+# device-side top-K record compaction width for batched lattice
+# generation: frames whose in-beam record count exceeds this keep only
+# their best LAT_TOPK — an effective per-frame width cap on top of the
+# lattice beam (HLVRec bounds record growth per frame the same way)
+LAT_TOPK = 256
+
+
+def generate_lattice_batch(
+    net: DecodeNetwork,
+    comp: CompiledHMMSet,
+    feats_list: List[np.ndarray],
+    lm_scale: float = 1.0,
+    word_pen: float = 0.0,
+    lattice_beam: float = 200.0,
+    frame_period_s: float = 0.01,
+    precision: str = "highest",
+    beam: Optional[float] = None,
+    max_active: Optional[int] = None,
+    pad_to: int = 128,
+    k_lat: Optional[int] = None,
+    state_scores_list: Optional[List[np.ndarray]] = None,
+):
+    """Batched lattice generation — a bucket of utterances through ONE
+    fused scan (the HDecode batch path; `HTKLVRec/HDecode.c` decodes its
+    file list sequentially, this is the TPU replacement).
+
+    Uniform-row (LV) networks only; other nets fall back to sequential
+    generate_lattice. Identical lattices to the sequential path whenever
+    `k_lat` covers every in-beam record per frame (tested); by default
+    k_lat=LAT_TOPK caps each frame's records at the 256 best, a width
+    cap alongside the lattice beam.
+    """
+    if not net.uniform_width:
+        return [generate_lattice(
+            net, comp, f, lm_scale, word_pen, lattice_beam,
+            frame_period_s, precision,
+            state_scores=(state_scores_list[i] if state_scores_list
+                          else None),
+            beam=beam, max_active=max_active)
+            for i, f in enumerate(feats_list)]
+
+    B = len(feats_list)
+    state_mode = state_scores_list is not None
+    src = state_scores_list if state_mode else feats_list
+    lens = [int(f.shape[0]) for f in src]
+    if max(lens) > REC_TMASK:
+        HError(8520, "generate_lattice_batch: %d frames exceed the packed "
+                     "record's 15-bit frame field (max %d) — chunk the "
+                     "utterance", max(lens), REC_TMASK)
+    T = ((max(lens) + pad_to - 1) // pad_to) * pad_to
+    D = src[0].shape[1]
+    fb = np.zeros((B, T, D), np.float32)
+    for b, f in enumerate(src):
+        fb[b, : lens[b]] = f
+
+    C = net.n_chains
+    K = min(k_lat if k_lat is not None else LAT_TOPK, C)
+    fn = _lv_lattice_pipeline(net, comp if not state_mode else None,
+                              precision, max_active, K, state_mode)
+    compact, planes = fn(
+        jnp.asarray(fb), _dev_lens(lens), _dev_scalar(lm_scale),
+        _dev_scalar(word_pen),
+        _dev_scalar(_BEAM_OFF if beam is None else beam))
+    # ONE stacked fetch for the compacted records (f32 view of the int
+    # planes is safe: rows < 2^17, frames < 2^15 are exact in f32)
+    sc_k, ix_k, pn_k, pt_k, scf_k, ixf_k, pnf_k, ptf_k = [
+        np.asarray(a) for a in compact]
+    WEs_d, pwns_d, pwts_d = planes  # stay on device
+
+    out = []
+    for b in range(B):
+        tr = lens[b]
+        rec = {}
+        # plane t+1 holds ends at time t; the final frame tr-1 comes from
+        # the compacted per-utterance final records (plane tr or carry)
+        for t in range(tr - 1):
+            row_sc = sc_k[b, t + 1]
+            best = row_sc[0]
+            if best <= LSMALL:
+                continue
+            keep = np.nonzero((row_sc > LSMALL)
+                              & (row_sc >= best - lattice_beam))[0]
+            # insertion sorted by row id for parity with the sequential
+            # builder's ascending-row order
+            keep = keep[np.argsort(ix_k[b, t + 1, keep], kind="stable")]
+            for k in keep:
+                rec[(int(ix_k[b, t + 1, k]), t)] = (
+                    float(row_sc[k]), int(pn_k[b, t + 1, k]),
+                    int(pt_k[b, t + 1, k]))
+        row_sc = scf_k[b]
+        bestf = row_sc[0]
+        if bestf > LSMALL:
+            keep = np.nonzero((row_sc > LSMALL)
+                              & (row_sc >= bestf - lattice_beam))[0]
+            keep = keep[np.argsort(ixf_k[b, keep], kind="stable")]
+            for k in keep:
+                rec[(int(ixf_k[b, k]), tr - 1)] = (
+                    float(row_sc[k]), int(pnf_k[b, k]), int(ptf_k[b, k]))
+        if not rec:
+            out.append(None)
+            continue
+
+        def resolve(pn, pt, b=b):
+            # predecessor times are < tr-1, so always in the planes;
+            # rare (beam-pruned) records gather straight from device
+            trip = np.asarray(jnp.stack([
+                WEs_d[b, pt + 1, pn].astype(jnp.float32),
+                pwns_d[b, pt + 1, pn].astype(jnp.float32),
+                pwts_d[b, pt + 1, pn].astype(jnp.float32)]))
+            if trip[0] <= LSMALL:
+                return None
+            return float(trip[0]), int(trip[1]), int(trip[2])
+
+        out.append(_lattice_from_rec(net, rec, resolve, tr,
+                                     frame_period_s, lm_scale, word_pen))
+    return out

@@ -169,13 +169,47 @@ def run(argv: List[str]) -> int:
     out_mlf_path = ta.get("i")
     out_mlf = MLF() if out_mlf_path else None
 
+    # pass 1 runs BATCHED for LV nets: utterances are length-bucketed and
+    # each bucket goes through ONE fused scan + compacted record fetch
+    # (generate_lattice_batch) — HDecode.c's sequential file loop replaced
+    # by the batch-amortised TPU pipeline. Identical lattices per
+    # utterance (tested); pass 2 + rescoring stay per-utterance (host DP).
+    entries, featl = [], []
     for fn in files:
         data, _p, _k, e = open_speech_file(fn, cfg)
-        lat = generate_lattice(
-            net, comp, data, lm_scale, word_pen, lattice_beam=lat_beam,
-            frame_period_s=period / 1e7, beam=main_beam,
-            max_active=max_active,
-        )
+        entries.append(e)
+        featl.append(np.asarray(data))
+    lats: List = [None] * len(files)
+    if use_lv and len(files) > 1:
+        from ..algo.decode import generate_lattice_batch
+        from ..utils.metrics import maybe_profile
+
+        order = sorted(range(len(featl)), key=lambda i: featl[i].shape[0])
+        bsz = int(cfg.int_("DECODEBATCH", 0, module="HREC") or 0)
+        if not bsz:
+            # auto: 3 f32/int32 record planes (B, T, C) within ~4 GB
+            t_max = max(f.shape[0] for f in featl)
+            t_pad = ((t_max + 127) // 128) * 128
+            bsz = max(1, min(64, (4 << 30) // (t_pad * net.n_chains * 12)))
+        with maybe_profile(cfg, "HDecode"):
+            for i0 in range(0, len(order), bsz):
+                idx = order[i0 : i0 + bsz]
+                ls = generate_lattice_batch(
+                    net, comp, [featl[j] for j in idx], lm_scale,
+                    word_pen, lattice_beam=lat_beam,
+                    frame_period_s=period / 1e7, beam=main_beam,
+                    max_active=max_active)
+                for j, lt in zip(idx, ls):
+                    lats[j] = lt
+    else:
+        for j, data in enumerate(featl):
+            lats[j] = generate_lattice(
+                net, comp, data, lm_scale, word_pen, lattice_beam=lat_beam,
+                frame_period_s=period / 1e7, beam=main_beam,
+                max_active=max_active,
+            )
+
+    for e, data, lat in zip(entries, featl, lats):
         stem = os.path.splitext(os.path.basename(e.logical))[0]
         tr = Transcription(alternatives=[[]])
         if lat is None:

@@ -140,6 +140,76 @@ class TestLVBatch:
             assert rb.words == rs.words and rb.times == rs.times
             assert rb.score == pytest.approx(rs.score, rel=1e-6)
 
+    @staticmethod
+    def _assert_lat_eq(la, lb):
+        assert la is not None and lb is not None
+        assert len(la.nodes) == len(lb.nodes)
+        assert len(la.arcs) == len(lb.arcs)
+        for na, nb in zip(la.nodes, lb.nodes):
+            assert na.word == nb.word
+            assert na.time == pytest.approx(nb.time, abs=1e-9)
+        for aa, ab in zip(la.arcs, lb.arcs):
+            assert (aa.start, aa.end) == (ab.start, ab.end)
+            assert aa.aclike == pytest.approx(ab.aclike, rel=1e-5,
+                                              abs=1e-4)
+            assert aa.lmlike == pytest.approx(ab.lmlike, rel=1e-5,
+                                              abs=1e-4)
+
+    def test_lattice_batch_equals_sequential(self):
+        from htk_tpu.algo.decode import generate_lattice_batch
+
+        comp = separable_set()
+        net = compile_lv_loop(["A", "I", "S"], make_vocab(), comp,
+                              lm=make_lm())
+        seqs = [["sil", "aa", "iy", "aa", "sil"],
+                ["sil", "iy", "sil"],
+                ["aa", "iy", "aa", "iy"]]
+        feats = [emit_frames(s, seed=i + 1) for i, s in enumerate(seqs)]
+        latb = generate_lattice_batch(net, comp, feats, lm_scale=2.0,
+                                      word_pen=-1.0, lattice_beam=300.0,
+                                      pad_to=16)
+        for f, lb in zip(feats, latb):
+            ls = generate_lattice(net, comp, f, 2.0, -1.0,
+                                  lattice_beam=300.0)
+            self._assert_lat_eq(lb, ls)
+
+    def test_lattice_batch_tight_beam_resurrection(self):
+        """A tight lattice beam forces transitive predecessor
+        resurrection through the on-device planes; results must still
+        match the sequential builder."""
+        from htk_tpu.algo.decode import generate_lattice_batch
+
+        comp = separable_set()
+        net = compile_lv_loop(["A", "I", "S"], make_vocab(), comp,
+                              lm=make_lm())
+        seqs = [["sil", "aa", "iy", "aa", "iy", "sil"],
+                ["iy", "aa", "sil"]]
+        feats = [emit_frames(s, seed=i + 21) for i, s in enumerate(seqs)]
+        for lbeam in (5.0, 30.0):
+            latb = generate_lattice_batch(net, comp, feats,
+                                          lattice_beam=lbeam, pad_to=16)
+            for f, lb in zip(feats, latb):
+                ls = generate_lattice(net, comp, f, lattice_beam=lbeam)
+                self._assert_lat_eq(lb, ls)
+
+    def test_lattice_batch_topk_cap(self):
+        """k_lat below the row count still produces a usable lattice
+        whose best path equals the 1-best decode."""
+        from htk_tpu.algo.decode import generate_lattice_batch
+        from htk_tpu.algo.latops import best_path
+
+        comp = separable_set()
+        net = compile_lv_loop(["A", "I", "S"], make_vocab(), comp,
+                              lm=make_lm())
+        feats = [emit_frames(["sil", "aa", "iy", "sil"], seed=7)]
+        latb = generate_lattice_batch(net, comp, feats, pad_to=16,
+                                      k_lat=2)
+        assert latb[0] is not None
+        r = decode(net, comp, feats[0])
+        _score, path = best_path(latb[0])
+        words = [w for (w, _t, _a) in path if w not in ("!NULL", "", "S")]
+        assert words == list(r.words)
+
 
 class TestFactoredCrossWord:
     def test_factored_equals_dense(self):

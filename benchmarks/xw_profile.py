@@ -49,17 +49,28 @@ def main():
     lens = _dev_lens([T] * B)
     s1, s0, sb = _dev_scalar(12.0), _dev_scalar(0.0), _dev_scalar(1e30)
 
-    f_full = _lv_pipeline(net, comp, "highest", None)
-    f_bo = _lv_pipeline(net2, comp, "highest", None)
-
     def run(f):
         return jax.block_until_ready(f(x, lens, s1, s0, sb))
 
-    run(f_full), run(f_bo)  # compile
+    f_full = _lv_pipeline(net, comp, "highest", None)
+    f_bo = _lv_pipeline(net2, comp, "highest", None)
+    o_full = run(f_full)
+    run(f_bo)
+    variants = {}
+    for a in (64, 128, 192, 256):
+        variants[a] = _lv_pipeline(net, comp, "highest", a)
+    eqs = {}
+    for a, f in variants.items():
+        o = run(f)
+        eqs[a] = bool(np.array_equal(np.asarray(o_full[0]),
+                                     np.asarray(o[0])))
     tf, tb = [], []
+    tv = {a: [] for a in variants}
     for _ in range(5):
         t0 = time.perf_counter(); run(f_full); tf.append(time.perf_counter() - t0)
         t0 = time.perf_counter(); run(f_bo); tb.append(time.perf_counter() - t0)
+        for a, f in variants.items():
+            t0 = time.perf_counter(); run(f); tv[a].append(time.perf_counter() - t0)
     mf, mb = statistics.median(tf), statistics.median(tb)
     audio = B * T * 0.01
     print(f"full factored: {mf:.3f}s  ({mf / audio:.4f} xRT, "
@@ -68,6 +79,10 @@ def main():
     print(f"explicit leg:  {mf - mb:.3f}s  "
           f"({(mf - mb) / T * 1e3:.3f} ms/frame, "
           f"{100 * (mf - mb) / mf:.0f}% of wall)")
+    for a in variants:
+        ma = statistics.median(tv[a])
+        print(f"topA {a:4d}:     {ma:.3f}s  ({ma / audio:.4f} xRT) "
+              f"traceback==exact: {eqs[a]}")
 
 
 if __name__ == "__main__":

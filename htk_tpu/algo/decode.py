@@ -182,11 +182,13 @@ def decode_scan_uniform(
 
     `xw`: factored cross-word tables (net.xw_backoff, already LM-scaled)
     — replaces the dense matvec/top-k with the back-off leg
-    max_i(WE+bow)+uni plus bucketed explicit-bigram gathers:
-    O(#bigrams) per frame with no row pruning (`max_active` unnecessary
-    and ignored). Both the factored and dense paths implement back-off-
-    NETWORK semantics — max(explicit bigram, bow + uni) — so they agree
-    bit-for-bit (see lvnet.lm_loop_matrices).
+    max_i(WE+bow)+uni plus an explicit-bigram leg. In this single-
+    utterance scan the explicit leg is always the exact bucketed gather
+    (O(#bigrams)/frame, `max_active` ignored); the batched step
+    additionally supports top-A histogram pruning of the explicit leg
+    (see _make_uniform_step). Both the factored and dense paths
+    implement back-off-NETWORK semantics — max(explicit bigram,
+    bow + uni) — so they agree bit-for-bit (see lm_loop_matrices).
     """
     T, Ns = outp_states.shape
     C = Ns // S
@@ -398,7 +400,40 @@ def _make_uniform_step(B, Ns, band, a0, aE, S, entry_bonus_row, trans,
             bo_arg = jnp.argmax(bo, axis=1).astype(jnp.int32)
             entry_n = bo_best[:, None] + xw["uni"][None]
             an = jnp.broadcast_to(bo_arg[:, None], (B, C))
-            if xw["buckets"]:  # an LM can carry zero explicit bigrams
+            use_topa = (max_active is not None and max_active < C
+                        and xw.get("succ_j") is not None)
+            if use_topa:
+                # HLVRec histogram/maxModel pruning on the factored
+                # explicit leg: only the top-A word ends propagate
+                # explicit bigrams (the back-off leg stays exact over
+                # ALL sources, so this is never worse than the dense
+                # top-A form). The per-target gather leg costs
+                # O(#bigrams) serialised gathers; this costs A
+                # successor-row gathers + an A*O_max scatter-max —
+                # measured ~20x cheaper at 20k vocab on v5e.
+                A = max_active
+                vals, idxs = jax.lax.top_k(WE, A)  # (B, A)
+                sj = xw["succ_j"][idxs]  # (B, A, O) row gather
+                sp = xw["succ_p"][idxs]
+                cand = vals[..., None] + sp  # (B, A, O); pads ~2*LZERO
+                bidx = jnp.arange(B)[:, None, None]
+                ex = jnp.full((B, C + 1), 2.0 * LZERO, jnp.float32)
+                ex = ex.at[bidx, sj].max(cand, mode="promise_in_bounds")
+                exp_v = ex[:, :C]
+                # winning source: scatter the source row wherever its
+                # candidate equals the target's max (f32 ties: highest
+                # source row wins — tie order differs from the bucket
+                # leg's first-slot rule, which only matters on exact
+                # score ties)
+                exg = ex[bidx, sj]
+                src_rows = jnp.broadcast_to(idxs[..., None], cand.shape)
+                win_src = jnp.where(cand >= exg, src_rows, -1)
+                anx = jnp.full((B, C + 1), -1, jnp.int32)
+                anx = anx.at[bidx, sj].max(win_src, mode="promise_in_bounds")
+                take = exp_v > entry_n
+                entry_n = jnp.maximum(entry_n, exp_v)
+                an = jnp.where(take, anx[:, :C], an)
+            elif xw["buckets"]:  # an LM can carry zero explicit bigrams
                 parts_v, parts_a = [], []
                 for preds, scores in xw["buckets"]:
                     cand = WE[:, preds] + scores[None]  # (B, Cb, Fb)
@@ -495,9 +530,28 @@ def _net_dev(net: DecodeNetwork) -> dict:
                 "buckets": [(jnp.asarray(p), jnp.asarray(s))
                             for p, s in x["buckets"]],
                 "inv": jnp.asarray(x["inv"]),
+                "succ_j": (jnp.asarray(x["succ_j"])
+                           if x.get("succ_j") is not None else None),
+                "succ_p": (jnp.asarray(x["succ_p"])
+                           if x.get("succ_p") is not None else None),
             }
         net._dev_cache = d
     return d
+
+
+def _scale_xw(xw_d, lm_scale):
+    """LM-scale the factored cross-word tables (traced)."""
+    if xw_d is None:
+        return None
+    return {
+        "bow": xw_d["bow"] * lm_scale,
+        "uni": xw_d["uni"] * lm_scale,
+        "buckets": [(p, s * lm_scale) for p, s in xw_d["buckets"]],
+        "inv": xw_d["inv"],
+        "succ_j": xw_d.get("succ_j"),
+        "succ_p": (xw_d["succ_p"] * lm_scale
+                   if xw_d.get("succ_p") is not None else None),
+    }
 
 
 def run_decode_batch(
@@ -520,15 +574,7 @@ def run_decode_batch(
             xw_d = d.get("xw")
 
             def scan_all(outp, lm_scale_, word_pen_, beam_):
-                xw_s = None
-                if xw_d is not None:
-                    xw_s = {
-                        "bow": xw_d["bow"] * lm_scale_,
-                        "uni": xw_d["uni"] * lm_scale_,
-                        "buckets": [(p, s * lm_scale_)
-                                    for p, s in xw_d["buckets"]],
-                        "inv": xw_d["inv"],
-                    }
+                xw_s = _scale_xw(xw_d, lm_scale_)
                 return decode_scan_uniform_batch(
                     outp, d["band"], d["a0"], d["aE"], S, d["bonus"],
                     d["trans"] * lm_scale_, d["start"] * lm_scale_,
@@ -710,16 +756,7 @@ def _lv_scan_body(net, comp, d, precision, max_active, state_mode,
     B, T = x.shape[0], x.shape[1]
     Ns = len(net.comp_state)
     C = Ns // S
-    xw_d = d.get("xw")
-    xw_s = None
-    if xw_d is not None:
-        xw_s = {
-            "bow": xw_d["bow"] * lm_scale,
-            "uni": xw_d["uni"] * lm_scale,
-            "buckets": [(p, s * lm_scale)
-                        for p, s in xw_d["buckets"]],
-            "inv": xw_d["inv"],
-        }
+    xw_s = _scale_xw(d.get("xw"), lm_scale)
     step = _make_uniform_step(
         B, Ns, d["band"], d["a0"], d["aE"], S, d["bonus"],
         d["trans"] * lm_scale, d["start"] * lm_scale,

@@ -177,6 +177,140 @@ def read_matrix_bigram(path: str, words: Optional[List[str]] = None) -> NGramLM:
     return lm
 
 
+BINLM_MAGIC = b"!BINLM\n"
+BINLM_VERSION = 1
+
+
+def write_binary_lm(lm: NGramLM, path: str) -> None:
+    """HTK binary n-gram LM (`HTKLib/HLM.c : WriteLModel` binary form,
+    SURVEY.md §2.1 HLM row).
+
+    [LC: reconstructed — the reference mount is empty, so the byte
+    layout is this framework's own, marked by an explicit magic so a
+    real HTK binary LM is rejected with a numbered error rather than
+    misparsed.] Layout: `!BINLM\\n` magic, one text header line
+    `version order n1 [n2 [n3 [n4]]]\\n`, the vocabulary as
+    newline-terminated UTF-8 words, then big-endian binary sections per
+    order: uint32 word ids (header order) and f32 natural-log prob
+    (+ f32 back-off weight for orders < max). Write->read->write is
+    byte-identical (tested)."""
+    import struct
+
+    words = sorted(lm.unigrams)
+    wid = {w: i for i, w in enumerate(words)}
+    counts = [len(lm.unigrams), len(lm.bigrams), len(lm.trigrams),
+              len(lm.fourgrams)]
+    order = max(k + 1 for k, c in enumerate(counts) if c or k == 0)
+    with open(path, "wb") as f:
+        f.write(BINLM_MAGIC)
+        hdr = " ".join(
+            [str(BINLM_VERSION), str(order)]
+            + [str(c) for c in counts[:order]])
+        f.write(hdr.encode() + b"\n")
+        for w in words:
+            f.write(w.encode() + b"\n")
+        for w in words:
+            p, bo = lm.unigrams[w]
+            f.write(struct.pack(">ff", p, bo))
+        for (w1, w2), (p, bo) in sorted(lm.bigrams.items()):
+            f.write(struct.pack(">IIff", wid[w1], wid[w2], p, bo))
+        for (w1, w2, w3), p in sorted(lm.trigrams.items()):
+            bo = lm.tri_bo.get((w1, w2, w3), 0.0)
+            if order > 3:
+                f.write(struct.pack(">IIIff", wid[w1], wid[w2], wid[w3],
+                                    p, bo))
+            else:
+                f.write(struct.pack(">IIIf", wid[w1], wid[w2], wid[w3], p))
+        for (w1, w2, w3, w4), p in sorted(lm.fourgrams.items()):
+            f.write(struct.pack(">IIIIf", wid[w1], wid[w2], wid[w3],
+                                wid[w4], p))
+
+
+def read_binary_lm(path: str, cfg=None) -> NGramLM:
+    """Read the binary n-gram LM written by write_binary_lm.
+
+    Raises a numbered error on a bad magic or an unsupported version —
+    `HTKLib/HLM.c : ReadLModel` rejects incompatible binary headers the
+    same way."""
+    import struct
+
+    from ..utils.filters import filtered
+
+    with filtered(path, "HLANGMODFILTER", cfg) as p:
+        data = open(p, "rb").read()
+    if not data.startswith(BINLM_MAGIC):
+        HError(8150, "ReadLModel: %s is not a binary n-gram LM", path)
+    pos = len(BINLM_MAGIC)
+    nl = data.index(b"\n", pos)
+    hdr = data[pos:nl].decode().split()
+    pos = nl + 1
+    version = int(hdr[0])
+    if version != BINLM_VERSION:
+        HError(8152, "ReadLModel: binary LM version %d unsupported "
+                     "(expected %d)", version, BINLM_VERSION)
+    order = int(hdr[1])
+    counts = [int(x) for x in hdr[2:2 + order]] + [0] * (4 - order)
+    words = []
+    for _ in range(counts[0]):
+        nl = data.index(b"\n", pos)
+        words.append(data[pos:nl].decode())
+        pos = nl + 1
+    lm = NGramLM(order=max(order, 2) if counts[1] else order)
+    lm.order = order
+    for w in words:
+        p, bo = struct.unpack_from(">ff", data, pos)
+        pos += 8
+        lm.unigrams[w] = (p, bo)
+    for _ in range(counts[1]):
+        i1, i2, p, bo = struct.unpack_from(">IIff", data, pos)
+        pos += 16
+        lm.bigrams[(words[i1], words[i2])] = (p, bo)
+    for _ in range(counts[2]):
+        if order > 3:
+            i1, i2, i3, p, bo = struct.unpack_from(">IIIff", data, pos)
+            pos += 20
+            if bo != 0.0:
+                lm.tri_bo[(words[i1], words[i2], words[i3])] = bo
+        else:
+            i1, i2, i3, p = struct.unpack_from(">IIIf", data, pos)
+            pos += 16
+        lm.trigrams[(words[i1], words[i2], words[i3])] = p
+    for _ in range(counts[3]):
+        i1, i2, i3, i4, p = struct.unpack_from(">IIIIf", data, pos)
+        pos += 20
+        lm.fourgrams[(words[i1], words[i2], words[i3], words[i4])] = p
+    if pos != len(data):
+        HError(8151, "ReadLModel: %d trailing bytes in binary LM %s",
+               len(data) - pos, path)
+    return lm
+
+
+def read_lm(path: str, cfg=None,
+            words: Optional[List[str]] = None) -> NGramLM:
+    """Open an n-gram LM of any supported container: binary
+    (write_binary_lm magic), ARPA back-off, or matrix bigram — sniffed
+    from the leading bytes like HLM.c/HBuild do."""
+    from ..utils.filters import filtered
+
+    with filtered(path, "HLANGMODFILTER", cfg) as p:
+        head = open(p, "rb").read(4096)
+    if head.startswith(BINLM_MAGIC):
+        return read_binary_lm(path, cfg)
+    if b"\\data\\" in head:
+        return read_arpa(path, cfg)
+    return read_matrix_bigram(path, words=words)
+
+
+def save_lm(lm: NGramLM, path: str, cfg=None) -> None:
+    """Write an LM in the configured container: `HLM: SAVEBINARY = T`
+    selects the binary form (the HLMTools binary-output switch), ARPA
+    otherwise."""
+    if cfg is not None and cfg.bool_("SAVEBINARY", False, module="HLM"):
+        write_binary_lm(lm, path)
+    else:
+        write_arpa(lm, path)
+
+
 def write_arpa(lm: NGramLM, path: str) -> None:
     with open(path, "w") as f:
         f.write("\\data\\\n")

@@ -21,7 +21,6 @@ from __future__ import annotations
 import math
 from typing import List
 
-from ..io.lm import read_arpa
 from ..io.slf import Lattice, LArc, LNode, NULL_WORD, write_slf
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError
@@ -215,15 +214,10 @@ def run(argv: List[str]) -> int:
         return 0
 
     if ta.has("n"):
-        # sniff ARPA (\\data\\ header) vs HLStats' matrix bigram form
-        with open(ta.get("n")) as f:
-            head = f.read(4096)
-        if "\\data\\" in head:
-            lm = read_arpa(ta.get("n"), ta.config)
-        else:
-            from ..io.lm import read_matrix_bigram
+        # binary / ARPA / matrix-bigram, sniffed from the leading bytes
+        from ..io.lm import read_lm
 
-            lm = read_matrix_bigram(ta.get("n"))
+        lm = read_lm(ta.get("n"), ta.config)
         ss, se = (ta.get("s") if ta.has("s") else ("!ENTER", "!EXIT"))
         unk = ta.get("u")
         words = [w for w in words if w != unk and w not in (ss, se)]

@@ -54,7 +54,7 @@ from ..algo.latops import best_path_trigram
 from ..algo.lvnet import compile_lv_loop
 from ..algo.net import compile_network, word_internal_phone_map
 from ..io.dictionary import read_dict
-from ..io.lm import read_arpa
+from ..io.lm import read_lm
 from ..io.mlf import MLF, Label, Transcription
 from ..io.mmf import load_hmm_list, load_mmf
 from ..io.slf import write_slf
@@ -101,7 +101,7 @@ def run(argv: List[str]) -> int:
     comp = compile_hmmset(hset)
     vocab = read_dict(dict_file, ta.config)
     load_hmm_list(hmm_list_file, ta.config)
-    lm = read_arpa(ta.get("w"), ta.config)
+    lm = read_lm(ta.get("w"), ta.config)
 
     # sentence boundary words (HDecode STARTWORD/ENDWORD config): when
     # the dictionary gives them pronunciations (recipe convention

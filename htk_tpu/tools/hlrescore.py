@@ -24,7 +24,7 @@ from typing import List
 
 from ..algo.latops import apply_lm, best_path, prune
 from ..io.dictionary import read_dict
-from ..io.lm import read_arpa
+from ..io.lm import read_lm
 from ..io.mlf import MLF, Label, Transcription
 from ..io.slf import read_slf, write_slf
 from ..utils.cli import Option, parse_args, tool_main
@@ -52,7 +52,7 @@ def run(argv: List[str]) -> int:
     if not lat_files:
         HError(1030, "HLRescore: no lattice files\n%s", USAGE)
 
-    lm = read_arpa(ta.get("n"), ta.config) if ta.has("n") else None
+    lm = read_lm(ta.get("n"), ta.config) if ta.has("n") else None
     out_mlf_path = ta.get("i")
     out_mlf = MLF() if out_mlf_path else None
     out_dir = ta.get("l", ".")

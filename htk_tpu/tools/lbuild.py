@@ -24,7 +24,7 @@ import math
 from collections import Counter
 from typing import List
 
-from ..io.lm import LN10, NGramLM, write_arpa
+from ..io.lm import LN10, NGramLM, save_lm
 from ..io.mlf import MLF
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError
@@ -209,7 +209,7 @@ def run(argv: List[str]) -> int:
             sents.extend(read_sentences(f, ta.config))
         lm = build_lm(sents, **kw)
         n_in = f"{len(sents)} sentences"
-    write_arpa(lm, out_lm)
+    save_lm(lm, out_lm, ta.config)
     if ta.trace:
         print(f"LBuild: {n_in} -> {len(lm.unigrams)} 1-grams, "
               f"{len(lm.bigrams)} 2-grams, {len(lm.trigrams)} 3-grams")

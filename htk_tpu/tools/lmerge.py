@@ -19,7 +19,7 @@ from __future__ import annotations
 import math
 from typing import List
 
-from ..io.lm import NGramLM, read_arpa, write_arpa
+from ..io.lm import NGramLM, read_lm, save_lm
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError
 
@@ -89,16 +89,16 @@ def prune(lm: NGramLM, min_logp: float) -> None:
 
 def run(argv: List[str]) -> int:
     ta = parse_args("LMerge", argv, OPTS, min_args=2, usage=USAGE)
-    main_lm = read_arpa(ta.args[0], ta.config)
+    main_lm = read_lm(ta.args[0], ta.config)
     out_path = ta.args[1]
     models = [main_lm]
     weights = [1.0]
     for w, lmf in ta.get_all("i"):
-        models.append(read_arpa(lmf, ta.config))
+        models.append(read_lm(lmf, ta.config))
         weights.append(float(w))
         weights[0] = max(1.0 - sum(weights[1:]), 0.0)
     lm = interpolate(models, weights) if len(models) > 1 else main_lm
-    write_arpa(lm, out_path)
+    save_lm(lm, out_path, ta.config)
     if ta.trace:
         print(f"LMerge: {len(models)} models -> {out_path} "
               f"({len(lm.unigrams)} 1-grams, {len(lm.bigrams)} 2-grams)")
@@ -112,12 +112,12 @@ def run_lnorm(argv: List[str]) -> int:
          "c": Option("c", 1, "count cutoff (accepted)", typ=int)},
         min_args=2, usage="Usage: LNorm [options] inLM outLM",
     )
-    lm = read_arpa(ta.args[0], ta.config)
+    lm = read_lm(ta.args[0], ta.config)
     if ta.has("p"):
         prune(lm, float(ta.get("p")))
     else:
         renormalise(lm)
-    write_arpa(lm, ta.args[1])
+    save_lm(lm, ta.args[1], ta.config)
     if ta.trace:
         print(f"LNorm: wrote {ta.args[1]}")
     return 0

@@ -16,7 +16,7 @@ from __future__ import annotations
 import math
 from typing import List
 
-from ..io.lm import read_arpa
+from ..io.lm import read_lm
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError
 from .lbuild import ENTER, EXIT, read_sentences
@@ -32,7 +32,7 @@ OPTS = {
 
 def run(argv: List[str]) -> int:
     ta = parse_args("LPlex", argv, OPTS, min_args=1, usage=USAGE)
-    lm = read_arpa(ta.args[0], ta.config)
+    lm = read_lm(ta.args[0], ta.config)
     files = ta.args[1:] + ta.script
     if not files:
         HError(1030, "LPlex: no test files\n%s", USAGE)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import List
 
-from ..io.lm import NGramLM, read_arpa, write_arpa
+from ..io.lm import NGramLM, read_lm, save_lm
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError
 from .lbuild import build_lm, read_sentences
@@ -39,7 +39,7 @@ def subset(lm: NGramLM, keep) -> NGramLM:
 
 def run_subset(argv: List[str]) -> int:
     ta = parse_args("LSubset", argv, {}, min_args=3, usage=USAGE_SUBSET)
-    lm = read_arpa(ta.args[0], ta.config)
+    lm = read_lm(ta.args[0], ta.config)
     keep = {
         ln.split()[0]
         for ln in open(ta.args[1]).read().splitlines() if ln.strip()
@@ -48,7 +48,7 @@ def run_subset(argv: List[str]) -> int:
     out = subset(lm, keep)
     if not out.unigrams:
         HError(15050, "LSubset: no vocabulary words found in LM")
-    write_arpa(out, ta.args[2])
+    save_lm(out, ta.args[2], ta.config)
     if ta.trace:
         print(f"LSubset: {len(lm.unigrams)} -> {len(out.unigrams)} words")
     return 0
@@ -71,9 +71,9 @@ def run_adapt(argv: List[str]) -> int:
     lm = build_lm(sents, order=int(ta.get("n", 2) or 2))
     if ta.has("i"):
         w, base_path = ta.get("i")
-        base = read_arpa(base_path, ta.config)
+        base = read_lm(base_path, ta.config)
         lm = interpolate([lm, base], [1.0 - float(w), float(w)])
-    write_arpa(lm, out_path)
+    save_lm(lm, out_path, ta.config)
     if ta.trace:
         print(f"LAdapt: {len(sents)} adaptation sentences -> {out_path}")
     return 0

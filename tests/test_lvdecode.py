@@ -235,6 +235,50 @@ class TestFactoredCrossWord:
             assert rf.times == rd.times
             assert rf.score == pytest.approx(rd.score, rel=1e-6)
 
+    @staticmethod
+    def _big_fixture():
+        """10 multi-phone words over the 3 separable models: enough rows
+        that top-A actually prunes, with clean frames so few word ends
+        are ever live."""
+        comp = separable_set()
+        v = Vocab()
+        lex = {
+            "W0": ["aa"], "W1": ["iy"], "W2": ["sil"],
+            "W3": ["aa", "iy"], "W4": ["iy", "aa"],
+            "W5": ["aa", "sil"], "W6": ["sil", "iy"],
+            "W7": ["aa", "iy", "aa"], "W8": ["iy", "sil", "iy"],
+            "W9": ["sil", "aa", "sil"],
+        }
+        for w, ph in lex.items():
+            v.add_pron(w, ph)
+        words = sorted(lex)
+        lm = make_lm(tuple(words))
+        return comp, v, words, lm, lex
+
+    def test_factored_topa_matches_exact(self):
+        """Non-binding top-A on the factored explicit leg reproduces the
+        exact bucketed-gather decode (clean frames: few live ends)."""
+        comp, v, words, lm, lex = self._big_fixture()
+        net = compile_lv_loop(words, v, comp, lm=lm, factored=True)
+        assert net.xw_backoff["succ_j"] is not None
+        for seed, seq in ((3, ["aa", "iy", "aa", "iy", "aa"]),
+                          (9, ["sil", "aa", "iy", "sil"])):
+            feats = emit_frames(seq, seed=seed)
+            r0 = decode(net, comp, feats, lm_scale=2.0, word_pen=-1.0)
+            ra = decode(net, comp, feats, lm_scale=2.0, word_pen=-1.0,
+                        max_active=6)
+            assert r0 is not None and ra is not None
+            assert ra.words == r0.words
+            assert ra.times == r0.times
+            assert ra.score == pytest.approx(r0.score, rel=1e-6)
+
+    def test_factored_topa_binding_still_decodes(self):
+        comp, v, words, lm, _lex = self._big_fixture()
+        net = compile_lv_loop(words, v, comp, lm=lm, factored=True)
+        feats = emit_frames(["aa", "iy", "sil"], seed=5)
+        r = decode(net, comp, feats, max_active=1)
+        assert r is not None and len(r.words) >= 1
+
     def test_backoff_leg_used_when_bigram_missing(self):
         comp = separable_set()
         v = make_vocab()

@@ -52,6 +52,66 @@ class TestHLStats:
         lm2 = read_arpa(p)
         assert lm2.logp_bi("a", "b") == pytest.approx(lm.logp_bi("a", "b"), abs=1e-3)
 
+    def test_binary_lm_roundtrip_bitstable(self, tmp_path):
+        """write -> read -> write is byte-identical; values match the
+        ARPA source at f32 precision; read_lm sniffs all three
+        containers; incompatible versions raise the numbered error."""
+        from htk_tpu.io.lm import (BINLM_MAGIC, NGramLM, read_binary_lm,
+                                   read_lm, write_binary_lm)
+        from htk_tpu.utils.errors import HTKError
+
+        sents = [["a", "b"], ["a", "b"], ["a", "c"], ["b", "a"]]
+        lm = estimate_backoff_bigram(sents)
+        lm.trigrams[("a", "b", "a")] = -1.25
+        p1 = str(tmp_path / "lm.bin")
+        p2 = str(tmp_path / "lm2.bin")
+        write_binary_lm(lm, p1)
+        lm2 = read_binary_lm(p1)
+        write_binary_lm(lm2, p2)
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+        assert lm2.logp_bi("a", "b") == pytest.approx(
+            lm.logp_bi("a", "b"), abs=1e-6)
+        assert lm2.logp_tri("a", "b", "a") == pytest.approx(-1.25,
+                                                            abs=1e-6)
+        assert lm2.logp_bi("c", "b") == pytest.approx(
+            lm.logp_bi("c", "b"), abs=1e-6)  # back-off weights survive
+        # sniffing: binary and ARPA through one entry point
+        pa = str(tmp_path / "lm.arpa")
+        from htk_tpu.io.lm import write_arpa
+
+        write_arpa(lm, pa)
+        assert read_lm(p1).bigrams.keys() == read_lm(pa).bigrams.keys()
+        # version guard
+        bad = open(p1, "rb").read().replace(
+            BINLM_MAGIC + b"1 ", BINLM_MAGIC + b"9 ", 1)
+        pb = tmp_path / "bad.bin"
+        pb.write_bytes(bad)
+        with pytest.raises(HTKError) as ei:
+            read_binary_lm(str(pb))
+        assert "8152" in str(ei.value)
+
+    def test_lbuild_savebinary_and_consumers(self, tmp_path, monkeypatch):
+        """LBuild with HLM: SAVEBINARY = T emits the binary container;
+        LPlex and HBuild consume it transparently."""
+        import os
+
+        from htk_tpu.tools import hbuild, lbuild, lplex
+
+        monkeypatch.chdir(tmp_path)
+        open("train.txt", "w").write(
+            "<s> a b a c </s>\n<s> b a b </s>\n<s> a b </s>\n")
+        open("cfg", "w").write("HLM: SAVEBINARY = T\n")
+        open("wmap", "w").write("a\nb\nc\n")
+        assert lbuild.run(["-C", "cfg", "-n", "2", "wmap", "lm.bin",
+                           "train.txt"]) == 0
+        from htk_tpu.io.lm import BINLM_MAGIC
+
+        assert open("lm.bin", "rb").read().startswith(BINLM_MAGIC)
+        open("words", "w").write("a\nb\nc\n")
+        assert hbuild.run(["-n", "lm.bin", "words", "net.slf"]) == 0
+        assert "!NULL" in open("net.slf").read()
+        assert lplex.run(["lm.bin", "train.txt"]) == 0
+
     def test_matrix_bigram_roundtrip(self, tmp_path):
         from htk_tpu.io.lm import read_matrix_bigram, write_matrix_bigram
 

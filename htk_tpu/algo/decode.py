@@ -745,7 +745,7 @@ def _retain_comp(d, comp):
 
 
 def _lv_scan_body(net, comp, d, precision, max_active, state_mode,
-                  x, lm_scale, word_pen, beam):
+                  x, lm_scale, word_pen, beam, mp=None):
     """Traced core shared by the 1-best and lattice LV pipelines:
     chunk-wise OutP fused into the uniform-row scan.
 
@@ -766,7 +766,7 @@ def _lv_scan_body(net, comp, d, precision, max_active, state_mode,
         if state_mode:  # (B, t, S_phys) external state scores
             return fchunk[:, :, d["comp_state"]]
         return jax.vmap(
-            lambda f: _net_outp(net, comp, f, precision))(fchunk)
+            lambda f: _net_outp(net, comp, f, precision, mp=mp))(fchunk)
 
     # OutP is computed CHUNK-WISE inside the scan: the full
     # (B, T, Ns) plane is ~2.5 GB at 5k vocab — materialising it
@@ -829,10 +829,10 @@ def _lv_pipeline(net, comp, precision, max_active, state_mode=False):
     if fn is None:
         S = net.uniform_width
 
-        def pipe(x, t_reals, lm_scale, word_pen, beam):
+        def pipe(x, t_reals, lm_scale, word_pen, beam, mp=None):
             (v, rec), WEs, pwns, pwts = _lv_scan_body(
                 net, comp, d, precision, max_active, state_mode,
-                x, lm_scale, word_pen, beam)
+                x, lm_scale, word_pen, beam, mp=mp)
             wn = (rec >> REC_TBITS).astype(jnp.int32) - 1
             wt = (rec & REC_TMASK).astype(jnp.int32) - 1
             nodes, t0s, t1s, scores = _traceback_device(
@@ -868,10 +868,10 @@ def _lv_lattice_pipeline(net, comp, precision, max_active, k_lat,
     if fn is None:
         S = net.uniform_width
 
-        def pipe(x, t_reals, lm_scale, word_pen, beam):
+        def pipe(x, t_reals, lm_scale, word_pen, beam, mp=None):
             (v, rec), WEs, pwns, pwts = _lv_scan_body(
                 net, comp, d, precision, max_active, state_mode,
-                x, lm_scale, word_pen, beam)
+                x, lm_scale, word_pen, beam, mp=mp)
             B, T, C = WEs.shape
             # final word ends per utterance: plane t_real when t_real < T
             # (ends at t_real-1 are emitted by scan step t_real), else
@@ -948,7 +948,8 @@ def _dev_lens(t_reals) -> jnp.ndarray:
 
 
 def _decode_uniform(net, comp, x, t_reals, lm_scale, word_pen, beam,
-                    max_active, precision, state_mode=False):
+                    max_active, precision, state_mode=False,
+                    model_params=None):
     # the packed word-link record carries a 15-bit frame field; past it
     # the frame index would silently overflow into the row bits
     # (callers chunk long utterances before reaching this point)
@@ -957,10 +958,13 @@ def _decode_uniform(net, comp, x, t_reals, lm_scale, word_pen, beam,
                      "15-bit frame field (max %d) — chunk the utterance",
                x.shape[1], REC_TMASK)
     fn = _lv_pipeline(net, comp, precision, max_active, state_mode)
+    mp = (None if model_params is None else
+          tuple(jnp.asarray(model_params[k], jnp.float32)
+                for k in ("means", "variances", "gconsts")))
     packed, scores = fn(
         x, _dev_lens(t_reals), _dev_scalar(lm_scale),
         _dev_scalar(word_pen),
-        _dev_scalar(_BEAM_OFF if beam is None else beam))
+        _dev_scalar(_BEAM_OFF if beam is None else beam), mp)
     p = np.asarray(packed)  # (B, 3, T): one transfer for all planes
     return _format_uniform_results(net, p[:, 0], p[:, 1], p[:, 2],
                                    np.asarray(scores))
@@ -988,12 +992,22 @@ def _format_uniform_results(net, nodes_b, t0_b, t1_b, scores_b):
     return out
 
 
-def _net_outp(net, comp, feats, precision):
-    """(T, Ns) network-state observation log-likelihoods."""
+def _net_outp(net, comp, feats, precision, mp=None):
+    """(T, Ns) network-state observation log-likelihoods.
+
+    `mp`: optional (means, variances, gconsts) override triple — the
+    speaker-adaptation hook (HDecode -J): parameters ride as traced
+    operands so one compiled pipeline serves every speaker."""
+    if mp is not None:
+        means, variances, gconsts = mp
+    else:
+        means, variances, gconsts = (jnp.asarray(comp.means),
+                                     jnp.asarray(comp.variances),
+                                     jnp.asarray(comp.gconsts))
     logb, _ = all_state_outp(
         jnp.asarray(feats, jnp.float32),
-        jnp.asarray(comp.means), jnp.asarray(comp.variances),
-        jnp.asarray(comp.gconsts), jnp.asarray(comp.state_mix),
+        means, variances,
+        gconsts, jnp.asarray(comp.state_mix),
         jnp.asarray(comp.state_logw), precision=precision,
         slot_blocks=tuple(comp.slot_blocks) or None,
         state_sw=(jnp.asarray(comp.state_sw)
@@ -1014,11 +1028,14 @@ def decode(
     state_scores: Optional[np.ndarray] = None,
     beam: Optional[float] = None,
     max_active: Optional[int] = None,
+    model_params: Optional[dict] = None,
 ) -> Optional[DecodeResult]:
     """Decode one utterance; returns None if no complete path survives.
 
     `state_scores` (T, S_phys) optionally replaces the GMM observation
     model — the hybrid-decoding hook (ANN log-posterior/prior scores).
+    `model_params` optionally overrides {means, variances, gconsts} —
+    the speaker-adaptation hook (HDecode -J).
     """
     T = feats.shape[0]
     if net.uniform_width:
@@ -1029,12 +1046,16 @@ def decode(
                                    state_mode=True)[0]
         x = jnp.asarray(feats, jnp.float32)[None]
         return _decode_uniform(net, comp, x, [T], lm_scale, word_pen,
-                               beam, max_active, precision)[0]
+                               beam, max_active, precision,
+                               model_params=model_params)[0]
     if state_scores is not None:
         logb = jnp.asarray(state_scores, jnp.float32)
         outp_states = logb[:, jnp.asarray(net.comp_state)]
     else:
-        outp_states = _net_outp(net, comp, feats, precision)
+        mp = (None if model_params is None else
+              tuple(jnp.asarray(model_params[k], jnp.float32)
+                    for k in ("means", "variances", "gconsts")))
+        outp_states = _net_outp(net, comp, feats, precision, mp=mp)
 
     (vb, wnb, wtb), (WEs, pwns, pwts) = run_decode_batch(
         outp_states[None, :, :], net, lm_scale, word_pen,
@@ -1144,6 +1165,7 @@ def generate_lattice(
     want_result: bool = False,
     beam: Optional[float] = None,
     max_active: Optional[int] = None,
+    model_params: Optional[dict] = None,
 ):
     """Decode and emit a word lattice (HVite -z).
 
@@ -1324,6 +1346,7 @@ def generate_lattice_batch(
     pad_to: int = 128,
     k_lat: Optional[int] = None,
     state_scores_list: Optional[List[np.ndarray]] = None,
+    model_params: Optional[dict] = None,
 ):
     """Batched lattice generation — a bucket of utterances through ONE
     fused scan (the HDecode batch path; `HTKLVRec/HDecode.c` decodes its
@@ -1341,7 +1364,8 @@ def generate_lattice_batch(
             frame_period_s, precision,
             state_scores=(state_scores_list[i] if state_scores_list
                           else None),
-            beam=beam, max_active=max_active)
+            beam=beam, max_active=max_active,
+            model_params=model_params)
             for i, f in enumerate(feats_list)]
 
     B = len(feats_list)
@@ -1362,10 +1386,13 @@ def generate_lattice_batch(
     K = min(k_lat if k_lat is not None else LAT_TOPK, C)
     fn = _lv_lattice_pipeline(net, comp if not state_mode else None,
                               precision, max_active, K, state_mode)
+    mp = (None if model_params is None else
+          tuple(jnp.asarray(model_params[k], jnp.float32)
+                for k in ("means", "variances", "gconsts")))
     compact, planes = fn(
         jnp.asarray(fb), _dev_lens(lens), _dev_scalar(lm_scale),
         _dev_scalar(word_pen),
-        _dev_scalar(_BEAM_OFF if beam is None else beam))
+        _dev_scalar(_BEAM_OFF if beam is None else beam), mp)
     # ONE stacked fetch for the compacted records (f32 view of the int
     # planes is safe: rows < 2^17, frames < 2^15 are exact in f32)
     sc_k, ix_k, pn_k, pt_k, scf_k, ixf_k, pnf_k, ptf_k = [

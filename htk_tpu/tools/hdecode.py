@@ -35,7 +35,18 @@ Usage: HDecode [options] dictFile hmmList testFiles...
   -u n      max active word-ends per frame (histogram pruning; 0 = off)
   -n f      lattice beam (default 250)
   -o flags  output label format (accepted)
+  -J dir    input transform dir (repeatable; as HVite -J)
+  -h mask   speaker mask for -J selection
+  -k        use input transforms
   Standard: -A -C -D -S -T -V
+
+Adaptation (`HTKLVRec/HDecode.c` -J/-k/-h): MLLRMEAN (+ variance
+scaling), regression-class MLLR and feature-space CMLLR chains are
+supported; speaker model parameters ride the fused LV pipeline as
+traced operands, so one compiled executable serves every speaker and
+utterances are re-bucketed per speaker for batching. Full-covariance
+promotions (MLLRCOV, model-space CMLLR classes) are refused with a
+numbered error — decode those with HVite.
 
 Config: HTKTPU: LVDECODE = T/F forces/disables the uniform-row LV
 network (default: auto, on when the vocabulary has >= 800 words);
@@ -78,6 +89,9 @@ OPTS = {
     "u": Option("u", 1, "max active word-ends", typ=int),
     "n": Option("n", 1, "lattice beam", typ=float),
     "o": Option("o", 1, "output format flags"),
+    "J": Option("J", 1, "input transform dir", repeatable=True),
+    "k": Option("k", 0, "use input transforms"),
+    "h": Option("h", 1, "speaker mask for -J selection"),
 }
 
 LV_VOCAB_THRESHOLD = 800
@@ -169,22 +183,55 @@ def run(argv: List[str]) -> int:
     out_mlf_path = ta.get("i")
     out_mlf = MLF() if out_mlf_path else None
 
-    # pass 1 runs BATCHED for LV nets: utterances are length-bucketed and
-    # each bucket goes through ONE fused scan + compacted record fetch
-    # (generate_lattice_batch) — HDecode.c's sequential file loop replaced
-    # by the batch-amortised TPU pipeline. Identical lattices per
-    # utterance (tested); pass 2 + rescoring stay per-utterance (host DP).
-    entries, featl = [], []
+    # input adaptation transforms (-J): per-speaker chains; feature-space
+    # CMLLR applies to the features per utterance, model-space transforms
+    # become per-speaker parameter overrides riding the fused pipeline as
+    # traced operands (no recompile per speaker)
+    from ._xfcli import (chain_model_params, load_input_transforms,
+                         resolve_chain)
+
+    xforms = load_input_transforms(ta.get_all("J"), ta.trace, "HDecode")
+    spk_mask = ta.get("h")
+    xf_base = ((comp.means.copy(), comp.variances.copy())
+               if xforms else None)
+    spk_params: dict = {}
+
+    def adapt(logical, data):
+        """Returns (data, speaker key); caches per-speaker params."""
+        if not xforms:
+            return data, None
+        from ..algo.adapt import speaker_from_mask
+
+        spk = (speaker_from_mask(spk_mask, logical) if spk_mask
+               else "_single")
+        chain = resolve_chain(xforms, spk_mask, logical, "HDecode")
+        data, params = chain_model_params(comp, chain, data, xf_base,
+                                          "HDecode")
+        if spk not in spk_params:
+            spk_params[spk] = params  # same np arrays reused -> the
+            # device cache sees one upload per speaker
+        return data, spk
+
+    # pass 1 runs BATCHED for LV nets: utterances are bucketed by
+    # (speaker, length) and each bucket goes through ONE fused scan +
+    # compacted record fetch (generate_lattice_batch) — HDecode.c's
+    # sequential file loop replaced by the batch-amortised TPU pipeline.
+    # Identical lattices per utterance (tested); pass 2 + rescoring stay
+    # per-utterance (host DP).
+    entries, featl, spks = [], [], []
     for fn in files:
         data, _p, _k, e = open_speech_file(fn, cfg)
+        data, spk = adapt(e.logical, np.asarray(data))
         entries.append(e)
         featl.append(np.asarray(data))
+        spks.append(spk)
     lats: List = [None] * len(files)
     if use_lv and len(files) > 1:
         from ..algo.decode import generate_lattice_batch
         from ..utils.metrics import maybe_profile
 
-        order = sorted(range(len(featl)), key=lambda i: featl[i].shape[0])
+        order = sorted(range(len(featl)),
+                       key=lambda i: (str(spks[i]), featl[i].shape[0]))
         bsz = int(cfg.int_("DECODEBATCH", 0, module="HREC") or 0)
         if not bsz:
             # auto: 3 f32/int32 record planes (B, T, C) within ~4 GB
@@ -192,13 +239,19 @@ def run(argv: List[str]) -> int:
             t_pad = ((t_max + 127) // 128) * 128
             bsz = max(1, min(64, (4 << 30) // (t_pad * net.n_chains * 12)))
         with maybe_profile(cfg, "HDecode"):
-            for i0 in range(0, len(order), bsz):
-                idx = order[i0 : i0 + bsz]
+            i0 = 0
+            while i0 < len(order):
+                idx = [order[i0]]
+                while (len(idx) < bsz and i0 + len(idx) < len(order)
+                       and spks[order[i0 + len(idx)]] == spks[idx[0]]):
+                    idx.append(order[i0 + len(idx)])
+                i0 += len(idx)
                 ls = generate_lattice_batch(
                     net, comp, [featl[j] for j in idx], lm_scale,
                     word_pen, lattice_beam=lat_beam,
                     frame_period_s=period / 1e7, beam=main_beam,
-                    max_active=max_active)
+                    max_active=max_active,
+                    model_params=spk_params.get(spks[idx[0]]))
                 for j, lt in zip(idx, ls):
                     lats[j] = lt
     else:
@@ -207,9 +260,10 @@ def run(argv: List[str]) -> int:
                 net, comp, data, lm_scale, word_pen, lattice_beam=lat_beam,
                 frame_period_s=period / 1e7, beam=main_beam,
                 max_active=max_active,
+                model_params=spk_params.get(spks[j]),
             )
 
-    for e, data, lat in zip(entries, featl, lats):
+    for e, data, lat, spk in zip(entries, featl, lats, spks):
         stem = os.path.splitext(os.path.basename(e.logical))[0]
         tr = Transcription(alternatives=[[]])
         if lat is None:
@@ -223,7 +277,8 @@ def run(argv: List[str]) -> int:
                                        cf_phones=cfp)
                 lat2 = generate_lattice(
                     xnet, comp, data, lm_scale, word_pen,
-                    lattice_beam=lat_beam, frame_period_s=period / 1e7)
+                    lattice_beam=lat_beam, frame_period_s=period / 1e7,
+                    model_params=spk_params.get(spk))
                 if lat2 is not None:
                     lat = lat2
             if ta.has("z"):

@@ -119,25 +119,9 @@ def run(argv: List[str]) -> int:
     # one transform CHAIN per speaker: -J dirs are searched in order and
     # a speaker's transforms compose left-to-right (HAdapt parent/input
     # transform chaining: CMLLR chains on features, MLLR on the model)
-    xforms = {}
-    for xf_dir in ta.get_all("J"):
-        import glob as _glob
+    from ._xfcli import load_input_transforms, resolve_chain
 
-        for tmf in sorted(_glob.glob(os.path.join(xf_dir, "*.tmf"))):
-            from ..algo.adapt import load_tmf, load_tmf_classes
-
-            multi = load_tmf_classes(tmf)
-            key = os.path.splitext(os.path.basename(tmf))[0]
-            if multi is not None:
-                xforms.setdefault(key, []).append(multi)
-                if ta.trace:
-                    print(f"HVite: loaded {len(multi[1])} regression-class "
-                          f"transforms {tmf}")
-                continue
-            name, xf = load_tmf(tmf)
-            xforms.setdefault(key, []).append(xf)
-            if ta.trace:
-                print(f"HVite: loaded {xf.kind} transform {tmf}")
+    xforms = load_input_transforms(ta.get_all("J"), ta.trace, "HVite")
     spk_mask = ta.get("h")
     base_means = comp.means.copy() if xforms else None
     base_vars = comp.variances.copy() if xforms else None
@@ -178,28 +162,13 @@ def run(argv: List[str]) -> int:
         if not xforms:
             return data
         from ..algo.adapt import (apply_mllr_classes,
-                                  apply_mllr_classes_vars,
-                                  speaker_from_mask)
+                                  apply_mllr_classes_vars)
         from ..models.hmmset import write_back
 
         # -h given: always resolve the speaker, even with one TMF loaded —
         # a single speaker-specific TMF must not silently apply to other
-        # speakers' utterances
-        if spk_mask:
-            spk = speaker_from_mask(spk_mask, logical)
-            spk_chain = xforms.get(spk)
-            if spk_chain is None:
-                chain = xforms.get("global")
-                if chain is None:
-                    HRError(7441, "HVite: no transform for speaker %s", spk)
-                    chain = []
-            else:
-                # a "global" entry acts as the parent transform: it
-                # prefixes every speaker's own chain (HAdapt parent xform)
-                chain = (list(xforms.get("global", []))
-                         if spk != "global" else []) + list(spk_chain)
-        else:
-            chain = next(iter(xforms.values()))
+        # speakers' utterances (_xfcli.resolve_chain)
+        chain = resolve_chain(xforms, spk_mask, logical, "HVite")
         cur_m, cur_v = base_means, base_vars
         vars_touched = False
         cov_xf = None

@@ -747,7 +747,13 @@ def save_tmf(path: str, name: str, xf: Transform) -> None:
 
 
 def load_tmf(path: str) -> Tuple[str, Transform]:
-    toks = open(path).read().split()
+    return load_tmf_text(open(path).read())
+
+
+def load_tmf_text(text: str) -> Tuple[str, Transform]:
+    """Parse a single-transform TMF from its text (also the body of an
+    MMF-embedded ~a input transform, HHEd XF)."""
+    toks = text.split()
     name = "unnamed"
     kind = "MLLRMEAN"
     i = 0
@@ -782,5 +788,6 @@ def load_tmf(path: str) -> Tuple[str, Transform]:
         else:
             i += 1
     if A is None or b is None:
-        HError(7460, "load_tmf: malformed transform file %s", path)
+        HError(7460, "load_tmf: malformed transform (%d tokens)",
+               len(toks))
     return name, Transform(kind=kind, A=A, b=b, var_scale=vs)

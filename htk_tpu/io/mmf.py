@@ -141,6 +141,10 @@ class HMMSet:
         default_factory=lambda: {k: {} for k in "hsmuvitwd"}
     )
     hmm_set_id: Optional[str] = None
+    # ~a input transform attached by HHEd XF (HModel.c <INPUTXFORM>):
+    # the TMF text, embedded verbatim in the MMF and applied by tools
+    # run with -k
+    input_xform: Optional[str] = None
 
     @property
     def parm_kind_str(self) -> str:
@@ -672,6 +676,17 @@ class _Parser:
                 self.expect_kw("DURATION")
                 n = self.next_int()
                 hs.macros["d"][name] = self.read_vector(n)
+            elif mac == "a":
+                # ~a input transform (HHEd XF): capture the raw TMF body
+                # verbatim up to the next macro marker — the TMF grammar
+                # is its own (algo/adapt.py), not MMF keywords
+                name = self.next_string()
+                d = self.lex.d
+                q = d.find(b"~", self.lex.p)
+                end = q if q >= 0 else len(d)
+                body = d[self.lex.p:end].decode("latin-1")
+                self.lex.p = end
+                hs.input_xform = f'~a "{name}"\n' + body.strip() + "\n"
             else:
                 HError(7050, "MMF parse: unsupported macro type ~%s", mac)
 
@@ -934,6 +949,11 @@ class _Writer:
         hs = self.hset
         self.write_options()
         self.end_macro()
+        if hs.input_xform:
+            # text TMF block in both text and binary MMFs (HTK binary
+            # MMFs interleave text macro headers the same way)
+            self.w(hs.input_xform)
+            self.end_macro()
         # shared macro definitions first, in HTK's conventional order
         for mac in ("u", "v", "i", "w", "d", "m", "t", "s"):
             for name, obj in hs.macros.get(mac, {}).items():

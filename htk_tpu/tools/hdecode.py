@@ -192,6 +192,16 @@ def run(argv: List[str]) -> int:
 
     xforms = load_input_transforms(ta.get_all("J"), ta.trace, "HDecode")
     spk_mask = ta.get("h")
+    # -k: the model set's own ~a input transform (HHEd XF) becomes the
+    # base of every utterance's chain
+    base_xf = None
+    if ta.has("k") and hset.input_xform:
+        from ..algo.adapt import load_tmf_text
+
+        _bnm, base_xf = load_tmf_text(hset.input_xform)
+        if not xforms:
+            xforms = {"global": [base_xf]}
+            base_xf = None
     xf_base = ((comp.means.copy(), comp.variances.copy())
                if xforms else None)
     spk_params: dict = {}
@@ -205,6 +215,8 @@ def run(argv: List[str]) -> int:
         spk = (speaker_from_mask(spk_mask, logical) if spk_mask
                else "_single")
         chain = resolve_chain(xforms, spk_mask, logical, "HDecode")
+        if base_xf is not None:
+            chain = [base_xf] + list(chain)
         data, params = chain_model_params(comp, chain, data, xf_base,
                                           "HDecode")
         if spk not in spk_params:

@@ -20,6 +20,14 @@ applied to a loaded HMMSet. Implemented commands:
   SW s n                  set width of stream s to n
   RC n name               build n regression base classes -> name.cls
   NC n macro itemlist     data-driven bottom-up state clustering + tie
+  TC f macro itemlist     threshold-stopped bottom-up clustering + tie
+  DP s n id1..idn         duplicate the set n times (s: macro types that
+                          get private copies; others stay shared)
+  XF tmf                  attach an input transform to the model set
+  SU n w1..wn             split the data stream into n streams of the
+                          given widths
+  PS n p                  allocate mixtures per state ~ n*occ^p (needs
+                          LS stats)
   UT itemlist             untie (private copies of shared states)
   FV file                 load + apply variance floors (vFloors)
   RN id                   rename the HMM-set identifier
@@ -685,14 +693,16 @@ class Editor:
         if self.trace:
             print(f"HHEd: JO size={size} floor={floor}")
 
-    def cmd_nc(self, n: int, macro: str, spec: str):
-        """NC n macro itemlist: data-driven bottom-up state clustering.
+    def _agglomerate(self, macro: str, spec: str, n: Optional[int],
+                     thresh: Optional[float], cmd: str):
+        """Shared NC/TC engine (HHEd.c ClusterGroup): agglomerative
+        clustering of the item-list states (complete linkage over an
+        occupancy-weighted Euclidean distance between the states'
+        mixture-weighted mean vectors [LC vs HHEd's exact metric]);
+        each cluster is tied to one occupancy-pooled state ~s macroK.
 
-        HHEd.c ClusterGroup: agglomerative clustering of the item-list
-        states into n clusters (complete linkage over an occupancy-
-        weighted Euclidean distance between the states' mixture-weighted
-        mean vectors [LC vs HHEd's exact metric]); each cluster is tied
-        to one occupancy-pooled state shared as ~s macroK.
+        NC stops at `n` clusters; TC stops when the next merge's
+        distance would exceed `thresh`.
         """
         items = parse_item_list(spec, self.hset)
         states = []  # (key(hmm,idx), StateInfo, occ)
@@ -704,9 +714,9 @@ class Editor:
             seen.add(id(si))
             occ = self.stats.get((it.hmm.name, it.state_idx), 1.0)
             states.append((it, si, occ))
-        if len(states) <= n:
-            HRError(2640, "HHEd: NC %d over %d states — nothing to do",
-                    n, len(states))
+        if n is not None and len(states) <= n:
+            HRError(2640, "HHEd: %s %d over %d states — nothing to do",
+                    cmd, n, len(states))
             return
         # feature per state: mixture-weighted mean
         feats = []
@@ -725,7 +735,7 @@ class Editor:
             return max(np.linalg.norm(feats[i] - feats[j])
                        for i in a for j in b)
 
-        while len(clusters) > n:
+        while len(clusters) > (n if n is not None else 1):
             best = None
             for x in range(len(clusters)):
                 for y in range(x + 1, len(clusters)):
@@ -733,6 +743,8 @@ class Editor:
                     if best is None or d < best[0]:
                         best = (d, x, y)
             _d, x, y = best
+            if thresh is not None and _d > thresh:
+                break
             clusters[x] = clusters[x] + clusters[y]
             del clusters[y]
 
@@ -745,8 +757,201 @@ class Editor:
                 it = states[i][0]
                 it.hmm.states[it.state_idx - 2] = tied
         if self.trace:
-            print(f"HHEd: NC clustered {len(states)} states into {n} "
-                  f"tied states ~s {macro}1..{macro}{n}")
+            print(f"HHEd: {cmd} clustered {len(states)} states into "
+                  f"{len(clusters)} tied states ~s {macro}1..")
+        return len(clusters)
+
+    def cmd_nc(self, n: int, macro: str, spec: str):
+        """NC n macro itemlist: cluster to exactly n tied states."""
+        self._agglomerate(macro, spec, n, None, "NC")
+
+    def cmd_tc(self, thresh: float, macro: str, spec: str):
+        """TC f macro itemlist: threshold-stopped data-driven clustering
+        (HHEd.c TC — the HTKBook's pre-decision-tree tying recipe step):
+        merge closest clusters until the next merge distance exceeds f,
+        then tie each cluster to a pooled ~s macro.
+        """
+        self._agglomerate(macro, spec, None, thresh, "TC")
+
+    def cmd_dp(self, flags: str, ids: List[str]):
+        """DP s n id1..idn: duplicate the HMM set once per id.
+
+        Every HMM is cloned under `name + id`; structures whose macro
+        type letter appears in `s` (t transitions, s states, m mixtures,
+        w stream weights, d durations) get private per-copy objects,
+        everything else stays SHARED with the original set — HHEd.c's
+        duplicate command for speaker-/condition-dependent modelling.
+        The originals remain in the set. [LC: the exact s semantics are
+        reconstructed — reference mount empty.]
+        """
+        import copy as _copy
+
+        hs = self.hset
+        dup = set(flags.strip('"'))
+        for did in ids:
+            memo: Dict[int, object] = {}
+
+            def _c(obj, typ, did=did, memo=memo):
+                if obj is None or typ not in dup:
+                    return obj
+                got = memo.get(id(obj))
+                if got is not None:
+                    return got
+                if typ == "m":
+                    nm = MixPDF(mean=obj.mean.copy(), var=obj.var.copy(),
+                                gconst=obj.gconst, cov_kind=obj.cov_kind)
+                    out = nm
+                elif typ == "t":
+                    out = obj.copy()
+                else:
+                    out = _copy.deepcopy(obj)
+                memo[id(obj)] = out
+                # duplicated macro definitions get per-copy names
+                for mac, table in hs.macros.items():
+                    for name, mo in list(table.items()):
+                        if mo is obj:
+                            table[name + did] = out
+                return out
+
+            def _c_state(si, did=did, memo=memo):
+                if "s" not in dup and "m" not in dup:
+                    return si
+                got = memo.get(id(si))
+                if got is not None:
+                    return got
+                ns = StateInfo(
+                    streams=[
+                        StreamElem(
+                            weights=list(se.weights),
+                            mixes=[_c(m, "m") for m in se.mixes],
+                            dprobs=(se.dprobs.copy()
+                                    if se.dprobs is not None else None),
+                            tmix_base=se.tmix_base,
+                        )
+                        for se in si.streams
+                    ],
+                    stream_weights=(si.stream_weights.copy()
+                                    if si.stream_weights is not None
+                                    else None),
+                    dur=_c(si.dur, "d"),
+                )
+                memo[id(si)] = ns
+                for name, mo in list(hs.macros["s"].items()):
+                    if mo is si:
+                        hs.macros["s"][name + did] = ns
+                return ns
+
+            for name, h in list(hs.hmms.items()):
+                nh = HMMDef(
+                    name=name + did,
+                    nstates=h.nstates,
+                    states=[_c_state(si) for si in h.states],
+                    transp=_c(h.transp, "t"),
+                    dur=_c(h.dur, "d"),
+                )
+                hs.hmms[nh.name] = nh
+                hs.macros["h"][nh.name] = nh
+        if self.trace:
+            print(f"HHEd: DP duplicated the set {len(ids)}x "
+                  f"(ids {' '.join(ids)}, private types "
+                  f"'{''.join(sorted(dup))}')")
+
+    def cmd_xf(self, fname: str):
+        """XF tmf: associate an input transform with the model set.
+
+        The TMF text embeds in the MMF as the ~a macro (HModel.c
+        <INPUTXFORM>); tools run with -k apply it as the base feature/
+        model transform. The SAT recipe's final step.
+        """
+        from ..algo.adapt import load_tmf_text
+
+        try:
+            txt = open(fname).read()
+        except OSError as e:
+            HError(2610, "XF: cannot open transform %s (%s)", fname, e)
+        load_tmf_text(txt)  # validate before embedding
+        self.hset.input_xform = txt if txt.lstrip().startswith("~a") \
+            else '~a "global"\n' + txt
+        if self.trace:
+            print(f"HHEd: XF attached input transform {fname}")
+
+    def cmd_su(self, widths: List[int]):
+        """SU n w1..wn: split the single stream into n streams of the
+        given widths (the uneven-split sibling of SS)."""
+        hset = self.hset
+        if len(hset.swidth) != 1:
+            HError(2640, "SU: set already has %d streams",
+                   len(hset.swidth))
+        if sum(widths) != hset.vec_size:
+            HError(2640, "SU: widths sum to %d, vector size is %d",
+                   sum(widths), hset.vec_size)
+        bounds = np.concatenate([[0], np.cumsum(widths)]).astype(int)
+        hset.stream_widths = list(widths)
+        done = set()
+        for h in hset.hmms.values():
+            for si in h.states:
+                if id(si) in done:
+                    continue
+                done.add(id(si))
+                src = si.streams[0]
+                streams = []
+                for s in range(len(widths)):
+                    d0, d1 = int(bounds[s]), int(bounds[s + 1])
+                    se = StreamElem()
+                    for wt, mp in zip(src.weights, src.mixes):
+                        if mp is None:
+                            se.mixes.append(None)
+                            se.weights.append(0.0)
+                            continue
+                        nmp = MixPDF(mean=mp.mean[d0:d1].copy(),
+                                     var=mp.var[d0:d1].copy(),
+                                     cov_kind=mp.cov_kind)
+                        nmp.fix_gconst()
+                        se.mixes.append(nmp)
+                        se.weights.append(wt)
+                    streams.append(se)
+                si.streams = streams
+        if self.trace:
+            print(f"HHEd: SU split into {len(widths)} streams "
+                  f"{widths}")
+
+    def cmd_ps(self, n: int, power: float):
+        """PS n p: occupancy-driven mixture allocation — each state's
+        stream gets max(1, round(n * occ^p / mean(occ^p))) components
+        (split from the heaviest, as MU), so the set averages ~n
+        mixtures per state with more where the data is. Needs LS stats.
+        [LC: HHEd.c's exact normalisation is reconstructed.]
+        """
+        if not self.stats:
+            HError(2663, "PS: no occupation stats loaded (LS first)")
+        occ_p = {}
+        for h in self.hset.hmms.values():
+            for k in range(len(h.states)):
+                occ = self.stats.get((h.name, k + 2))
+                if occ is not None:
+                    occ_p[(h.name, k + 2)] = max(occ, 1e-8) ** power
+        if not occ_p:
+            HError(2663, "PS: stats match no loaded HMM")
+        mean_p = float(np.mean(list(occ_p.values())))
+        done = set()
+        n_split = 0
+        for h in self.hset.hmms.values():
+            for k, si in enumerate(h.states):
+                key = (h.name, k + 2)
+                if key not in occ_p:
+                    continue
+                tgt = max(1, int(round(n * occ_p[key] / mean_p)))
+                for se in si.streams:
+                    if id(se) in done or se.dprobs is not None:
+                        continue
+                    done.add(id(se))
+                    cur = len([m for m in se.mixes if m is not None])
+                    while cur < tgt:
+                        _split_heaviest(se)
+                        cur += 1
+                        n_split += 1
+        if self.trace:
+            print(f"HHEd: PS n={n} p={power}: {n_split} splits")
 
     def cmd_ut(self, spec: str):
         """UT itemlist: untie — every shared state in the list becomes a
@@ -1124,6 +1329,19 @@ def run_script(text: str, ed: Editor):
             n = int(r.next())
             macro = r.next()
             ed.cmd_nc(n, macro, r.next())
+        elif op == "TC":
+            ed.cmd_tc(float(r.next()), r.next(), r.next())
+        elif op == "DP":
+            flags = r.next()
+            nn = int(r.next())
+            ed.cmd_dp(flags, [r.next() for _ in range(nn)])
+        elif op == "XF":
+            ed.cmd_xf(r.next())
+        elif op == "SU":
+            nn = int(r.next())
+            ed.cmd_su([int(r.next()) for _ in range(nn)])
+        elif op == "PS":
+            ed.cmd_ps(int(r.next()), float(r.next()))
         elif op == "UT":
             ed.cmd_ut(r.next())
         elif op == "FV":

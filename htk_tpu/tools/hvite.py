@@ -123,6 +123,18 @@ def run(argv: List[str]) -> int:
 
     xforms = load_input_transforms(ta.get_all("J"), ta.trace, "HVite")
     spk_mask = ta.get("h")
+    # -k: the model set's own ~a input transform (HHEd XF) becomes the
+    # base of every utterance's chain
+    base_xf = None
+    if ta.has("k") and hset.input_xform:
+        from ..algo.adapt import load_tmf_text
+
+        _bnm, base_xf = load_tmf_text(hset.input_xform)
+        if ta.trace:
+            print(f"HVite: using MMF input transform ({base_xf.kind})")
+        if not xforms:
+            xforms = {"global": [base_xf]}
+            base_xf = None
     base_means = comp.means.copy() if xforms else None
     base_vars = comp.variances.copy() if xforms else None
     base_gconsts = comp.gconsts.copy() if xforms else None
@@ -169,6 +181,8 @@ def run(argv: List[str]) -> int:
         # a single speaker-specific TMF must not silently apply to other
         # speakers' utterances (_xfcli.resolve_chain)
         chain = resolve_chain(xforms, spk_mask, logical, "HVite")
+        if base_xf is not None:
+            chain = [base_xf] + list(chain)
         cur_m, cur_v = base_means, base_vars
         vars_touched = False
         cov_xf = None

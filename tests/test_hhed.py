@@ -370,3 +370,103 @@ class TestFCSKFAMM:
         np.testing.assert_allclose(
             h2.hmms["aa"].states[0].streams[0].mixes[0].mean,
             hs.hmms["aa"].states[0].streams[0].mixes[0].mean, rtol=1e-5)
+
+
+class TestTCDPXFSUPS:
+    def _two_groups(self):
+        hs = mono_set(names=("a1", "a2", "a3", "a4", "a5", "a6"))
+        for k, nm in enumerate(("a1", "a2", "a3", "a4", "a5", "a6")):
+            c = 0.0 if k < 3 else 10.0
+            for si in hs.hmms[nm].states:
+                mp = si.streams[0].mixes[0]
+                mp.mean = (c + 0.1 * k + np.zeros(4)).astype(np.float32)
+                mp.fix_gconst()
+        return hs
+
+    def test_tc_threshold_clusters(self):
+        hs = self._two_groups()
+        ed = Editor(hs)
+        # threshold between intra-group (~0.4) and inter-group (~20)
+        run_script("TC 3.0 tcl {(a1,a2,a3,a4,a5,a6).state[2]}", ed)
+        s = [hs.hmms[n].states[0] for n in
+             ("a1", "a2", "a3", "a4", "a5", "a6")]
+        assert s[0] is s[1] is s[2]
+        assert s[3] is s[4] is s[5]
+        assert s[0] is not s[3]
+        # a tiny threshold ties nothing together
+        hs2 = self._two_groups()
+        ed2 = Editor(hs2)
+        run_script("TC 0.01 tcl {(a1,a2,a3,a4,a5,a6).state[2]}", ed2)
+        s2 = [hs2.hmms[n].states[0] for n in ("a1", "a2", "a3")]
+        assert s2[0] is not s2[1]
+
+    def test_dp_duplicates_with_sharing(self):
+        hs = mono_set()
+        ed = Editor(hs)
+        run_script('DP "ms" 2 :m :f', ed)
+        assert "aa:m" in hs.hmms and "iy:f" in hs.hmms
+        assert "aa" in hs.hmms  # originals retained
+        # states/mixes are private copies, transitions shared
+        assert hs.hmms["aa:m"].states[0] is not hs.hmms["aa"].states[0]
+        m0 = hs.hmms["aa"].states[0].streams[0].mixes[0]
+        m1 = hs.hmms["aa:m"].states[0].streams[0].mixes[0]
+        assert m0 is not m1
+        np.testing.assert_array_equal(m0.mean, m1.mean)
+        assert hs.hmms["aa:m"].transp is hs.hmms["aa"].transp
+        # editing a duplicate must not touch the original
+        m1.mean += 1.0
+        assert not np.allclose(m0.mean, m1.mean)
+
+    def test_xf_attaches_and_roundtrips(self, tmp_path):
+        from htk_tpu.algo.adapt import Transform, save_tmf
+
+        hs = mono_set()
+        tmf = str(tmp_path / "in.tmf")
+        save_tmf(tmf, "global", Transform(
+            kind="CMLLR", A=np.eye(4), b=np.zeros(4)))
+        ed = Editor(hs)
+        run_script(f"XF {tmf}", ed)
+        assert hs.input_xform and "CMLLR" in hs.input_xform
+        p = str(tmp_path / "mmf")
+        save_mmf(hs, p)
+        hs2 = load_mmf(p)
+        assert hs2.input_xform and "CMLLR" in hs2.input_xform
+        # binary MMF keeps it too
+        pb = str(tmp_path / "mmf.bin")
+        save_mmf(hs, pb, binary=True)
+        assert load_mmf(pb).input_xform is not None
+
+    def test_su_uneven_split(self):
+        hs = mono_set()  # dim 4
+        ed = Editor(hs)
+        run_script("SU 2 3 1", ed)
+        assert hs.stream_widths == [3, 1]
+        si = hs.hmms["aa"].states[0]
+        assert len(si.streams) == 2
+        assert si.streams[0].mixes[0].mean.shape == (3,)
+        assert si.streams[1].mixes[0].mean.shape == (1,)
+
+    def test_su_bad_widths_error(self):
+        from htk_tpu.utils.errors import HTKError
+
+        hs = mono_set()
+        ed = Editor(hs)
+        with pytest.raises(HTKError):
+            run_script("SU 2 3 3", ed)
+
+    def test_ps_allocates_by_occupancy(self, tmp_path):
+        hs = mono_set()
+        stats = tmp_path / "stats"
+        lines = []
+        occs = {"aa": 100.0, "iy": 100.0, "sil": 1000.0}
+        for i, (nm, occ) in enumerate(occs.items()):
+            lines.append(f'{i} "{nm}" {int(occ)} '
+                         + " ".join([str(occ)] * 3))
+        stats.write_text("\n".join(lines) + "\n")
+        ed = Editor(hs)
+        run_script(f"LS {stats}\nPS 2 0.5", ed)
+        n_aa = len([m for m in hs.hmms["aa"].states[0].streams[0].mixes
+                    if m is not None])
+        n_sil = len([m for m in hs.hmms["sil"].states[0].streams[0].mixes
+                     if m is not None])
+        assert n_sil > n_aa >= 1

@@ -14,6 +14,11 @@ Usage: HResults [options] hmmList recFiles...
   -t       output per-utterance alignments
   -s       strip triphone contexts before scoring
   -k mask  speaker mask (% captures): per-speaker breakdown table
+  -d N     score the best of the first N recognition alternatives
+           (oracle scoring of HVite -n N-best output)
+  -n       NIST/sclite-style output table [LC layout vs HResults.c]
+  -w       word-spotting analysis: per-keyword hits/FAs and Figure of
+           Merit (keywords = the hmmList; rec labels need scores+times)
   Standard: -A -C -D -S -T -V
 """
 
@@ -39,6 +44,9 @@ OPTS = {
     "s": Option("s", 0, "strip triphone contexts"),
     "f": Option("f", 0, "full results"),
     "k": Option("k", 1, "speaker mask (per-speaker breakdown)"),
+    "d": Option("d", 1, "score best of N alternatives", typ=int),
+    "n": Option("n", 0, "NIST format output"),
+    "w": Option("w", 0, "word spotting analysis (FOM)"),
 }
 
 SUB_COST, INS_COST, DEL_COST = 10, 7, 7
@@ -93,6 +101,97 @@ def strip_context(name: str) -> str:
     return m.group(1) if m else name
 
 
+
+
+def _word_spotting(ta, rec_entries, mlfs, ref_dir, ref_ext) -> int:
+    """-w: keyword-spotting analysis (HResults.c word spotting mode).
+
+    Keywords are the names in the hmmList argument. A putative hit (a
+    rec label with a score) is TRUE if its midpoint falls inside an
+    unclaimed reference occurrence of the keyword, else a false alarm.
+    FOM = the average of the detection percentages as the threshold
+    sweeps from 0 to 10 false alarms per hour (the standard HTK/NIST
+    figure of merit; fractional last band interpolated [LC vs
+    HResults.c's exact interpolation]).
+    """
+    from ..io.mmf import load_hmm_list
+
+    keywords = [l for l, _p in load_hmm_list(ta.args[0], ta.config)]
+    # spots per keyword: (score, utt_key, mid_time_100ns)
+    spots: Dict[str, list] = {k: [] for k in keywords}
+    refs: Dict[str, list] = {k: [] for k in keywords}
+    total_dur_100ns = 0
+    for key, rec_tr in rec_entries:
+        stem = os.path.splitext(os.path.basename(key))[0]
+        try:
+            ref_tr = find_labels(stem, mlfs, ref_dir, ref_ext)
+        except Exception:
+            HRError(3331, "HResults: no reference for %s", key)
+            continue
+        utt_end = 0
+        for l in ref_tr.labels:
+            if l.end is not None:
+                utt_end = max(utt_end, l.end)
+            if l.name in refs:
+                refs[l.name].append([stem, l.start or 0, l.end or 0, False])
+        total_dur_100ns += utt_end
+        for l in rec_tr.labels:
+            if l.name in spots:
+                mid = ((l.start or 0) + (l.end or 0)) / 2.0
+                spots[l.name].append((l.score or 0.0, stem, mid))
+    hours = total_dur_100ns / 3.6e10
+    if hours <= 0:
+        HError(3332, "HResults -w: reference labels carry no times")
+    print("------------------------ Figure of Merit --------------------------")
+    print("    KeyWord:    #Hits     #FAs  #Actual      FOM")
+    foms = []
+    for k in keywords:
+        occ = refs[k]
+        n_true = len(occ)
+        hits = fas = 0
+        # detection percentage after each false alarm count
+        p_at_fa = []  # p_at_fa[i] = %hits with <= i FAs (i from 0)
+        cur_hits = 0
+        events = sorted(spots[k], key=lambda t: -t[0])
+        for score, stem, mid in events:
+            hit = False
+            for o in occ:
+                if not o[3] and o[0] == stem and o[1] <= mid <= o[2]:
+                    o[3] = True
+                    hit = True
+                    break
+            if hit:
+                cur_hits += 1
+            else:
+                p_at_fa.append(cur_hits)
+        p_at_fa.append(cur_hits)  # tail: no further FAs
+        n_hits, n_fa = cur_hits, len(p_at_fa) - 1
+
+        def pct(i):
+            c = p_at_fa[min(i, len(p_at_fa) - 1)]
+            return 100.0 * c / max(n_true, 1)
+
+        # average detection rate over 1..10 FA/hour
+        fom = 0.0
+        n_bands = 10.0 * hours
+        full = int(n_bands)
+        for i in range(1, full + 1):
+            fom += pct(i)
+        frac = n_bands - full
+        if frac > 0:
+            fom += frac * pct(full + 1)
+        fom /= max(n_bands, 1e-9)
+        foms.append(fom)
+        print(f"{k:>11}: {n_hits:8d} {n_fa:8d} {n_true:8d} {fom:8.2f}")
+    mean_fom = sum(foms) / max(len(foms), 1)
+    print(f"    Overall: {mean_fom:37.2f}")
+    print("===================================================================")
+    from ..utils.metrics import emit_metric
+
+    emit_metric(ta.config, "HResults", fom=round(mean_fom, 4))
+    return 0
+
+
 def run(argv: List[str]) -> int:
     ta = parse_args("HResults", argv, OPTS, min_args=1, usage=USAGE)
     rec_files = ta.script + ta.args[1:]
@@ -125,7 +224,7 @@ def run(argv: List[str]) -> int:
     by_spk: Dict[str, List[int]] = {}
 
     # rec files may be label files or MLFs
-    rec_entries: List[Tuple[str, List[str]]] = []
+    rec_entries = []  # (key, Transcription)
     for rf in rec_files:
         try:
             first = open(rf).readline().strip()
@@ -133,13 +232,15 @@ def run(argv: List[str]) -> int:
             HError(3310, "HResults: cannot open %s (%s)", rf, e)
         if first == "#!MLF!#":
             m = MLF.load(rf, ta.config)
-            for pattern, tr in m.entries:
-                rec_entries.append((pattern, [l.name for l in tr.labels]))
+            rec_entries.extend(m.entries)
         else:
-            tr = load_label_file(rf)
-            rec_entries.append((rf, [l.name for l in tr.labels]))
+            rec_entries.append((rf, load_label_file(rf)))
 
-    for key, hyp_names in rec_entries:
+    if ta.has("w"):
+        return _word_spotting(ta, rec_entries, mlfs, ref_dir, ref_ext)
+
+    n_best = int(ta.get("d", 0) or 0)
+    for key, rec_tr in rec_entries:
         stem = os.path.splitext(os.path.basename(key))[0]
         try:
             ref_tr = find_labels(stem, mlfs, ref_dir, ref_ext)
@@ -147,8 +248,16 @@ def run(argv: List[str]) -> int:
             HRError(3331, "HResults: no reference for %s", key)
             continue
         ref = norm([l.name for l in ref_tr.labels])
-        hyp = norm(hyp_names)
-        h, s, d, i, pairs = dp_align(ref, hyp)
+        # -d N: oracle-score the best of the first N alternatives
+        alts = (rec_tr.alternatives[:n_best] if n_best
+                else rec_tr.alternatives[:1]) or [[]]
+        best = None
+        for alt in alts:
+            hyp = norm([l.name for l in alt])
+            h, s, d, i, pairs = dp_align(ref, hyp)
+            if best is None or (s + d + i) < (best[1] + best[2] + best[3]):
+                best = (h, s, d, i, pairs)
+        h, s, d, i, pairs = best
         tot_h += h
         tot_s += s
         tot_d += d
@@ -187,10 +296,24 @@ def run(argv: List[str]) -> int:
     print(f"  Ref : {' '.join(ta.get_all('I')) or ref_dir or '.'}")
     print(f"  Rec : {rec_files[0]}{' ...' if len(rec_files) > 1 else ''}")
     print("------------------------ Overall Results --------------------------")
-    print(f"SENT: %Correct={scorr:.2f} [H={sent_ok}, S={sent_n - sent_ok}, "
-          f"N={sent_n}]")
-    print(f"WORD: %Corr={corr:.2f}, Acc={acc:.2f} [H={tot_h}, D={tot_d}, "
-          f"S={tot_s}, I={tot_i}, N={tot_n}]")
+    if ta.has("n"):
+        # NIST/sclite-style summary [LC layout vs HResults.c NIST mode:
+        # percentages of sub/del/ins/err over the reference word count,
+        # S.Err over sentences]
+        nn = max(tot_n, 1)
+        print(",===================================================================.")
+        print("|         |  # Snt  # Wrd  |  Corr     Sub     Del     Ins     Err  |")
+        print("|---------+----------------+----------------------------------------|")
+        print(f"| Sum/Avg | {sent_n:6d} {tot_n:6d}  | "
+              f"{corr:6.2f} {100.0 * tot_s / nn:7.2f} "
+              f"{100.0 * tot_d / nn:7.2f} {100.0 * tot_i / nn:7.2f} "
+              f"{100.0 * (tot_s + tot_d + tot_i) / nn:7.2f} |")
+        print("`==================================================================='")
+    else:
+        print(f"SENT: %Correct={scorr:.2f} [H={sent_ok}, S={sent_n - sent_ok}, "
+              f"N={sent_n}]")
+        print(f"WORD: %Corr={corr:.2f}, Acc={acc:.2f} [H={tot_h}, D={tot_d}, "
+              f"S={tot_s}, I={tot_i}, N={tot_n}]")
     from ..utils.metrics import emit_metric
 
     emit_metric(ta.config, "HResults", corr=round(corr, 4),

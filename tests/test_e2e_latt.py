@@ -67,3 +67,27 @@ def test_lattice_rescore_mmi_chain(trained, capsys):
     assert hresults.run(["-I", "words.mlf", "monophones", "recmmi.mlf"]) == 0
     out = capsys.readouterr().out
     assert "WORD: %Corr=100.00" in out
+
+
+def test_nbest_to_hresults_d(trained, capsys):
+    """HVite -n N-best MLF (/// alternatives) -> HResults -d oracle
+    scoring consumes it; oracle %Corr >= 1-best %Corr."""
+    assert hvite.run(
+        ["-w", "wdnet.slf", "-p", "-8", "-n", "2", "4",
+         "-i", "recn.mlf", "-H", "hmm2/hmmdefs", "-S", "train.scp",
+         "dict", "monophones"]) == 0
+    text = open("recn.mlf").read()
+    assert "///" in text  # multiple alternatives written
+
+    def corr(args):
+        assert hresults.run(args) == 0
+        out = capsys.readouterr().out
+        for tok in out.split():
+            if tok.startswith("%Corr="):
+                return float(tok.split("=")[1].rstrip(","))
+        return -1.0
+
+    c1 = corr(["-I", "words.mlf", "monophones", "recn.mlf"])
+    cd = corr(["-I", "words.mlf", "-d", "4", "monophones", "recn.mlf"])
+    assert cd >= c1
+    assert cd == 100.0

@@ -458,3 +458,86 @@ class TestHResultsSpeakers:
         b = [l for l in out.splitlines() if l.startswith("| spkB")][0]
         assert "100.00" in a and "    2 |" in a  # 2 sentences, all correct
         assert " 50.00" in b                      # 50% corr / 50% sub
+
+
+class TestHResultsDNW:
+    def test_d_scores_best_alternative(self, tmp_path, monkeypatch,
+                                       capsys):
+        """-d N oracle-scores the best of the first N alternatives
+        (HVite -n N-best MLFs use /// separators)."""
+        from htk_tpu.tools import hresults
+
+        monkeypatch.chdir(tmp_path)
+        open("ref.mlf", "w").write(
+            '#!MLF!#\n"*/u1.lab"\nONE\nTWO\n.\n')
+        open("rec.mlf", "w").write(
+            '#!MLF!#\n"*/u1.rec"\nONE\nONE\n///\nONE\nTWO\n.\n')
+        open("list", "w").write("ONE\nTWO\n")
+        # without -d: first alternative only -> 1 sub
+        assert hresults.run(["-I", "ref.mlf", "list", "rec.mlf"]) == 0
+        out = capsys.readouterr().out
+        assert "%Corr=50.00" in out
+        # -d 2: second alternative is perfect
+        assert hresults.run(["-I", "ref.mlf", "-d", "2", "list",
+                             "rec.mlf"]) == 0
+        out = capsys.readouterr().out
+        assert "%Corr=100.00, Acc=100.00" in out
+
+    def test_n_nist_table(self, tmp_path, monkeypatch, capsys):
+        from htk_tpu.tools import hresults
+
+        monkeypatch.chdir(tmp_path)
+        open("ref.mlf", "w").write(
+            '#!MLF!#\n"*/u1.lab"\nONE\nTWO\n.\n"*/u2.lab"\nTWO\n.\n')
+        open("rec.mlf", "w").write(
+            '#!MLF!#\n"*/u1.rec"\nONE\nONE\n.\n"*/u2.rec"\nTWO\n.\n')
+        open("list", "w").write("ONE\nTWO\n")
+        assert hresults.run(["-I", "ref.mlf", "-n", "list",
+                             "rec.mlf"]) == 0
+        out = capsys.readouterr().out
+        assert "| Sum/Avg |" in out
+        row = [l for l in out.splitlines() if "Sum/Avg" in l][0]
+        # 2 sentences, 3 ref words, 2 hits, 1 sub: 66.67 corr, 33.33 sub
+        assert "2" in row and "66.67" in row and "33.33" in row
+        assert "SENT:" not in out
+
+    def test_w_figure_of_merit(self, tmp_path, monkeypatch, capsys):
+        """-w: hits/FAs per keyword and FOM. One keyword, 1h of audio,
+        2 true occurrences; spots: best-scored hits first, then an FA —
+        detection stays 100% for every FA band -> FOM 100; a second
+        run with the hit below the FA drops the first band."""
+        from htk_tpu.tools import hresults
+
+        monkeypatch.chdir(tmp_path)
+        HOUR = 36_000_000_000  # 100ns units
+        open("ref.mlf", "w").write(
+            '#!MLF!#\n"*/u1.lab"\n'
+            f"0 1000000 KEY\n2000000 3000000 KEY\n"
+            f"3000000 {HOUR} FILLER\n.\n")
+        open("list", "w").write("KEY\n")
+        # both true occurrences found above the FA
+        open("rec.mlf", "w").write(
+            '#!MLF!#\n"*/u1.rec"\n'
+            "0 1000000 KEY -10.0\n2000000 3000000 KEY -12.0\n"
+            "5000000 6000000 KEY -90.0\n.\n")
+        assert hresults.run(["-I", "ref.mlf", "-w", "list",
+                             "rec.mlf"]) == 0
+        out = capsys.readouterr().out
+        assert "Figure of Merit" in out
+        krow = [l for l in out.splitlines() if l.strip().startswith("KEY")][0]
+        assert "100.00" in krow  # FOM
+        assert krow.split()[1:4] == ["2", "1", "2"]  # hits, FAs, actual
+        # second hit hidden BELOW two false alarms: band 1 (1 FA/hr)
+        # only reaches 50% detection; bands 2-10 reach 100%
+        open("rec2.mlf", "w").write(
+            '#!MLF!#\n"*/u1.rec"\n'
+            "0 1000000 KEY -10.0\n5000000 6000000 KEY -12.0\n"
+            "7000000 8000000 KEY -13.0\n"
+            "2000000 3000000 KEY -90.0\n.\n")
+        assert hresults.run(["-I", "ref.mlf", "-w", "list",
+                             "rec2.mlf"]) == 0
+        out = capsys.readouterr().out
+        krow = [l for l in out.splitlines() if l.strip().startswith("KEY")][0]
+        # FOM over 10 bands: band1 = 50%, bands 2..10 = 100%
+        assert "95.00" in krow
+        assert krow.split()[1:4] == ["2", "2", "2"]

@@ -1039,6 +1039,15 @@ def decode(
     """
     T = feats.shape[0]
     if net.uniform_width:
+        if T > REC_TMASK:
+            # auto-chunk: HRec.c streams arbitrarily long input, but the
+            # packed word-link record's 15-bit frame field caps one scan
+            # at 32767 frames — longer utterances split at low-energy
+            # frames (word-link chains then rarely span a cut) and the
+            # chunk transcripts concatenate
+            return _decode_chunked(net, comp, feats, lm_scale, word_pen,
+                                   precision, state_scores, beam,
+                                   max_active, model_params)
         if state_scores is not None:
             x = jnp.asarray(state_scores, jnp.float32)[None]
             return _decode_uniform(net, None, x, [T], lm_scale, word_pen,
@@ -1067,6 +1076,71 @@ def decode(
                      lm_scale)
 
 
+# auto-chunk target length: comfortably under REC_TMASK so the cut-
+# point search window never pushes a chunk over the record range
+CHUNK_T = 30_000
+CHUNK_WINDOW = 2_000
+
+
+def _decode_chunked(net, comp, feats, lm_scale, word_pen, precision,
+                    state_scores, beam, max_active, model_params):
+    """Decode an over-long utterance as concatenated chunks.
+
+    Cut points land on the LOWEST-ENERGY frame (smallest feature L2
+    norm — silence-ish) inside the window [CHUNK_T - CHUNK_WINDOW,
+    CHUNK_T) of each remaining span, so a word rarely straddles a cut.
+    Results are the concatenation of the chunk decodes with times
+    offset; the score is the sum (the cross-chunk LM transition is
+    dropped — the approximation inherent to chunking).
+    """
+    src = state_scores if state_scores is not None else feats
+    cuts = [0]
+    pos = 0
+    T = src.shape[0]
+    while T - pos > CHUNK_T:
+        w0 = pos + CHUNK_T - CHUNK_WINDOW
+        w1 = pos + CHUNK_T
+        norms = np.linalg.norm(np.asarray(src[w0:w1]), axis=1)
+        pos = w0 + int(np.argmin(norms))
+        cuts.append(pos)
+    cuts.append(T)
+
+    words: List[str] = []
+    nodes: List[int] = []
+    times: List[Tuple[int, int]] = []
+    wscores: List[float] = []
+    score = 0.0
+    any_ok = False
+    for c0, c1 in zip(cuts[:-1], cuts[1:]):
+        # chunks pad to a 128 multiple so the jitted pipeline compiles
+        # once per padded length, not once per cut position
+        tc = c1 - c0
+        tp = ((tc + 127) // 128) * 128
+        chunk = np.asarray(src[c0:c1], np.float32)
+        xb = np.zeros((1, tp, chunk.shape[1]), np.float32)
+        xb[0, :tc] = chunk
+        if state_scores is not None:
+            r = _decode_uniform(net, None, jnp.asarray(xb), [tc],
+                                lm_scale, word_pen, beam, max_active,
+                                precision, state_mode=True)[0]
+        else:
+            r = _decode_uniform(net, comp, jnp.asarray(xb), [tc],
+                                lm_scale, word_pen, beam, max_active,
+                                precision, model_params=model_params)[0]
+        if r is None:
+            continue
+        any_ok = True
+        words.extend(r.words)
+        nodes.extend(r.word_nodes)
+        times.extend([(t0 + c0, t1 + c0) for t0, t1 in r.times])
+        wscores.extend(r.scores)
+        score += r.score
+    if not any_ok:
+        return None
+    return DecodeResult(words=words, word_nodes=nodes, times=times,
+                        score=score, scores=wscores)
+
+
 def decode_batch(
     net: DecodeNetwork,
     comp: CompiledHMMSet,
@@ -1090,6 +1164,23 @@ def decode_batch(
     """
     B = len(feats_list)
     lens = [int(f.shape[0]) for f in feats_list]
+    if net.uniform_width and max(lens) > REC_TMASK:
+        # over-long utterances go through the chunked single path;
+        # the rest batch as usual
+        out: List[Optional[DecodeResult]] = [None] * B
+        ok_idx = [b for b in range(B) if lens[b] <= REC_TMASK]
+        for b in range(B):
+            if lens[b] > REC_TMASK:
+                out[b] = decode(net, comp, feats_list[b], lm_scale,
+                                word_pen, precision, beam=beam,
+                                max_active=max_active)
+        if ok_idx:
+            rs = decode_batch(net, comp, [feats_list[b] for b in ok_idx],
+                              lm_scale, word_pen, precision, pad_to,
+                              beam, max_active)
+            for b, r in zip(ok_idx, rs):
+                out[b] = r
+        return out
     T = ((max(lens) + pad_to - 1) // pad_to) * pad_to
     D = feats_list[0].shape[1]
     fb = np.zeros((B, T, D), np.float32)

@@ -343,3 +343,47 @@ class TestBatchedUniformScan:
         refa = (WE[:, :, None] + tr[None]).argmax(axis=1)
         np.testing.assert_allclose(np.asarray(e), ref, atol=1e-6)
         assert np.array_equal(np.asarray(a), refa)
+
+
+class TestLongUtteranceChunking:
+    def test_long_decode_chunks_and_concatenates(self):
+        """A >32767-frame utterance decodes via low-energy-cut chunks;
+        the transcript equals the concatenation of the per-chunk
+        decodes and the old numbered error is gone."""
+        from htk_tpu.algo.decode import (CHUNK_T, REC_TMASK,
+                                         _decode_chunked)
+
+        comp = separable_set()
+        net = compile_lv_loop(["A", "I", "S"], make_vocab(), comp,
+                              lm=make_lm())
+        # ~34k frames: repeated word units with silence (low-energy)
+        # gaps the cutter can land on
+        unit = emit_frames(["aa", "iy", "sil"], frames_per=8, seed=3)
+        reps = (REC_TMASK + 2000) // unit.shape[0] + 1
+        feats = np.tile(unit, (reps, 1)).astype(np.float32)
+        assert feats.shape[0] > REC_TMASK
+        r = decode(net, comp, feats)
+        assert r is not None
+        # every repetition contributes its words
+        assert r.words[:2] == ["A", "I"]
+        assert len(r.words) == 2 * reps
+        # times strictly increasing across chunk boundaries
+        t_ends = [t1 for _t0, t1 in r.times]
+        assert all(b > a for a, b in zip(t_ends, t_ends[1:]))
+        assert t_ends[-1] > CHUNK_T  # words beyond the first chunk
+
+    def test_batch_routes_long_through_chunking(self):
+        from htk_tpu.algo.decode import REC_TMASK
+
+        comp = separable_set()
+        net = compile_lv_loop(["A", "I", "S"], make_vocab(), comp,
+                              lm=make_lm())
+        unit = emit_frames(["aa", "iy", "sil"], frames_per=8, seed=3)
+        reps = (REC_TMASK + 2000) // unit.shape[0] + 1
+        long_f = np.tile(unit, (reps, 1)).astype(np.float32)
+        short_f = emit_frames(["sil", "aa", "iy", "sil"], seed=5)
+        rs = decode_batch(net, comp, [short_f, long_f], pad_to=16)
+        assert rs[0] is not None and rs[1] is not None
+        assert len(rs[1].words) == 2 * reps
+        r_short = decode(net, comp, short_f)
+        assert rs[0].words == r_short.words

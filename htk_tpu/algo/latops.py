@@ -391,3 +391,64 @@ def apply_lm(lat: Lattice, lm, context: int = 2) -> Lattice:
             w1 = "!ENTER"
         a.lmlike = lm.logp_bi(w1, w2)
     return lat
+
+
+def oracle_error(lat: Lattice, ref: List[str],
+                 ignore: tuple = ("", NULL_WORD)) -> Tuple[int, int]:
+    """Lattice oracle word-error count: the minimum edit distance
+    between the reference and ANY path through the lattice.
+
+    DP over (node, ref position) in topological order with unit
+    sub/ins/del costs — the lattice-quality metric (`HTKLib/HLat.c`'s
+    analysis role; used by the beam-sweep harness to quantify how much
+    the pass-1 beams bound the pass-2 approximation). Returns
+    (min_errors, len(ref)); words in `ignore` (and None) are
+    transparent.
+    """
+    order = topo_order(lat)
+    words_of = {n.id: n.word for n in lat.nodes}
+    out: Dict[int, List[LArc]] = {n.id: [] for n in lat.nodes}
+    n_in = {n.id: 0 for n in lat.nodes}
+    for a in lat.arcs:
+        out[a.start].append(a)
+        n_in[a.end] += 1
+    R = len(ref)
+    INF = 1 << 30
+    # cost[nid][j] = best errors reaching nid having consumed ref[:j]
+    cost: Dict[int, List[int]] = {
+        nid: list(range(R + 1))  # start: ref prefix deleted
+        for nid in order if n_in[nid] == 0
+    }
+    ends = [nid for nid in order if not out[nid]]
+    for nid in order:
+        cur = cost.get(nid)
+        if cur is None:
+            continue
+        # deletions: skip ref words at this node
+        for j in range(1, R + 1):
+            if cur[j - 1] + 1 < cur[j]:
+                cur[j] = cur[j - 1] + 1
+        for a in out[nid]:
+            w = a.word if a.word is not None else words_of.get(a.end)
+            nxt = cost.setdefault(a.end, [INF] * (R + 1))
+            if w is None or w in ignore:
+                for j in range(R + 1):
+                    if cur[j] < nxt[j]:
+                        nxt[j] = cur[j]
+            else:
+                for j in range(R + 1):
+                    # insertion: hypothesis word consumes no ref
+                    if cur[j] + 1 < nxt[j]:
+                        nxt[j] = cur[j] + 1
+                    if j < R:
+                        c = cur[j] + (0 if w == ref[j] else 1)
+                        if c < nxt[j + 1]:
+                            nxt[j + 1] = c
+    best = INF
+    for nid in ends:
+        arr = cost.get(nid)
+        if arr is not None:
+            # remaining ref words are deletions
+            for j in range(R + 1):
+                best = min(best, arr[j] + (R - j))
+    return best, R

@@ -174,3 +174,37 @@ class TestMPE:
         weights, c_avg = arc_mpe_weights(lat, [("right", 0.0, 1.0)])
         assert abs(weights[0]) < 1e-6
         assert c_avg == pytest.approx(1.0)
+
+
+class TestOracleError:
+    def _lat(self):
+        from htk_tpu.io.slf import Lattice, LArc, LNode, NULL_WORD
+
+        lat = Lattice()
+        lat.nodes = [LNode(id=0, word=NULL_WORD),
+                     LNode(id=1, word="A"), LNode(id=2, word="B"),
+                     LNode(id=3, word="C"), LNode(id=4, word=NULL_WORD)]
+        lat.arcs = [LArc(id=0, start=0, end=1),
+                    LArc(id=1, start=0, end=2),
+                    LArc(id=2, start=1, end=3),
+                    LArc(id=3, start=2, end=3),
+                    LArc(id=4, start=3, end=4)]
+        return lat
+
+    def test_oracle_zero_when_path_exists(self):
+        from htk_tpu.algo.latops import oracle_error
+
+        lat = self._lat()
+        assert oracle_error(lat, ["A", "C"]) == (0, 2)
+        assert oracle_error(lat, ["B", "C"]) == (0, 2)
+
+    def test_oracle_counts_min_edits(self):
+        from htk_tpu.algo.latops import oracle_error
+
+        lat = self._lat()
+        # best path differs by one substitution
+        assert oracle_error(lat, ["A", "D"]) == (1, 2)
+        # deletion (ref word no path covers) and insertion
+        assert oracle_error(lat, ["A", "C", "E"]) == (1, 3)
+        assert oracle_error(lat, ["C"]) == (1, 1)
+        assert oracle_error(lat, []) == (2, 0)

@@ -76,3 +76,91 @@ class TestMelScale:
         # HTK's 1127 ln form is the same curve
         m2 = 1127.0 * math.log(1.0 + 1000.0 / 700.0)
         assert abs(m - m2) < 0.05 * m / 100 + 0.1
+
+
+class TestCompressedParmFile:
+    def test_htkbook_compression_formula(self, tmp_path):
+        """HTKBook §5.10 publishes the _C compression: each column j
+        scales to int16 by c = A_j*x - B_j with
+        A_j = 2*32767/(max_j - min_j), B_j = 32767*(max_j + min_j) /
+        (max_j - min_j), and the file stores A then B as float rows
+        before the shorts. Bytes are recomputed here independently from
+        that published formula and compared against the writer."""
+        from htk_tpu.io.htkfeat import read_htk_file, write_htk_file
+        from htk_tpu.io.parmkind import HASCOMPX, str2parmkind
+
+        x = np.array([[0.5, -2.0], [1.5, 6.0], [-0.5, 4.0]], np.float32)
+        kind = str2parmkind("USER_C")
+        p = str(tmp_path / "c.mfc")
+        write_htk_file(p, x, 100000, kind)
+        raw = open(p, "rb").read()
+        # header: nSamples counts the 2 extra A/B "samples" in HTK's
+        # layout; sampSize = 2 bytes per short component
+        n_samp, _period, s_size, k = struct.unpack(">iihh", raw[:12])
+        assert s_size == 4  # 2 comps * 2 bytes
+        assert k & HASCOMPX
+        xmin, xmax = x.min(0), x.max(0)
+        A = 2.0 * 32767.0 / (xmax - xmin)
+        B = 32767.0 * (xmax + xmin) / (xmax - xmin)
+        got_A = np.frombuffer(raw[12:20], ">f4")
+        got_B = np.frombuffer(raw[20:28], ">f4")
+        np.testing.assert_allclose(got_A, A, rtol=1e-6)
+        np.testing.assert_allclose(got_B, B, rtol=1e-6)
+        shorts = np.frombuffer(raw[28:], ">i2").reshape(3, 2)
+        expect = np.round(A * x - B).astype(np.int16)
+        np.testing.assert_array_equal(shorts, expect)
+        # decompression inverts: x = (c + B) / A
+        back = read_htk_file(p)
+        np.testing.assert_allclose(back.data, (shorts + B) / A, rtol=1e-6)
+
+
+class TestNISTSphere:
+    def _sphere(self, byte_fmt, samples):
+        """A NIST SPHERE 2.x file per the published header grammar:
+        'NIST_1A\\n' then the header size right-justified in 8 chars,
+        'name -type value' fields, 'end_head', padding to 1024 bytes."""
+        hdr = (
+            "NIST_1A\n    1024\n"
+            "sample_rate -i 16000\n"
+            "channel_count -i 1\n"
+            "sample_count -i {n}\n"
+            "sample_n_bytes -i 2\n"
+            f"sample_byte_format -s2 {byte_fmt}\n"
+            "sample_coding -s3 pcm\n"
+            "end_head\n"
+        ).format(n=len(samples))
+        body = samples.astype(
+            ">i2" if byte_fmt == "10" else "<i2").tobytes()
+        return hdr.encode().ljust(1024, b" ") + body
+
+    def test_reads_published_layout_both_orders(self, tmp_path):
+        from htk_tpu.io.wavefile import read_wave
+
+        s = np.array([0, 1000, -1000, 32767, -32768, 7], np.int16)
+        for bf in ("10", "01"):  # big- and little-endian sample bytes
+            p = tmp_path / f"t{bf}.sph"
+            p.write_bytes(self._sphere(bf, s))
+            wv = read_wave(str(p), fmt="NIST")
+            assert wv.samp_period == 625  # 16 kHz in 100ns units
+            np.testing.assert_array_equal(wv.samples, s)
+
+
+class TestSunAu:
+    def test_published_au_layout(self, tmp_path):
+        """Sun .au (published in the original Sun/NeXT audio file
+        format spec): magic '.snd' (0x2E736E64), 24-byte big-endian
+        header (magic, data offset, data size, encoding, sample rate,
+        channels), encoding 1 = 8-bit G.711 mu-law."""
+        from htk_tpu.io.wavefile import read_wave
+
+        # mu-law codes for known G.711 decode points (Sun g711.c):
+        # 0xFF -> 0, 0x7F -> -8031... use 0xFF (zero) and 0x80 (+32124)
+        data = bytes([0xFF, 0x80, 0x00])
+        hdr = struct.pack(">4sIIIII", b".snd", 24, len(data), 1, 8000, 1)
+        p = tmp_path / "t.au"
+        p.write_bytes(hdr + data)
+        wv = read_wave(str(p), fmt="SUNAU8")
+        assert wv.samp_period == 1250  # 8 kHz
+        assert wv.samples[0] == 0
+        assert wv.samples[1] == 32124   # published G.711 max magnitude
+        assert wv.samples[2] == -32124

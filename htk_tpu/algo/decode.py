@@ -590,6 +590,13 @@ def run_decode_batch(
     node_of_state = d["node_of_state"]
     entry_bonus = d["entry_bonus"]
     band, a0, aE = d["band"], d["a0"], d["aE"]
+    # per-node word-insertion penalty: interior-sharing sub-word hops
+    # (head->body->tail) are word transitions to the scan but must not
+    # collect -p again (see net.py share_interiors)
+    if net.node_wdpen is not None:
+        wp = jnp.asarray(net.node_wdpen) * float(word_pen)
+    else:
+        wp = jnp.full((net.n_nodes,), float(word_pen), jnp.float32)
     if jax.default_backend() == "tpu":
         from ..ops.decode_pallas import decode_scan_pallas, make_maskf
 
@@ -598,11 +605,11 @@ def run_decode_batch(
         )
         return decode_scan_pallas(
             outp_states, band, a0, aE, maskf, entry_bonus, trans,
-            start_entry, float(word_pen), net.n_nodes,
+            start_entry, wp, net.n_nodes,
         )
     fn = lambda o: decode_scan(  # noqa: E731
         o, band, a0, aE, node_of_state, entry_bonus, trans, start_entry,
-        float(word_pen), net.n_nodes,
+        wp, net.n_nodes,
     )
     return jax.vmap(fn)(outp_states)
 
@@ -650,14 +657,21 @@ def _finalize(net, WEs, pwns, pwts, WE_fin, pwn_fin, pwt_fin, T_real,
 
     words_rev.reverse()
     words, nodes, times, scores = [], [], [], []
+    cont = net.node_cont
+    pend_t0: Optional[int] = None  # head/body spans merge into the tail
     for node, t0, t1 in words_rev:
+        if cont is not None and cont[node]:
+            if pend_t0 is None:
+                pend_t0 = t0
+            continue
         out = net.node_out[node]
         sym = net.node_words[node] if out is None else out
         if sym:
             words.append(sym)
             nodes.append(node)
-            times.append((t0, t1))
+            times.append((pend_t0 if pend_t0 is not None else t0, t1))
             scores.append(0.0)
+        pend_t0 = None
     return DecodeResult(
         words=words, word_nodes=nodes, times=times, score=score, scores=scores
     )

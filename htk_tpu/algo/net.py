@@ -77,6 +77,13 @@ class DecodeNetwork:
     # + bucketed explicit-bigram gather lists) instead of the dense
     # (C, C) matrix — O(#bigrams) per frame instead of O(C^2), exact.
     xw_backoff: Optional[dict] = None
+    # interior sharing (cross_word + share_interiors): True for nodes
+    # that are the head/body part of a split word — their records merge
+    # times into the following node and emit no symbol (see _finalize)
+    node_cont: Optional[np.ndarray] = None
+    # 1.0 where entering the node collects the word-insertion penalty
+    # (full/head units), 0.0 for intra-word body/tail entries
+    node_wdpen: Optional[np.ndarray] = None
 
 
 def _maxplus_closure(null_arcs: np.ndarray) -> np.ndarray:
@@ -168,6 +175,7 @@ def compile_network(
     phone_map=None,
     cross_word: bool = False,
     cf_phones: Sequence[str] = ("sp",),
+    share_interiors: bool = False,
 ) -> DecodeNetwork:
     """Expand a word lattice into the dense decode network.
 
@@ -178,6 +186,18 @@ def compile_network(
     (see module docstring): word nodes split into (left, right) context
     variant units and `phone_map` is ignored — names are resolved with
     the FindModel fallback chain against the model set.
+
+    `share_interiors=True` (HNet.c ExpandWordNet's structural interior
+    sharing, the TPU form): pronunciations with >= 3 context phones
+    split into per-left-context HEAD units (first context phone), ONE
+    shared BODY unit (the interior, context-independent), and
+    per-right-context TAIL units — |L| + 1 + |R| units instead of
+    |L| x |R| full variants, with identical decodes (the decoder's
+    word-transition max over head variants is exactly the within-word
+    Viterbi max the fused chain would take). Head/body nodes are marked
+    `node_cont`; the traceback merges their times into the word emitted
+    at the tail. Lattice generation over such networks would emit
+    sub-word pseudo-nodes, so callers that need lattices keep it off.
     """
     id_of = {n.id: k for k, n in enumerate(lat.nodes)}
     words = []
@@ -238,6 +258,8 @@ def compile_network(
             HError(8621, "compile_network: word %s not in dictionary", w)
         defs.append(wd)
 
+    node_cont_l: List[bool] = []
+    node_pen_l: List[bool] = []
     if not cross_word:
         for i, wd in zip(word_nodes, defs):
             unit_words.append(words[i])
@@ -282,25 +304,71 @@ def compile_network(
         # word-internal-trained set (HDecode's lattice-constrained
         # pass 2) most cross-word variants back off to the same models,
         # collapsing the classic |L|x|R| interior blow-up.
+        # With share_interiors, prons with >= 3 context phones instead
+        # split into |L| heads + 1 shared body + |R| tails — the
+        # structural sharing for fully cross-word-trained sets whose
+        # variants never coincide.
         groups: Dict[tuple, int] = {}
         g_members: List[dict] = []
+
+        def get_unit(gk, **kw):
+            gi = groups.get(gk)
+            if gi is None:
+                gi = len(g_members)
+                groups[gk] = gi
+                g_members.append({"L": set(), "R": set(), "to": set(),
+                                  "kind": "full", **kw})
+            return gi
+
         for n in range(Nn):
+            wd = defs[n]
+            split_pron_ids = set()
+            if share_interiors:
+                for pi, p in enumerate(wd.prons):
+                    ctx = [k for k, ph in enumerate(p.phones)
+                           if ph not in cf]
+                    if len(ctx) < 3:
+                        continue
+                    split_pron_ids.add(pi)
+                    olc, orc = _edge_phones(p.phones, cf)
+                    c1, cl = ctx[1], ctx[-1]
+                    head_ph = list(p.phones[:c1])
+                    body_ph = list(p.phones[c1:cl])
+                    tail_ph = list(p.phones[cl:])
+                    body_res = tuple(_xword_phones(
+                        body_ph, p.phones[ctx[0]], p.phones[cl], cf, best))
+                    bi = get_unit(("b", n, pi), n=n, kind="body",
+                                  olc=olc, orc=orc,
+                                  exp=((body_res, 1.0),))
+                    for l in in_ctx[n]:
+                        hres = tuple(_xword_phones(
+                            head_ph, l, p.phones[c1], cf, best))
+                        hi = get_unit(("h", n, pi, hres), n=n,
+                                      kind="head", olc=olc, orc=orc,
+                                      exp=((hres, p.prob),))
+                        g_members[hi]["L"].add(l)
+                        g_members[hi]["to"].add(bi)
+                    for r in out_ctx[n]:
+                        tres = tuple(_xword_phones(
+                            tail_ph, p.phones[ctx[-2]], r, cf, best))
+                        ti = get_unit(("t", n, pi, tres), n=n,
+                                      kind="tail", olc=olc, orc=orc,
+                                      exp=((tres, 1.0),))
+                        g_members[ti]["R"].add(r)
+                        g_members[bi]["to"].add(ti)
             for (olc, orc, ps) in node_groups[n]:
+                ps = [p for p in ps
+                      if wd.prons.index(p) not in split_pron_ids]
+                if not ps:
+                    continue
                 for l in in_ctx[n]:
                     for r in out_ctx[n]:
                         exp = tuple(
                             (tuple(_xword_phones(p.phones, l, r, cf, best)),
                              p.prob)
                             for p in ps)
-                        gk = (n, olc, orc, exp)
-                        gi = groups.get(gk)
-                        if gi is None:
-                            gi = len(g_members)
-                            groups[gk] = gi
-                            g_members.append({
-                                "n": n, "olc": olc, "orc": orc,
-                                "L": set(), "R": set(), "exp": exp,
-                            })
+                        gi = get_unit((n, olc, orc, exp), n=n,
+                                      olc=olc, orc=orc, exp=exp)
                         g = g_members[gi]
                         g["L"].add(l)
                         g["R"].add(r)
@@ -309,18 +377,28 @@ def compile_network(
         u_start = np.full(Nu, LZERO)
         u_end = np.full(Nu, LZERO)
         for ua, ga in enumerate(g_members):
-            if None in ga["L"]:
+            exit_xw = ga["kind"] in ("full", "tail")
+            entry_xw = ga["kind"] in ("full", "head")
+            if entry_xw and None in ga["L"]:
                 u_start[ua] = start_entry[ga["n"]]
-            if None in ga["R"]:
+            if exit_xw and None in ga["R"]:
                 u_end[ua] = end_exit[ga["n"]]
+            for ub in ga["to"]:  # intra-word head->body / body->tail
+                u_trans[ua, ub] = 0.0
+            if not exit_xw:
+                continue
             for ub, gb in enumerate(g_members):
-                if (trans[ga["n"], gb["n"]] > LSMALL
+                if (gb["kind"] in ("full", "head")
+                        and trans[ga["n"], gb["n"]] > LSMALL
                         and gb["olc"] in ga["R"] and ga["orc"] in gb["L"]):
                     u_trans[ua, ub] = trans[ga["n"], gb["n"]]
         for ga in g_members:
             wd = defs[ga["n"]]
             unit_words.append(words[word_nodes[ga["n"]]])
-            unit_out.append(wd.prons[0].out_sym)
+            cont = ga["kind"] in ("head", "body")
+            node_cont_l.append(cont)
+            node_pen_l.append(ga["kind"] in ("full", "head"))
+            unit_out.append("" if cont else wd.prons[0].out_sym)
             unit_prons.append([(list(ph), prob) for ph, prob in ga["exp"]])
         trans, start_entry, end_exit = u_trans, u_start, u_end
         Nn = Nu
@@ -406,4 +484,8 @@ def compile_network(
         n_states=Ns,
         n_chains=C_n,
         n_nodes=Nn,
+        node_cont=(np.asarray(node_cont_l, bool)
+                   if any(node_cont_l) else None),
+        node_wdpen=(np.asarray(node_pen_l, np.float32)
+                    if node_cont_l and not all(node_pen_l) else None),
     )

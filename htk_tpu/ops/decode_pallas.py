@@ -42,9 +42,9 @@ def _shift_row(x, k, fill):
     return jnp.concatenate([pad, x[:, : n - k]], axis=1)
 
 
-def _make_kernel(T: int, K: int, word_pen: float):
+def _make_kernel(T: int, K: int):
     def kernel(outp_ref, band_ref, a0_ref, aE_ref, maskf_ref, trans_ref,
-               start_ref, bonus_ref,
+               start_ref, wdpen_ref, bonus_ref,
                we_ref, pwn_ref, pwt_ref, v_ref, wn_ref, wt_ref):
         Nn, Ns = maskf_ref.shape
         # block refs carry a leading batch dim of 1 (grid over B)
@@ -57,6 +57,7 @@ def _make_kernel(T: int, K: int, word_pen: float):
         member = maskf > LSMALL
         trans = trans_ref[:]    # (Nn, Nn)
         start = start_ref[:]    # (1, Nn)
+        wdpen = wdpen_ref[:]    # (1, Nn) per-node word penalty
 
         def body(t, carry):
             v, wn, wt = carry  # (1, Ns) f32 / i32 / i32
@@ -79,7 +80,7 @@ def _make_kernel(T: int, K: int, word_pen: float):
 
             # 2. cross-word max-plus (+ start entry at t == 0)
             cand = we + trans  # (Nn_from, Nn_to)
-            entry_n = jnp.max(cand, axis=0, keepdims=True) + word_pen  # (1, Nn)
+            entry_n = jnp.max(cand, axis=0, keepdims=True) + wdpen  # (1, Nn)
             an = jnp.argmax(cand, axis=0).reshape(1, Nn).astype(jnp.int32)
             entry_n = jnp.where(t == 0, start, entry_n)
             an = jnp.where(t == 0, -1, an)
@@ -131,7 +132,7 @@ def _make_kernel(T: int, K: int, word_pen: float):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("word_pen", "n_nodes", "interpret"),
+    static_argnames=("n_nodes", "interpret"),
 )
 def decode_scan_pallas(
     outp_states,  # (B, T, Ns)
@@ -141,7 +142,7 @@ def decode_scan_pallas(
     entry_bonus,  # (Ns,)
     trans,  # (Nn, Nn)
     start_entry,  # (Nn,)
-    word_pen: float,
+    word_pen,  # (Nn,) per-node word-insertion penalty (traced)
     n_nodes: int,
     interpret: bool = False,
 ):
@@ -171,8 +172,10 @@ def decode_scan_pallas(
     trans_p = pad2(trans, Nn, Nn, LZERO)
     start_p = jnp.pad(start_entry, (0, Nn - Nn0),
                       constant_values=LZERO).reshape(1, Nn)
+    wdpen_p = jnp.pad(jnp.asarray(word_pen, jnp.float32), (0, Nn - Nn0),
+                      constant_values=0.0).reshape(1, Nn)
 
-    kernel = _make_kernel(T, K, float(word_pen))
+    kernel = _make_kernel(T, K)
     grid = (B,)
     bcast = lambda i: (0, 0)  # noqa: E731  shared params, same block per program
 
@@ -197,6 +200,7 @@ def decode_scan_pallas(
             pl.BlockSpec((Nn, Ns), bcast, memory_space=pltpu.VMEM),
             pl.BlockSpec((Nn, Nn), bcast, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Nn), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nn), bcast, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Ns), bcast, memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -209,7 +213,8 @@ def decode_scan_pallas(
         ),
         out_shape=out_shapes,
         interpret=interpret,
-    )(outp_p, band_p, a0_p, aE_p, maskf_p, trans_p, start_p, bonus_p)
+    )(outp_p, band_p, a0_p, aE_p, maskf_p, trans_p, start_p,
+      wdpen_p, bonus_p)
 
     WEs, pwns, pwts, v, wn, wt = res
     return (

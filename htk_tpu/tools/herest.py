@@ -100,6 +100,8 @@ def write_stats_file(path: str, hset, comp, accs) -> None:
 def run(argv: List[str]) -> int:
     force_platform_from_env()
     ta = parse_args("HERest", argv, OPTS, min_args=1, usage=USAGE)
+    if ta.has("t") and ta.trace:
+        print("HERest: -t accepted but IGNORED — dense scans re-estimate without pruning; results can differ from a pruned HTK run")
     cfg = ta.config
     hmm_list_file = ta.args[0]
     extra = ta.args[1:]

@@ -96,6 +96,8 @@ def _out_label_path(logical: str, out_dir: Optional[str], ext: str) -> str:
 def run(argv: List[str]) -> int:
     force_platform_from_env()
     ta = parse_args("HVite", argv, OPTS, min_args=2, usage=USAGE)
+    if ta.has("t") and ta.trace:
+        print("HVite: -t accepted but IGNORED — token-passing here is a dense scan; -t changes results in HTK but not here")
     cfg = ta.config
     dict_file, hmm_list_file = ta.args[0], ta.args[1]
     files = ta.script + ta.args[2:]
@@ -279,8 +281,17 @@ def run(argv: List[str]) -> int:
         has_cd = any("-" in n or "+" in n for n in comp.names)
         if force_x or (allow_x and has_cd):
             cfp = (cfg.str_("CFPHONES", "sp", module="HNET") or "sp").split()
+            # HNet.c shares word interiors structurally; here sharing is
+            # on whenever the outputs allow it (lattices/n-best need
+            # whole-word nodes). HNET: SHAREINTERIORS = F disables.
+            share = cfg.bool_("SHAREINTERIORS", True, module="HNET")
+            share = (bool(share) and not ta.get("z")
+                     and not ta.has("n"))
             net = compile_network(lat, vocab, comp, cross_word=True,
-                                  cf_phones=cfp)
+                                  cf_phones=cfp, share_interiors=share)
+            if ta.trace and share:
+                print("HVite: cross-word interiors shared "
+                      f"({net.n_states} states)")
         else:
             pmap = word_internal_phone_map(comp.names)
             net = compile_network(lat, vocab, comp, phone_map=pmap)

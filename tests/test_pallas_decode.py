@@ -51,7 +51,8 @@ def test_pallas_matches_scan(seed):
     got = decode_scan_pallas(
         jnp.asarray(outp), jnp.asarray(band), jnp.asarray(a0),
         jnp.asarray(aE), jnp.asarray(maskf), jnp.asarray(bonus),
-        jnp.asarray(trans), jnp.asarray(start), -1.0, Nn, interpret=True,
+        jnp.asarray(trans), jnp.asarray(start),
+        jnp.full((Nn,), -1.0, jnp.float32), Nn, interpret=True,
     )
     (vg, wng, wtg), (WEg, pwng, pwtg) = got
 

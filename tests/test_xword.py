@@ -108,3 +108,70 @@ class TestCrossWordNetwork:
         # word-internal single-phone words only reach monophones: the
         # cross-word net must beat it on triphone-matched data
         assert res_x.score > res_i.score + 10.0
+
+
+class TestInteriorSharing:
+    def _full_tri_set(self, dim=3):
+        """All triphones over {k, ae, t, s}: a fully cross-word-trained
+        set where no two context variants resolve to the same models, so
+        only structural sharing can shrink the network."""
+        phones = ["k", "ae", "t", "s"]
+        tri = [f"{l}-{p}+{r}" for p in phones for l in phones
+               for r in phones]
+        hs = make_proto(nstates=4, dim=dim, parm_kind="USER")
+        cl = clone_proto(hs, "proto", phones + tri)
+        base = {"k": 6.0, "ae": 0.0, "t": -6.0, "s": 3.0}
+        for nm, h in cl.hmms.items():
+            p = nm.split("-")[-1].split("+")[0]
+            for k_, si in enumerate(h.states):
+                mp = si.streams[0].mixes[0]
+                mp.mean = np.full(dim, base[p], np.float32) + 0.2 * k_
+                mp.var = np.full(dim, 0.6, np.float32)
+                mp.fix_gconst()
+        return compile_hmmset(cl)
+
+    def _emit(self, seq, seed=3):
+        rng = np.random.default_rng(seed)
+        base = {"k": 6.0, "ae": 0.0, "t": -6.0, "s": 3.0}
+        return np.concatenate([
+            base[p] + 0.3 * rng.normal(size=(6, 3)) for p in seq
+        ]).astype(np.float32)
+
+    def test_shared_interiors_shrink_and_match(self):
+        comp = self._full_tri_set()
+        v = Vocab()
+        v.add_pron("KAT", ["k", "ae", "t"])
+        v.add_pron("TAK", ["t", "ae", "k"])
+        v.add_pron("SKS", ["s", "k", "s"])
+        lat = word_loop_lattice(["KAT", "TAK", "SKS"])
+        net_f = compile_network(lat, v, comp, cross_word=True)
+        net_s = compile_network(lat, v, comp, cross_word=True,
+                                share_interiors=True)
+        assert net_s.node_cont is not None
+        # fully distinct variants: sharing must cut states >= 2x
+        assert net_f.n_states >= 2 * net_s.n_states
+        for seed, seq in ((3, ["k", "ae", "t", "t", "ae", "k"]),
+                          (9, ["s", "k", "s", "k", "ae", "t"]),
+                          (11, ["t", "ae", "k", "s", "k", "s",
+                                "k", "ae", "t"])):
+            feats = self._emit(seq, seed)
+            rf = decode(net_f, comp, feats, lm_scale=2.0, word_pen=-1.0)
+            rs = decode(net_s, comp, feats, lm_scale=2.0, word_pen=-1.0)
+            assert rf is not None and rs is not None
+            assert rs.words == rf.words
+            assert rs.times == rf.times
+            assert rs.score == pytest.approx(rf.score, rel=1e-6)
+
+    def test_share_off_is_bit_identical_to_before(self):
+        """share_interiors=False must not change anything (default)."""
+        comp = self._full_tri_set()
+        v = Vocab()
+        v.add_pron("KAT", ["k", "ae", "t"])
+        lat = word_loop_lattice(["KAT"])
+        net_a = compile_network(lat, v, comp, cross_word=True)
+        net_b = compile_network(lat, v, comp, cross_word=True,
+                                share_interiors=False)
+        assert net_a.n_states == net_b.n_states
+        assert net_a.n_nodes == net_b.n_nodes
+        np.testing.assert_array_equal(net_a.trans, net_b.trans)
+        assert net_a.node_cont is None

@@ -276,6 +276,76 @@ def bench_herest(comp, names, n_utts=16, T=500, dim=39, seed=3):
     return n_pass * n_utts / dt
 
 
+def bench_hdecode_batch(comp, vocab, words, lm, n_utts=64, seed=3, reps=3):
+    """HDecode pass-1 throughput: 64 mixed-length utterances through the
+    bucketed batched lattice generator vs the per-utterance loop.
+    Returns (batched_xrt, sequential_xrt)."""
+    import statistics
+
+    from htk_tpu.algo.decode import generate_lattice, generate_lattice_batch
+    from htk_tpu.algo.lvnet import compile_lv_loop
+
+    net = compile_lv_loop(words, vocab, comp, lm=lm)
+    rng = np.random.default_rng(seed)
+    dim = comp.means.shape[1]
+    lens = rng.integers(300, 700, size=n_utts)
+    feats = [rng.normal(size=(int(t), dim)).astype(np.float32)
+             for t in lens]
+    audio = float(lens.sum()) * 0.01
+    order = sorted(range(n_utts), key=lambda i: int(lens[i]))
+    bsz = 16
+
+    def run_batched():
+        for i0 in range(0, n_utts, bsz):
+            idx = order[i0:i0 + bsz]
+            generate_lattice_batch(net, comp, [feats[j] for j in idx],
+                                   lm_scale=8.0, lattice_beam=150.0)
+
+    run_batched()  # compile
+    tb = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_batched()
+        tb.append(time.perf_counter() - t0)
+    # sequential loop: one rep (it is the slow side being replaced)
+    t0 = time.perf_counter()
+    for f in feats[:16]:
+        generate_lattice(net, comp, f, lm_scale=8.0, lattice_beam=150.0)
+    seq_audio = float(sum(f.shape[0] for f in feats[:16])) * 0.01
+    seq_xrt = (time.perf_counter() - t0) / seq_audio
+    return statistics.median(tb) / audio, seq_xrt
+
+
+def bench_hdecode_20k_topa(reps=3):
+    """20k-vocab factored decode with top-A histogram pruning (A=128;
+    traceback measured identical to the exact decode on this system).
+    Returns (topA_xrt, exact_xrt)."""
+    import statistics
+
+    from htk_tpu.algo.decode import decode_batch
+    from htk_tpu.algo.lvnet import compile_lv_loop
+
+    comp, vocab, words, lm = build_tied_triphone_system(
+        20000, n_tied=2000, seed=11)
+    net = compile_lv_loop(words, vocab, comp, lm=lm, factored=True)
+    rng = np.random.default_rng(3)
+    B, T = 8, 500
+    dim = comp.means.shape[1]
+    feats = [rng.normal(size=(T, dim)).astype(np.float32)
+             for _ in range(B)]
+    audio = B * T * 0.01
+    out = {}
+    for name, ma in (("topA", 128), ("exact", None)):
+        decode_batch(net, comp, feats, lm_scale=12.0, max_active=ma)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            decode_batch(net, comp, feats, lm_scale=12.0, max_active=ma)
+            ts.append(time.perf_counter() - t0)
+        out[name] = statistics.median(ts) / audio
+    return out["topA"], out["exact"]
+
+
 def main():
     backend = jax.default_backend()
     target = 0.01
@@ -296,6 +366,17 @@ def main():
         comp5, vocab5, words5, lm5, T=(100 if SMOKE else 500),
         batch=(2 if SMOKE else 16), n_batches=1, max_active=128)
 
+    # HDecode batch path: 64 mixed-length utterances, bucketed batched
+    # lattice generation vs the per-utterance loop it replaced
+    hd_batch, hd_seq = bench_hdecode_batch(
+        comp5, vocab5, words5, lm5, n_utts=(8 if SMOKE else 64))
+
+    # 20k-vocab factored decode with/without top-A histogram pruning
+    if SMOKE:
+        xrt_20k_a = xrt_20k_x = 0.0
+    else:
+        xrt_20k_a, xrt_20k_x = bench_hdecode_20k_topa()
+
     # round-1 continuity numbers
     comp0, names0 = build_model()
     net0 = build_net(comp0, names0)
@@ -313,6 +394,10 @@ def main():
                 "vs_baseline": round(target / xrt_1k, 3),
                 "extra": {
                     "hdecode_5kvocab_xrt": round(xrt_5k, 6),
+                    "hdecode_5k_batch64_xrt": round(hd_batch, 6),
+                    "hdecode_5k_seq_lattice_xrt": round(hd_seq, 6),
+                    "hdecode_20k_topA128_xrt": round(xrt_20k_a, 6),
+                    "hdecode_20k_exact_xrt": round(xrt_20k_x, 6),
                     "hdecode_5kvocab_device_xrt": round(dev_5k, 6),
                     "hvite_1kvocab_device_xrt": round(dev_1k, 6),
                     "hvite_100w_loop_xrt": round(xrt_100, 6),

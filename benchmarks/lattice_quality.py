@@ -24,7 +24,8 @@ N_UTT = int(os.environ.get("NUTT", "16"))
 WORDS_PER = (6, 10)
 
 
-def synth_utt(comp, vocab, seq, rng, frames_per_state=3, noise=0.3):
+def synth_utt(comp, vocab, seq, rng, frames_per_state=3,
+              noise=float(os.environ.get("NOISE", "2.2"))):
     """Emit frames by walking each word's pron chain state means."""
     from htk_tpu.algo.composite import build_composite
 
@@ -92,6 +93,9 @@ def main():
           f"{'WER%':>6} {'oracle%':>8} {'resc%':>6} {'searchErr%':>10} "
           f"{'xRT':>7} {'arcs/utt':>9}")
     for beam, top_a, lat_beam in configs:
+        generate_lattice_batch(  # warm-up: exclude compilation
+            net, comp, feats[:1], lm_scale=lm_scale,
+            lattice_beam=lat_beam, beam=beam, max_active=top_a)
         t0 = time.perf_counter()
         lats = generate_lattice_batch(
             net, comp, feats, lm_scale=lm_scale, lattice_beam=lat_beam,

@@ -25,7 +25,7 @@ WORDS_PER = (6, 10)
 
 
 def synth_utt(comp, vocab, seq, rng, frames_per_state=3,
-              noise=float(os.environ.get("NOISE", "2.2"))):
+              noise=float(os.environ.get("NOISE", "4.0"))):
     """Emit frames by walking each word's pron chain state means."""
     from htk_tpu.algo.composite import build_composite
 
@@ -81,11 +81,13 @@ def main():
         (None, None, 400.0),   # widest (the reference point)
         (None, None, 150.0),
         (None, None, 50.0),
+        (400.0, None, 150.0),
+        (300.0, None, 150.0),
+        (250.0, None, 150.0),
         (200.0, None, 150.0),
-        (100.0, None, 150.0),
         (None, 64, 150.0),
         (None, 16, 150.0),
-        (100.0, 16, 50.0),
+        (300.0, 16, 50.0),
     ]
     base_hyps = None
     lm_scale = 8.0
@@ -93,8 +95,8 @@ def main():
           f"{'WER%':>6} {'oracle%':>8} {'resc%':>6} {'searchErr%':>10} "
           f"{'xRT':>7} {'arcs/utt':>9}")
     for beam, top_a, lat_beam in configs:
-        generate_lattice_batch(  # warm-up: exclude compilation
-            net, comp, feats[:1], lm_scale=lm_scale,
+        generate_lattice_batch(  # warm-up: exclude compilation of
+            net, comp, feats, lm_scale=lm_scale,  # every length bucket
             lattice_beam=lat_beam, beam=beam, max_active=top_a)
         t0 = time.perf_counter()
         lats = generate_lattice_batch(

@@ -729,8 +729,11 @@ def load_hmm_list(path: str, cfg=None) -> List[Tuple[str, Optional[str]]]:
     from ..utils.filters import filtered
 
     out = []
-    with filtered(path, "HMMLISTFILTER", cfg) as _p:
-        lines_src = open(_p).read().splitlines()
+    try:
+        with filtered(path, "HMMLISTFILTER", cfg) as _p:
+            lines_src = open(_p).read().splitlines()
+    except FileNotFoundError:
+        HError(2610, "LoadHMMList: cannot open hmm list %s", path)
     for ln in lines_src:
         ln = ln.strip()
         if not ln or ln.startswith("#"):

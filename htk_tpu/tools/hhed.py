@@ -773,6 +773,51 @@ class Editor:
         """
         self._agglomerate(macro, spec, None, thresh, "TC")
 
+    def cmd_mt(self, list_path: str):
+        """MT triList: make triphones from biphones
+        (HTKTools/HHEd.c : MakeTriCommand).
+
+        For each triphone l-p+r in the list that is not already in the
+        set, clone the left biphone l-p and tie its final emitting
+        state to that of the right biphone p+r. [LC: reconstructed —
+        the reference mount is empty; semantics follow the HTKBook
+        command summary ("make triphones by merging biphones"): the
+        left biphone supplies the model body (left context shapes the
+        early states), the right biphone the final,
+        right-context-sensitive emitting state. The share is
+        registered as a ~s macro so it survives MMF round-trips.]
+        """
+        names = [l for l, p in load_hmm_list(list_path, self.cfg)]
+        hset = self.hset
+        n_new = 0
+        for nm in names:
+            if nm in hset.hmms:
+                continue
+            l, base, r = parse_triphone(nm)
+            if l is None or r is None:
+                HError(2632, "MT: %s in %s is not a triphone",
+                       nm, list_path)
+            left = hset.hmms.get(f"{l}-{base}")
+            right = hset.hmms.get(f"{base}+{r}")
+            if left is None or right is None:
+                HError(2662, "MT: missing biphone %s for %s",
+                       f"{l}-{base}" if left is None else f"{base}+{r}",
+                       nm)
+            h = _deep_clone(left, nm)
+            mac = f"MT_{base}+{r}"
+            shared = hset.macros["s"].get(mac)
+            if shared is None:
+                shared = right.states[-1]
+                hset.macros["s"][mac] = shared
+            h.states[-1] = shared
+            right.states[-1] = shared
+            hset.hmms[nm] = h
+            hset.macros["h"][nm] = h
+            n_new += 1
+        if self.trace:
+            print(f"HHEd: MT made {n_new} triphones from biphones "
+                  f"in {list_path}")
+
     def cmd_dp(self, flags: str, ids: List[str]):
         """DP s n id1..idn: duplicate the HMM set once per id.
 
@@ -1331,6 +1376,8 @@ def run_script(text: str, ed: Editor):
             ed.cmd_nc(n, macro, r.next())
         elif op == "TC":
             ed.cmd_tc(float(r.next()), r.next(), r.next())
+        elif op == "MT":
+            ed.cmd_mt(r.next())
         elif op == "DP":
             flags = r.next()
             nn = int(r.next())

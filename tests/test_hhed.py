@@ -400,6 +400,43 @@ class TestTCDPXFSUPS:
         s2 = [hs2.hmms[n].states[0] for n in ("a1", "a2", "a3")]
         assert s2[0] is not s2[1]
 
+    def test_mt_makes_triphones_from_biphones(self, tmp_path):
+        from htk_tpu.utils.errors import HTKError
+
+        hs = mono_set(names=("a-b", "b+c", "b", "a", "c"))
+        tri = tmp_path / "tri"
+        tri.write_text("a-b+c\n")
+        ed = Editor(hs)
+        run_script(f"MT {tri}", ed)
+        assert "a-b+c" in hs.hmms
+        h = hs.hmms["a-b+c"]
+        left, right = hs.hmms["a-b"], hs.hmms["b+c"]
+        # body is a private clone of the left biphone
+        np.testing.assert_array_equal(
+            h.states[0].streams[0].mixes[0].mean,
+            left.states[0].streams[0].mixes[0].mean)
+        assert h.states[0] is not left.states[0]
+        # final emitting state tied to the right biphone's
+        assert h.states[-1] is right.states[-1]
+        # the tie is a ~s macro, so it survives an MMF round trip
+        p = str(tmp_path / "mmf")
+        save_mmf(hs, p)
+        hs2 = load_mmf(p)
+        assert (hs2.hmms["a-b+c"].states[-1]
+                is hs2.hmms["b+c"].states[-1])
+        compile_hmmset(hs)
+        # existing models are skipped, non-triphones rejected
+        run_script(f"MT {tri}", ed)  # idempotent
+        bad = tmp_path / "bad"
+        bad.write_text("q\n")
+        with pytest.raises(HTKError):
+            run_script(f"MT {bad}", ed)
+        # missing biphone is a numbered error
+        tri2 = tmp_path / "tri2"
+        tri2.write_text("c-b+a\n")
+        with pytest.raises(HTKError):
+            run_script(f"MT {tri2}", ed)
+
     def test_dp_duplicates_with_sharing(self):
         hs = mono_set()
         ed = Editor(hs)

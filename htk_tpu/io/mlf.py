@@ -10,8 +10,8 @@ Mirrors `HTKLib/HLabel.c` (LOpen/LSave/LoadMasterFile/SaveToMasterfile):
   not supported.
 - Multiple alternatives within one transcription separated by `///`.
 
-Only the HTK label format is implemented (TIMIT/ESPS/SCRIBE variants are
-conversions HLEd can host later).
+Source label formats (SOURCELABEL / -G): HTK, TIMIT, ESPS and
+SCRIBE/SAM — see `load_label_file`.
 """
 
 from __future__ import annotations
@@ -243,7 +243,7 @@ class MLF:
                 f.write(".\n")
 
 
-def load_label_file(path: str, fmt: str = "HTK") -> Transcription:
+def load_label_file(path: str, fmt: str = "HTK", cfg=None) -> Transcription:
     """Read a single .lab file (HLabel.c : LOpen).
 
     `fmt` selects the source label format (SOURCELABEL / tool -G):
@@ -253,7 +253,16 @@ def load_label_file(path: str, fmt: str = "HTK") -> Transcription:
       ESPS   header lines up to a '#' line, then "time color name" with
              the END time in seconds (each label runs from the previous
              time) [LC - field layout from the published waves+ manual]
-    SCRIBE/SAM is not implemented (needs the reference to verify).
+      SCRIBE a subset of the European SAM label format: text lines
+             "KEY: fields"; HTK recognises the three label keys
+             LBA (acoustic label), LBB (broad-class label) and
+             UTS (utterance), each carrying
+             "start, centre, end, name" with start/end in SAMPLE
+             counts (centre ignored); every other SAM key line is
+             skipped. Sample counts scale to 100 ns by SOURCERATE
+             (HWAVE config, default 625 = 16 kHz). [LC - field layout
+             from the published SAM/EUROM documentation and the
+             HTKBook's SCRIBE section; reference mount empty]
     """
     try:
         lines = open(path, "r").read().splitlines()
@@ -284,6 +293,23 @@ def load_label_file(path: str, fmt: str = "HTK") -> Transcription:
                 tr.alternatives[0].append(Label(
                     name=t[2], start=prev, end=end))
                 prev = end
+        return tr
+    if fmt == "SCRIBE":
+        rate = 625.0
+        if cfg is not None:
+            rate = cfg.flt_("SOURCERATE", rate, module="HWAVE")
+        for raw in lines:
+            st = raw.strip()
+            key, sep, rest = st.partition(":")
+            if not sep or key.strip().upper() not in ("LBA", "LBB", "UTS"):
+                continue
+            t = [x.strip() for x in rest.split(",")]
+            if len(t) < 4 or not t[0] or not t[2]:
+                continue
+            tr.alternatives[0].append(Label(
+                name=t[3],
+                start=int(round(float(t[0]) * rate)),
+                end=int(round(float(t[2]) * rate))))
         return tr
     HError(6550, "load_label_file: unsupported label format %s", fmt)
 

@@ -206,7 +206,7 @@ def run(argv: List[str]) -> int:
             for pattern, tr in m.entries:
                 entries.append((pattern, tr))
         else:
-            entries.append((fn, load_label_file(fn, src_fmt)))
+            entries.append((fn, load_label_file(fn, src_fmt, ta.config)))
 
     for key, tr in entries:
         new_tr = ed.apply(tr)
@@ -215,10 +215,12 @@ def run(argv: List[str]) -> int:
             out_mlf.add(f"*/{stem}.{out_ext}", new_tr)
         else:
             path = os.path.join(out_dir or ".", f"{stem}.{out_ext}")
-            save_label_file(path, new_tr, with_times=False)
+            save_label_file(path, new_tr)
 
     if out_mlf is not None:
-        out_mlf.save(out_mlf_path, with_times=False, cfg=ta.config)
+        # times are written when the (edited) labels still carry them,
+        # omitted otherwise (HLEd preserves label times through edits)
+        out_mlf.save(out_mlf_path, cfg=ta.config)
         if ta.trace:
             print(f"HLEd: wrote {out_mlf_path} ({len(out_mlf.entries)} entries)")
     return 0

@@ -249,6 +249,30 @@ class TestLabelFormats:
         assert tr.labels[0].start == 0 and tr.labels[0].end == 5000000
         assert tr.labels[1].start == 5000000 and tr.labels[1].end == 12500000
 
+    def test_scribe_sam_labels(self, tmp_path):
+        from htk_tpu.io.mlf import load_label_file
+        from htk_tpu.utils.config import Config
+
+        p = str(tmp_path / "x.sam")
+        open(p, "w").write(
+            "LHD: SAM, 5.10\n"          # other SAM keys are skipped
+            "SRC: corpus\n"
+            "LBA: 0, 8000, 16000, aa\n"
+            "LBB: 16000, , 32000, vowel\n"
+            "UTS: 0, , 32000, hello world\n"
+            "ELF:\n")
+        tr = load_label_file(p, "SCRIBE")
+        assert [l.name for l in tr.labels] == ["aa", "vowel", "hello world"]
+        # sample counts scale by SOURCERATE (default 625 = 16 kHz)
+        assert tr.labels[0].start == 0
+        assert tr.labels[0].end == 16000 * 625
+        assert tr.labels[1].end == 32000 * 625
+        # SOURCERATE config overrides the scale
+        cfg = Config.load([], use_env=False)
+        cfg.set("SOURCERATE", "1250", module="HWAVE")
+        tr2 = load_label_file(p, "SCRIBE", cfg)
+        assert tr2.labels[0].end == 16000 * 1250
+
     def test_unknown_format_rejected(self, tmp_path):
         import pytest as _pytest
 
@@ -258,4 +282,4 @@ class TestLabelFormats:
         p = str(tmp_path / "y.lab")
         open(p, "w").write("x\n")
         with _pytest.raises(HTKError):
-            load_label_file(p, "SCRIBE")
+            load_label_file(p, "SPHERE")

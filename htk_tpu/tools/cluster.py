@@ -249,5 +249,78 @@ def run(argv: List[str]) -> int:
 
 main = tool_main(run)
 
+
+# -- LLink --------------------------------------------------------------------
+
+LLINK_OPTS = {
+    "o": Option("o", 1, "output word-level ARPA LM"),
+}
+
+
+def run_llink(argv: List[str]) -> int:
+    """LLink — link a class map with fresh counts into a word-level LM
+    (HLMTools/LLink: compose word-given-class with the class n-gram).
+
+    Redesigned composition surface: instead of HLM's runtime composite
+    class-LM container [LC — byte layout needs the reference], LLink
+    recounts unigrams/bigrams from the given training text or gram
+    files under an EXISTING class map (e.g. from Cluster, possibly
+    built on a different corpus) and writes the expanded word-level
+    bigram ARPA p(w2|w1) = p(C2|C1) p(w2|C2), which every LM consumer
+    (LPlex, HBuild, HDecode) reads directly.
+    """
+    from .lgram import is_gram_file, read_gram
+
+    ta = parse_args("LLink", argv, LLINK_OPTS, min_args=2,
+                    usage="Usage: LLink [options] classmap trainFiles...")
+    cls = read_classmap(ta.args[0])
+    if not cls:
+        HError(16510, "LLink: empty class map %s", ta.args[0])
+    files = ta.args[1:] + ta.script
+    unigrams: Counter = Counter()
+    bigrams: Counter = Counter()
+    for path in files:
+        if is_gram_file(path):
+            o, counts = read_gram(path)
+            if o == 1:
+                for g, c in counts.items():
+                    unigrams[g[0]] += c
+            elif o == 2:
+                for g, c in counts.items():
+                    bigrams[g] += c
+            else:
+                HError(16111, "LLink: gram order %d unsupported "
+                       "(bigram class LMs)", o)
+        else:
+            for sent in read_sentences(path, ta.config):
+                seq = [ENTER] + sent + [EXIT]
+                for w in seq:
+                    unigrams[w] += 1
+                for w1, w2 in zip(seq, seq[1:]):
+                    bigrams[(w1, w2)] += 1
+    if not unigrams:
+        HError(16520, "LLink: no counts in %s", " ".join(files))
+    # words outside the class map join a catch-all class
+    seen = set(unigrams)
+    for w1, w2 in bigrams:
+        seen.add(w1)
+        seen.add(w2)
+    unseen = [w for w in seen if w not in cls]
+    if unseen:
+        new_c = (max(cls.values()) + 1) if cls else 0
+        for w in unseen:
+            cls[w] = new_c
+        if ta.trace:
+            print(f"LLink: {len(unseen)} unmapped words -> CLASS{new_c}")
+    out = ta.get("o", "word_lm.arpa")
+    class_bigram_arpa(out, cls, bigrams, unigrams)
+    if ta.trace:
+        print(f"LLink: {len(unigrams)} words, "
+              f"{max(cls.values()) + 1} classes -> {out}")
+    return 0
+
+
+main_llink = tool_main(run_llink)
+
 if __name__ == "__main__":
     raise SystemExit(main())

@@ -1,4 +1,4 @@
-"""Gram-file machinery: LNewMap, LGPrep, LGCopy, LFoF.
+"""Gram-file machinery: LNewMap, LGPrep, LGCopy, LFoF, LGList.
 
 Mirrors the `HLMTools` gram-file workflow (`LGPrep` counts n-grams from
 text into gram files, `LGCopy` merges/sorts/remaps them, `LFoF` derives
@@ -235,7 +235,42 @@ def run_lfof(argv: List[str]) -> int:
     return 0
 
 
+# -- LGList -------------------------------------------------------------------
+
+LGLIST_OPTS = {
+    "f": Option("f", 0, "print FoF-style count-of-count summary instead"),
+    "m": Option("m", 1, "min count to list", typ=int),
+}
+
+
+def run_lglist(argv: List[str]) -> int:
+    """List gram-file contents (HLMTools LGList: dump n-grams + counts).
+
+    With -f, print a count-of-count summary per order instead of every
+    n-gram; -m N lists only n-grams with count >= N.
+    """
+    ta = parse_args("LGList", argv, LGLIST_OPTS, min_args=2,
+                    usage="Usage: LGList [options] wmap gramfiles...")
+    files = ta.args[1:] + ta.script
+    min_c = int(ta.get("m", 1) or 1)
+    for fpath in files:
+        o, counts = read_gram(fpath)
+        print(f"{fpath}: {len(counts)} {o}-grams, "
+              f"{sum(counts.values())} tokens")
+        if ta.has("f"):
+            fof = Counter(counts.values())
+            for r in sorted(fof):
+                print(f"  r={r}: {fof[r]}")
+        else:
+            for gram in sorted(counts):
+                c = counts[gram]
+                if c >= min_c:
+                    print(f"  {' '.join(gram)} {c}")
+    return 0
+
+
 main_lnewmap = tool_main(run_lnewmap)
 main_lgprep = tool_main(run_lgprep)
 main_lgcopy = tool_main(run_lgcopy)
 main_lfof = tool_main(run_lfof)
+main_lglist = tool_main(run_lglist)

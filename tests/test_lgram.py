@@ -87,3 +87,35 @@ def test_lbuild_from_grams_matches_text(work):
     assert lbuild.run(["-n", "2", "wmap", "lm_gram.arpa",
                        "g1.1gram", "g1.2gram"]) == 0
     assert open("lm_gram.arpa").read() == open("lm_text.arpa").read()
+
+
+def test_lglist_dumps_and_fof(work, capsys):
+    from htk_tpu.tools.lgram import run_lglist
+
+    assert run_lgprep(["-n", "2", "-r", "g1", "wmap", "t1.txt"]) == 0
+    assert run_lglist(["wmap", "g1.2gram"]) == 0
+    out = capsys.readouterr().out
+    assert "2-grams" in out and "a b 1" in out
+    assert run_lglist(["-f", "wmap", "g1.1gram"]) == 0
+    out = capsys.readouterr().out
+    assert "r=2: 3" in out and "r=3: 1" in out  # a,<s>,</s> x2; b x3
+    assert run_lglist(["-m", "3", "wmap", "g1.1gram"]) == 0
+    out = capsys.readouterr().out
+    assert "b 3" in out and "a 2" not in out
+
+
+def test_llink_composes_word_lm(work):
+    from htk_tpu.io.lm import read_lm
+    from htk_tpu.tools.cluster import run as run_cluster
+    from htk_tpu.tools.cluster import run_llink
+
+    # cluster on t1, then re-link fresh counts from t2 under that map
+    assert run_cluster(["-c", "2", "wmap", "cmap", "t1.txt"]) == 0
+    assert run_llink(["-o", "out.arpa", "cmap", "t2.txt"]) == 0
+    lm = read_lm("out.arpa")
+    assert lm.order == 2 and ("a", "b") in lm.bigrams
+    # gram-file inputs give the same LM as the text they came from
+    assert run_lgprep(["-n", "2", "-r", "g2", "wmap", "t2.txt"]) == 0
+    assert run_llink(["-o", "out2.arpa", "cmap",
+                      "g2.1gram", "g2.2gram"]) == 0
+    assert open("out.arpa").read() == open("out2.arpa").read()

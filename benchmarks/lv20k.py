@@ -25,6 +25,8 @@ import numpy as np  # noqa: E402
 
 SMOKE = os.environ.get("SMOKE") == "1"
 VOCAB = int(os.environ.get("VOCAB", "20000"))  # try 50000: 0.14 xRT
+TOPA = int(os.environ.get("TOPA", "0"))  # >0: top-A histogram pruning
+CHECK = os.environ.get("CHECK") == "1"  # compare top-A traceback vs exact
 
 
 def main():
@@ -59,16 +61,27 @@ def main():
     feats = [rng.normal(size=(T, dim)).astype(np.float32)
              for _ in range(B)]
     audio = B * T * 0.01
-    out = decode_batch(net, comp, feats, lm_scale=8.0, word_pen=-10.0)
+    ma = TOPA if TOPA > 0 else None
+    out = decode_batch(net, comp, feats, lm_scale=8.0, word_pen=-10.0,
+                       max_active=ma)
     assert any(r is not None for r in out)
+    if CHECK and ma:
+        exact = decode_batch(net, comp, feats, lm_scale=8.0,
+                             word_pen=-10.0)
+        same = sum(1 for a, b in zip(out, exact)
+                   if (a.words if a else None) == (b.words if b else None))
+        print(f"top-A={ma} traceback matches exact on {same}/{B} utts",
+              flush=True)
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        decode_batch(net, comp, feats, lm_scale=8.0, word_pen=-10.0)
+        decode_batch(net, comp, feats, lm_scale=8.0, word_pen=-10.0,
+                     max_active=ma)
         ts.append(time.perf_counter() - t0)
     xrt = statistics.median(ts) / audio
-    print(f"20k-vocab factored decode: {xrt:.4f} xRT "
-          f"({jax.default_backend()}, B={B}, T={T}, median of 3)")
+    print(f"{V}-vocab factored decode: {xrt:.4f} xRT "
+          f"({jax.default_backend()}, B={B}, T={T}, "
+          f"topA={ma or 'off'}, median of 3)")
 
 
 if __name__ == "__main__":

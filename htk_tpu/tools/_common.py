@@ -30,6 +30,23 @@ def force_platform_from_env() -> None:
         jax.config.update("jax_platforms", want)
 
 
+def outp_precision(cfg: Config) -> str:
+    """MXU matmul precision for the OutP / accumulator paths.
+
+    `HTKTPU: PRECISION = highest|high|default` maps onto jax matmul
+    precision: highest (f32, the parity default), high (bf16x3),
+    default (bf16 inputs, f32 accumulate — fastest). Relaxed modes
+    change likelihoods in the last bits; BASELINE.md records the
+    measured speed/accuracy trade.
+    """
+    p = (cfg.str_("PRECISION", "highest", module="HTKTPU")
+         or "highest").lower()
+    if p not in ("highest", "high", "default"):
+        HError(1019, "HTKTPU: PRECISION must be highest|high|default "
+               "(got %s)", p)
+    return p
+
+
 def source_kind(cfg: Config) -> int:
     return pk.str2parmkind(cfg.str_("SOURCEKIND", "ANON", module="HPARM")
                            if cfg.str_("SOURCEKIND", None, module="HPARM")

@@ -73,7 +73,8 @@ from ..models.hmmset import compile_hmmset
 from ..tools.hbuild import bigram_lattice
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError, HRError
-from ._common import force_platform_from_env, open_speech_file
+from ._common import (force_platform_from_env, open_speech_file,
+                      outp_precision)
 
 USAGE = "Usage: HDecode [options] dictFile hmmList testFiles..."
 
@@ -111,6 +112,7 @@ def run(argv: List[str]) -> int:
     if not mmfs:
         HError(1030, "HDecode: at least one -H mmf required")
 
+    prec = outp_precision(cfg)
     hset = load_mmf(mmfs, cfg=ta.config)
     comp = compile_hmmset(hset)
     vocab = read_dict(dict_file, ta.config)
@@ -262,7 +264,7 @@ def run(argv: List[str]) -> int:
                     net, comp, [featl[j] for j in idx], lm_scale,
                     word_pen, lattice_beam=lat_beam,
                     frame_period_s=period / 1e7, beam=main_beam,
-                    max_active=max_active,
+                    max_active=max_active, precision=prec,
                     model_params=spk_params.get(spks[idx[0]]))
                 for j, lt in zip(idx, ls):
                     lats[j] = lt
@@ -271,7 +273,7 @@ def run(argv: List[str]) -> int:
             lats[j] = generate_lattice(
                 net, comp, data, lm_scale, word_pen, lattice_beam=lat_beam,
                 frame_period_s=period / 1e7, beam=main_beam,
-                max_active=max_active,
+                max_active=max_active, precision=prec,
                 model_params=spk_params.get(spks[j]),
             )
 
@@ -290,7 +292,7 @@ def run(argv: List[str]) -> int:
                 lat2 = generate_lattice(
                     xnet, comp, data, lm_scale, word_pen,
                     lattice_beam=lat_beam, frame_period_s=period / 1e7,
-                    model_params=spk_params.get(spk))
+                    precision=prec, model_params=spk_params.get(spk))
                 if lat2 is not None:
                     lat = lat2
             if ta.has("z"):

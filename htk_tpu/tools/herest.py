@@ -49,7 +49,8 @@ from ..models.hmmset import compile_hmmset, write_back
 from ..parallel.acc_files import dump_accs, load_accs, sum_accs
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError, HRError
-from ._common import channel_config, force_platform_from_env, open_speech_file
+from ._common import (channel_config, force_platform_from_env,
+                      open_speech_file, outp_precision)
 
 USAGE = "Usage: HERest [options] hmmList [accFiles...]"
 
@@ -200,9 +201,11 @@ def run(argv: List[str]) -> int:
         elif use_dev_comp:
             from ..algo.trainer import DeviceCompositeTrainer
 
-            trainer = DeviceCompositeTrainer(comp)
+            trainer = DeviceCompositeTrainer(
+                comp, precision=outp_precision(cfg))
         elif retrain:
-            trainer = Trainer(comp, retrain_dim=retrain_dim)
+            trainer = Trainer(comp, retrain_dim=retrain_dim,
+                              precision=outp_precision(cfg))
         else:
             trainer = (_make_discrete_trainer(comp) if comp.discrete
                        else _make_trainer(comp, cfg))
@@ -653,9 +656,10 @@ def _make_trainer(comp, cfg) -> Trainer:
     coord = cfg.str_("COORDINATOR", None, module="HTKTPU")
     init_distributed(coordinator=coord)
     n_dev = len(jax.devices())
+    prec = outp_precision(cfg)
     if n_dev > 1 and cfg.bool_("USESHARDING", True, module="HTKTPU"):
-        return ShardedTrainer(comp, make_mesh())
-    return Trainer(comp)
+        return ShardedTrainer(comp, make_mesh(), precision=prec)
+    return Trainer(comp, precision=prec)
 
 
 main = tool_main(run)

@@ -53,7 +53,8 @@ from ..io.slf import read_slf
 from ..models.hmmset import compile_hmmset
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError, HRError
-from ._common import force_platform_from_env, open_speech_file
+from ._common import (force_platform_from_env, open_speech_file,
+                      outp_precision)
 
 USAGE = "Usage: HVite [options] dictFile hmmList testFiles..."
 
@@ -99,6 +100,7 @@ def run(argv: List[str]) -> int:
     if ta.has("t") and ta.trace:
         print("HVite: -t accepted but IGNORED — token-passing here is a dense scan; -t changes results in HTK but not here")
     cfg = ta.config
+    prec = outp_precision(cfg)
     dict_file, hmm_list_file = ta.args[0], ta.args[1]
     files = ta.script + ta.args[2:]
     # HVite live mode (HVite.c with SOURCEKIND = HAUDIO and no files):
@@ -342,7 +344,7 @@ def run(argv: List[str]) -> int:
                 for i0 in range(0, len(order), bsz):
                     idx = order[i0 : i0 + bsz]
                     rs = decode_batch(net, comp, [featl[j] for j in idx],
-                                      lm_scale, word_pen)
+                                      lm_scale, word_pen, precision=prec)
                     for j, r in zip(idx, rs):
                         results[j] = r
             for e, res in zip(entries, results):
@@ -390,6 +392,7 @@ def run(argv: List[str]) -> int:
                     net, comp, data, lm_scale, word_pen,
                     lattice_beam=lat_beam, frame_period_s=period / 1e7,
                     state_scores=state_scores, want_result=True,
+                    precision=prec,
                 )
                 if lat_ext and lat is not None:
                     stem = os.path.splitext(os.path.basename(e.logical))[0]
@@ -398,7 +401,7 @@ def run(argv: List[str]) -> int:
                     write_slf(lat, lat_path)
             else:
                 res = decode(net, comp, data, lm_scale, word_pen,
-                             state_scores=state_scores)
+                             state_scores=state_scores, precision=prec)
             tr = Transcription(alternatives=[[]])
             if res is None:
                 HRError(8522, "HVite: no tokens survived for %s", e.logical)
@@ -461,7 +464,7 @@ def run(argv: List[str]) -> int:
                 word_of_phone.extend([w] * len(phs))
                 occ_of_phone.extend([oi] * len(phs))
             hmm = build_composite(comp, [comp.model_id(p) for p in phones])
-            res = align(comp, hmm, data)
+            res = align(comp, hmm, data, precision=prec)
             tr = Transcription(alternatives=[[]])
             if ta.has("m") and not sup_models:
                 cur_occ = None

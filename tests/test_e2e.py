@@ -94,6 +94,20 @@ def test_full_pipeline(corpus, capsys):
     out = capsys.readouterr().out
     assert "WORD: %Corr=100.00, Acc=100.00" in out
 
+    # HTKTPU: PRECISION = default relaxes the MXU matmul precision for
+    # the OutP path (bf16 inputs, f32 accumulate on TPU; no-op on CPU);
+    # recognition stays correct
+    open("cfg_fast", "w").write(
+        "TARGETKIND = MFCC_E_D_A\nHTKTPU: PRECISION = default\n")
+    assert hvite.run(
+        ["-C", "cfg_fast", "-w", "wdnet.slf", "-p", "-10", "-i",
+         "recf.mlf", "-H", "hmm2/hmmdefs", "-S", "train.scp", "dict",
+         "monophones"]
+    ) == 0
+    assert hresults.run(["-I", "words.mlf", "monophones", "recf.mlf"]) == 0
+    out = capsys.readouterr().out
+    assert "WORD: %Corr=100.00, Acc=100.00" in out
+
     # live mode (SOURCEKIND = HAUDIO, no -S): replay u0.wav through the
     # streaming frontend + decoder; the energy feature is mismatched
     # (training used ENORMALISE, live mode cannot), so assert the chain

@@ -283,3 +283,24 @@ class TestLabelFormats:
         open(p, "w").write("x\n")
         with _pytest.raises(HTKError):
             load_label_file(p, "SPHERE")
+
+
+class TestOutpPrecision:
+    """HTKTPU: PRECISION maps onto jax matmul precision for OutP paths."""
+
+    def test_values_and_default(self):
+        from htk_tpu.tools._common import outp_precision
+
+        cfg = Config.load([], use_env=False)
+        assert outp_precision(cfg) == "highest"
+        for v in ("default", "high", "highest", "DEFAULT"):
+            cfg.set("PRECISION", v, module="HTKTPU")
+            assert outp_precision(cfg) == v.lower()
+
+    def test_bad_value_rejected(self):
+        from htk_tpu.tools._common import outp_precision
+
+        cfg = Config.load([], use_env=False)
+        cfg.set("PRECISION", "bf16", module="HTKTPU")
+        with pytest.raises(HTKError):
+            outp_precision(cfg)

@@ -68,3 +68,48 @@ def test_pallas_matches_scan(seed):
     )
     np.testing.assert_array_equal(np.asarray(pwng), np.asarray(pwnr))
     np.testing.assert_array_equal(np.asarray(pwtg), np.asarray(pwtr))
+
+
+def test_window_gather_interpret():
+    """xw_pallas.window_gather == WE[pred] + lp (interpret mode).
+
+    The windowed explicit-bigram gather building block (see
+    ops/xw_pallas.py for why it is not wired into the decoder).
+    """
+    from htk_tpu.ops.xw_pallas import window_gather
+
+    rng = np.random.default_rng(0)
+    C, n_slots = 300, 5000
+    pred = rng.integers(0, C, n_slots)
+    lp = rng.normal(size=n_slots).astype(np.float32)
+    TILE = 8 * 128
+    order = np.argsort(pred >> 7, kind="stable")
+    rows_i, rows_p, wins, spans = [], [], [], []
+    k0 = 0
+    for w in range(3):
+        sel = order[(pred[order] >> 7) == w]
+        nt = -(-len(sel) // TILE)
+        ai = np.zeros(nt * TILE, np.int32)
+        ap = np.full(nt * TILE, -1e10, np.float32)
+        ai[: len(sel)] = pred[sel] & 127
+        ap[: len(sel)] = lp[sel]
+        rows_i.append(ai)
+        rows_p.append(ap)
+        wins += [w] * nt
+        spans.append((k0, sel))
+        k0 += nt * TILE
+    out = np.asarray(window_gather(
+        jnp.asarray(rng.normal(size=(2, C)).astype(np.float32)),
+        jnp.asarray(np.asarray(wins, np.int32)),
+        jnp.asarray(np.concatenate(rows_i).reshape(-1, 128)),
+        jnp.asarray(np.concatenate(rows_p).reshape(-1, 128)),
+        interpret=True))
+    # recompute WE used above (same rng order): regenerate deterministically
+    rng = np.random.default_rng(0)
+    pred2 = rng.integers(0, C, n_slots)
+    lp2 = rng.normal(size=n_slots).astype(np.float32)
+    WE = rng.normal(size=(2, C)).astype(np.float32)
+    assert np.array_equal(pred, pred2) and np.array_equal(lp, lp2)
+    for k0, sel in spans:
+        ref = WE[:, pred[sel]] + lp[sel][None]
+        assert np.array_equal(out[:, k0 : k0 + len(sel)], ref)

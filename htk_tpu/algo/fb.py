@@ -82,28 +82,40 @@ def _ladd_matvec_right(v: jnp.ndarray, logA: jnp.ndarray) -> jnp.ndarray:
     return ladd_reduce(logA + v[None, :], axis=1)
 
 
-def forward_scan(outp, logA, a0, t_real):
-    """alpha_t for t = 0..T-1 (HFB.c StepAlpha); (T, Q) stacked."""
+def forward_scan(outp, logA, a0, t_real, betas=None):
+    """alpha_t for t = 0..T-1 (HFB.c StepAlpha); (T, Q) stacked.
+
+    With `betas` given (beam-pruned FB, HERest -t), each alpha_t is
+    confined to the beta-active band: HFB computes the alpha pass only
+    over the columns the pruned beta pass kept alive, so states whose
+    beta was beamed away get alpha = LZERO and zero occupancy.
+    """
     T, Q = outp.shape
 
     def step(alpha, inp):
-        outp_t, t = inp
+        outp_t, t, beta_t = inp
         pred = _ladd_matvec_left(alpha, logA)
         alpha_new = jnp.where(t == 0, a0, pred) + outp_t
+        if betas is not None:
+            alpha_new = jnp.where(beta_t > LZERO / 2, alpha_new, LZERO)
         return alpha_new, alpha_new
 
     # init derives from outp so its sharding/varying axes match the data
     # (required for scan carries under shard_map)
     init = jnp.full_like(outp[0], LZERO)
-    _, alphas = jax.lax.scan(step, init, (outp, jnp.arange(T)))
+    bx = betas if betas is not None else jnp.zeros((T, 1), outp.dtype)
+    _, alphas = jax.lax.scan(step, init, (outp, jnp.arange(T), bx))
     return alphas
 
 
-def backward_scan(outp, logA, aE, t_real):
+def backward_scan(outp, logA, aE, t_real, beam=None):
     """beta_t for t = 0..T-1 (HFB.c SetBeta); (T, Q) stacked.
 
     beta at the true last frame (t_real-1) is aE; the recursion resets
     there so padding frames beyond t_real never contaminate real betas.
+    `beam` (traced scalar or None) applies HFB's pruning: states whose
+    beta falls below the frame's best by more than the beam die (LZERO),
+    bounding the survivor band exactly as HERest -t does.
     """
     T, Q = outp.shape
     outp_next = jnp.concatenate([outp[1:], jnp.zeros((1, Q), outp.dtype)], axis=0)
@@ -113,6 +125,9 @@ def backward_scan(outp, logA, aE, t_real):
         o_next, last = inp
         val = _ladd_matvec_right(o_next + beta_next, logA)
         beta_t = jnp.where(last, aE, val)
+        if beam is not None:
+            beta_t = jnp.where(beta_t < jnp.max(beta_t) - beam,
+                               LZERO, beta_t)
         return beta_t, beta_t
 
     _, betas_rev = jax.lax.scan(
@@ -170,6 +185,7 @@ def fb_utterance(
     precision: str = "highest",
     fc_proj=None,  # (M, D, D) full-covariance precision Cholesky
     fc_mu=None,  # (M, D) transformed means (FULLC training)
+    beam=None,  # traced scalar: HFB beta-beam pruning (HERest -t)
 ) -> Tuple[jnp.ndarray, Accumulators]:
     """Forward-backward + accumulation for one utterance (HFB.c FBUtt)."""
     T, D = feats.shape
@@ -212,7 +228,7 @@ def fb_utterance(
     # 2. scans — fused Pallas kernel on TPU (ops/fb_pallas.py, bit-exact
     # vs the lax.scan reference), scans elsewhere
     xi = None
-    if _fb_pallas_enabled():
+    if _fb_pallas_enabled() and beam is None:
         from ..ops.fb_pallas import fb_scans_pallas
 
         # off-TPU (forced via HTKTPU_FB_PALLAS=1) runs in interpret mode —
@@ -222,8 +238,9 @@ def fb_utterance(
             interpret=jax.default_backend() != "tpu")
         alpha_last = alphas[jnp.maximum(t_real - 1, 0)]
     else:
-        betas = backward_scan(outp, logA, aE, t_real)
-        alphas = forward_scan(outp, logA, a0, t_real)
+        betas = backward_scan(outp, logA, aE, t_real, beam=beam)
+        alphas = forward_scan(outp, logA, a0, t_real,
+                              betas=betas if beam is not None else None)
         alpha_last = alphas[jnp.maximum(t_real - 1, 0)]
         logp = ladd_reduce(alpha_last + aE, axis=0)
 
@@ -408,13 +425,16 @@ def fb_batch(
     *, means, variances, gconsts, state_mix, state_logw, n_states, tr_flat,
     state_sw=None, slot_blocks=None,
     precision: str = "highest",
+    beam=None,
 ):
     """vmapped forward-backward over a padded utterance batch.
 
     `weights` (B,) optionally scales each utterance's accumulators (the
     MMI lattice-arc posterior weighting). `feats2` (B, T, D2) optionally
     supplies the second channel for single-pass retraining (HERest -r).
-    Returns (per-utterance logP (B,), summed Accumulators).
+    `beam` (traced scalar or None) enables HFB beta-beam pruning, shared
+    by the whole batch. Returns (per-utterance logP (B,), summed
+    Accumulators).
     """
     if weights is None:
         weights = jnp.ones(feats.shape[0], feats.dtype)
@@ -430,6 +450,7 @@ def fb_batch(
         n_states=n_states,
         tr_flat=tr_flat,
         precision=precision,
+        beam=beam,
     )
     args = [feats, t_real, comp_state, q_mask, logA, a0, aE, tr_seg,
             entry_seg, exit_seg, weights]

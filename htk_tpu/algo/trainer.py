@@ -136,12 +136,19 @@ class Trainer:
     """Runs embedded-reestimation accumulation over a corpus."""
 
     def __init__(self, comp: CompiledHMMSet, precision: str = "highest",
-                 retrain_dim: Optional[int] = None):
+                 retrain_dim: Optional[int] = None,
+                 prune: Optional[Tuple[float, float, float]] = None):
         if getattr(comp, "full_cov", False):
             HError(7060, "Trainer: full-covariance sets are decode/align-"
                          "only — train with DIAGC models")
         self.comp = comp
         self.precision = precision
+        # HERest -t f [i l]: beta-beam pruning with retry escalation —
+        # an utterance whose pruned FB finds no path re-runs with the
+        # beam widened by `inc` up to `lim` (HFB.c pruneSetting). The
+        # beam rides the jitted step as a traced operand, so escalation
+        # never recompiles.
+        self.prune = prune
         # HERest -r: moment accumulators take the second channel's width
         self.acc_dim = retrain_dim if retrain_dim is not None else comp.dim
         self.tr_flat = int(np.prod(comp.log_transp.shape))
@@ -171,8 +178,10 @@ class Trainer:
     def _make_step_fn(self):
         import functools
 
+        pruned = self.prune is not None
+
         @functools.partial(jax.jit, static_argnames=())
-        def step(params, batch):
+        def step(params, batch, beam=None):
             means, variances, gconsts, state_mix, state_logw, state_sw = params
             return fb_batch(
                 batch["feats"], batch["t_real"], batch["comp_state"],
@@ -185,6 +194,7 @@ class Trainer:
                 or None,
                 n_states=self.comp.n_states, tr_flat=self.tr_flat,
                 precision=self.precision,
+                beam=beam if pruned else None,
             )
 
         return step
@@ -197,9 +207,34 @@ class Trainer:
             jnp.asarray(self.state_logw_pad), jnp.asarray(self.state_sw_pad),
         )
 
+    def _run_pass(self, utts, batch_size, step, params, total, beam):
+        """One pass over `utts`; returns (total, [(utt, logP)])."""
+        c = self.comp
+        pending = []
+        for batch in make_batches(utts, batch_size):
+            arrs = pad_batch(batch, c.n_states)
+            jb = {k: jnp.asarray(v) for k, v in arrs.items()}
+            if beam is None:
+                logps, accs = step(params, jb)
+            else:
+                logps, accs = step(params, jb, jnp.float32(beam))
+            total = jax.tree.map(lambda a, b: a + b, total, accs)
+            pending.append((batch, logps))
+        flat = []
+        for batch, logps in pending:
+            lp = np.asarray(logps)
+            flat.extend(zip(batch, lp[: len(batch)]))
+        return total, flat
+
     def accumulate(self, utts: Sequence[UttData], batch_size: int = 8,
                    trace: int = 0):
-        """One full pass over the corpus; returns summed Accumulators."""
+        """One full pass over the corpus; returns summed Accumulators.
+
+        With pruning enabled, failed utterances (no surviving path)
+        contribute zero accumulators on the first pass and re-run with
+        the beam escalated by `inc` up to `lim` before being skipped —
+        the HERest -t f i l retry ladder.
+        """
         c = self.comp
         total = zero_accs(c.n_mix, self.acc_dim, c.n_states, c.max_mix,
                           self.tr_flat)
@@ -208,24 +243,30 @@ class Trainer:
         # keep dispatch asynchronous: collect per-batch logP device arrays
         # and only materialise them at the end, so host-side padding of the
         # next batch overlaps the device scans of the current one
-        pending = []
-        for batch in make_batches(utts, batch_size):
-            arrs = pad_batch(batch, c.n_states)
-            logps, accs = step(params, {k: jnp.asarray(v) for k, v in arrs.items()})
-            total = jax.tree.map(lambda a, b: a + b, total, accs)
-            pending.append((batch, logps))
-        n_fail = 0
-        for batch, logps in pending:
-            lp = np.asarray(logps)
-            for u, l in zip(batch, lp[: len(batch)]):
-                if l <= LZERO / 2:
-                    n_fail += 1
-                    HRError(7323, "accumulate: no path through utterance %s", u.name)
-                elif trace >= 2:
-                    print(f"  {u.name}: logP={l:.2f} "
-                          f"({l / u.feats.shape[0]:.3f}/frame)")
-        if n_fail:
-            HRError(7324, "accumulate: %d utterance(s) skipped", n_fail)
+        beam = self.prune[0] if self.prune else None
+        total, results = self._run_pass(utts, batch_size, step, params,
+                                        total, beam)
+        failed = []
+        for u, l in results:
+            if l <= LZERO / 2:
+                failed.append(u)
+            elif trace >= 2:
+                print(f"  {u.name}: logP={l:.2f} "
+                      f"({l / u.feats.shape[0]:.3f}/frame)")
+        if self.prune is not None and failed:
+            _f, inc, lim = self.prune
+            while failed and inc > 0 and beam + inc <= lim + 1e-6:
+                beam += inc
+                if trace:
+                    print(f"accumulate: retrying {len(failed)} utterance(s)"
+                          f" at beam {beam:.1f}")
+                total, results = self._run_pass(failed, batch_size, step,
+                                                params, total, beam)
+                failed = [u for u, l in results if l <= LZERO / 2]
+        for u in failed:
+            HRError(7323, "accumulate: no path through utterance %s", u.name)
+        if failed:
+            HRError(7324, "accumulate: %d utterance(s) skipped", len(failed))
         return total
 
 
@@ -237,8 +278,9 @@ class DeviceCompositeTrainer(Trainer):
     bottleneck of the padded (Q, Q) planes (~15x less data shipped).
     """
 
-    def __init__(self, comp: CompiledHMMSet, precision: str = "highest"):
-        super().__init__(comp, precision=precision)
+    def __init__(self, comp: CompiledHMMSet, precision: str = "highest",
+                 prune: Optional[Tuple[float, float, float]] = None):
+        super().__init__(comp, precision=precision, prune=prune)
         from .composite_device import make_assembler
 
         self._assembler = make_assembler(comp)
@@ -248,8 +290,10 @@ class DeviceCompositeTrainer(Trainer):
 
         assembler = self._assembler
 
+        pruned = self.prune is not None
+
         @jax.jit
-        def step(params, feats, t_real, ids):
+        def step(params, feats, t_real, ids, beam=None):
             means, variances, gconsts, state_mix, state_logw, state_sw = params
             arrs = assembler(ids)
             return fb_batch(
@@ -262,17 +306,13 @@ class DeviceCompositeTrainer(Trainer):
                 slot_blocks=tuple(self.comp.slot_blocks) or None,
                 n_states=self.comp.n_states, tr_flat=self.tr_flat,
                 precision=self.precision,
+                beam=beam if pruned else None,
             )
 
         return step
 
-    def accumulate(self, utts: Sequence[UttIds], batch_size: int = 8,
-                   trace: int = 0):
+    def _run_pass(self, utts, batch_size, step, params, total, beam):
         c = self.comp
-        total = zero_accs(c.n_mix, self.acc_dim, c.n_states, c.max_mix,
-                          self.tr_flat)
-        step = self._step_fn()
-        params = self.params()
         # bucket by (T, K) pads
         buckets: Dict[Tuple[int, int], List[UttIds]] = {}
         for u in utts:
@@ -291,21 +331,48 @@ class DeviceCompositeTrainer(Trainer):
                     feats[b, : u.feats.shape[0]] = u.feats
                     t_real[b] = u.feats.shape[0]
                     ids[b, : len(u.ids)] = u.ids
-                logps, accs = step(
-                    params, jnp.asarray(feats), jnp.asarray(t_real),
-                    jnp.asarray(ids),
-                )
+                sargs = (params, jnp.asarray(feats), jnp.asarray(t_real),
+                         jnp.asarray(ids))
+                if beam is None:
+                    logps, accs = step(*sargs)
+                else:
+                    logps, accs = step(*sargs, jnp.float32(beam))
                 total = jax.tree.map(lambda a, b: a + b, total, accs)
                 pending.append((batch, logps))
-        n_fail = 0
+        flat = []
         for batch, logps in pending:
             lp = np.asarray(logps)
-            for u, l in zip(batch, lp[: len(batch)]):
-                if l <= LZERO / 2:
-                    n_fail += 1
-                    HRError(7323, "accumulate: no path through %s", u.name)
-                elif trace >= 2:
-                    print(f"  {u.name}: logP={l:.2f}")
-        if n_fail:
-            HRError(7324, "accumulate: %d utterance(s) skipped", n_fail)
+            flat.extend(zip(batch, lp[: len(batch)]))
+        return total, flat
+
+    def accumulate(self, utts: Sequence[UttIds], batch_size: int = 8,
+                   trace: int = 0):
+        c = self.comp
+        total = zero_accs(c.n_mix, self.acc_dim, c.n_states, c.max_mix,
+                          self.tr_flat)
+        step = self._step_fn()
+        params = self.params()
+        beam = self.prune[0] if self.prune else None
+        total, results = self._run_pass(utts, batch_size, step, params,
+                                        total, beam)
+        failed = []
+        for u, l in results:
+            if l <= LZERO / 2:
+                failed.append(u)
+            elif trace >= 2:
+                print(f"  {u.name}: logP={l:.2f}")
+        if self.prune is not None and failed:
+            _f, inc, lim = self.prune
+            while failed and inc > 0 and beam + inc <= lim + 1e-6:
+                beam += inc
+                if trace:
+                    print(f"accumulate: retrying {len(failed)} utterance(s)"
+                          f" at beam {beam:.1f}")
+                total, results = self._run_pass(failed, batch_size, step,
+                                                params, total, beam)
+                failed = [u for u, l in results if l <= LZERO / 2]
+        for u in failed:
+            HRError(7323, "accumulate: no path through %s", u.name)
+        if failed:
+            HRError(7324, "accumulate: %d utterance(s) skipped", len(failed))
         return total

@@ -74,16 +74,17 @@ class ShardedTrainer(Trainer):
     """Trainer whose batch step shards utterances across a mesh."""
 
     def __init__(self, comp, mesh: Mesh, axis: str = "data",
-                 precision: str = "highest"):
-        super().__init__(comp, precision=precision)
+                 precision: str = "highest", prune=None):
+        super().__init__(comp, precision=precision, prune=prune)
         self.mesh = mesh
         self.axis = axis
         self.n_dev = mesh.devices.size
 
     def _make_step_fn(self):
         axis = self.axis
+        pruned = self.prune is not None
 
-        def local(params, batch):
+        def local(params, batch, beam):
             means, variances, gconsts, state_mix, state_logw, state_sw = params
             logps, accs = fb_batch(
                 batch["feats"], batch["t_real"], batch["comp_state"],
@@ -95,39 +96,41 @@ class ShardedTrainer(Trainer):
                 or None,
                 n_states=self.comp.n_states, tr_flat=self.tr_flat,
                 precision=self.precision,
+                beam=beam if pruned else None,
             )
             # exact accumulator exchange: the psum IS HERest's acc-file
             # combine step, riding ICI instead of the filesystem
             accs = jax.lax.psum(accs, axis)
             return logps, accs
 
-        sharded = jax.shard_map(
+        sharded = jax.jit(jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(P(), P(self.axis)),
+            in_specs=(P(), P(self.axis), P()),
             out_specs=(P(self.axis), P()),
-        )
-        return jax.jit(sharded)
+        ))
 
-    def accumulate(self, utts: Sequence[UttData], batch_size: int = 8,
-                   trace: int = 0):
-        """Corpus pass with per-batch device sharding.
+        def step(params, batch, beam=None):
+            b = jnp.float32(1e30 if beam is None else beam)
+            return sharded(params, batch, b)
 
-        batch_size is per device; each global batch holds
-        batch_size * n_dev utterances (padded rows contribute zero).
-        """
+        return step
+
+    def _run_pass(self, utts, batch_size, step, params, total, beam):
+        """One sharded pass; batch_size is per device (padded rows
+        contribute zero accumulators)."""
         c = self.comp
-        total = zero_accs(c.n_mix, c.dim, c.n_states, c.max_mix, self.tr_flat)
-        step = self._step_fn()
-        params = self.params()
         gbs = batch_size * self.n_dev
+        pending = []
         for batch in make_batches(utts, gbs):
             bp = math.ceil(len(batch) / self.n_dev) * self.n_dev
             arrs = pad_batch(batch, c.n_states, pad_to=bp)
-            logps, accs = step(params, {k: jnp.asarray(v) for k, v in arrs.items()})
+            jb = {k: jnp.asarray(v) for k, v in arrs.items()}
+            logps, accs = step(params, jb, beam)
             total = jax.tree.map(lambda a, b: a + b, total, accs)
-            if trace >= 2:
-                lp = np.asarray(logps)
-                for u, l in zip(batch, lp[: len(batch)]):
-                    print(f"  {u.name}: logP={l:.2f}")
-        return total
+            pending.append((batch, logps))
+        flat = []
+        for batch, logps in pending:
+            lp = np.asarray(logps)
+            flat.extend(zip(batch, lp[: len(batch)]))
+        return total, flat

@@ -16,7 +16,14 @@ Usage: HERest [options] hmmList [accFiles... with -p 0]
   -H mmf   load HMM macro file (repeatable)     -M dir  output directory
   -I mlf   load master label file (repeatable)  -L dir  label dir
   -X ext   label extension (default lab)        -u tmvw update flags
-  -t f [i l]  pruning beams (accepted, ignored: dense scans don't prune)
+  -t f [i l]  forward-backward pruning beam: beta values below the
+           frame's best by more than f die, and the alpha pass is
+           confined to the surviving band (HFB.c semantics). An
+           utterance with no surviving path re-runs with the beam
+           widened by i up to l, then is skipped with a warning. The
+           beam is a traced operand — escalation never recompiles.
+           Continuous-density sets only (DISCRETE/TIEDHS and FULLC
+           training accumulate exactly; a notice prints under -T)
   -p N     parallel mode (above)                -v f    minimum variance
   -w f     mixture weight floor (accepted)      -s file write stats file
   -B       binary MMF output
@@ -61,7 +68,7 @@ OPTS = {
     "L": Option("L", 1, "label directory"),
     "X": Option("X", 1, "label extension"),
     "u": Option("u", 1, "update flags tmvw"),
-    "t": Option("t", 1, "pruning beam (ignored)", typ=float),
+    "t": Option("t", 1, "pruning beam(s) f [i l]", typ=float, greedy=True),
     "p": Option("p", 1, "parallel mode", typ=int),
     "v": Option("v", 1, "minimum variance", typ=float),
     "w": Option("w", 1, "mixture weight floor", typ=float),
@@ -101,8 +108,16 @@ def write_stats_file(path: str, hset, comp, accs) -> None:
 def run(argv: List[str]) -> int:
     force_platform_from_env()
     ta = parse_args("HERest", argv, OPTS, min_args=1, usage=USAGE)
-    if ta.has("t") and ta.trace:
-        print("HERest: -t accepted but IGNORED — dense scans re-estimate without pruning; results can differ from a pruned HTK run")
+    prune = None
+    if ta.has("t"):
+        v = ta.get("t")
+        vs = [float(x) for x in (v if isinstance(v, tuple) else (v,))]
+        prune = (vs[0],
+                 vs[1] if len(vs) > 1 else 0.0,
+                 vs[2] if len(vs) > 2 else vs[0])
+        if ta.trace:
+            print(f"HERest: FB beam pruning {prune[0]:.1f} "
+                  f"(inc {prune[1]:.1f}, limit {prune[2]:.1f})")
     cfg = ta.config
     hmm_list_file = ta.args[0]
     extra = ta.args[1:]
@@ -196,19 +211,24 @@ def run(argv: List[str]) -> int:
                 paired[0][1], cfg2)
             retrain_dim = int(d2_probe.shape[1])
 
+        if prune is not None and (comp.full_cov or comp.discrete):
+            if ta.trace:
+                print("HERest: -t applies to continuous-density scan "
+                      "training only — accumulating exactly")
+            prune = None
         if comp.full_cov:
             trainer = None  # dedicated path below (algo/fullcov_train)
         elif use_dev_comp:
             from ..algo.trainer import DeviceCompositeTrainer
 
             trainer = DeviceCompositeTrainer(
-                comp, precision=outp_precision(cfg))
+                comp, precision=outp_precision(cfg), prune=prune)
         elif retrain:
             trainer = Trainer(comp, retrain_dim=retrain_dim,
-                              precision=outp_precision(cfg))
+                              precision=outp_precision(cfg), prune=prune)
         else:
             trainer = (_make_discrete_trainer(comp) if comp.discrete
-                       else _make_trainer(comp, cfg))
+                       else _make_trainer(comp, cfg, prune))
         # input transforms (-J dir with -a): per-speaker TMFs applied
         # during accumulation — CMLLR in feature space (fMLLR-SAT), MLLR
         # mean/variance in model space (each speaker group accumulates
@@ -641,7 +661,7 @@ def _make_discrete_trainer(comp):
     return DiscreteTrainer(comp)
 
 
-def _make_trainer(comp, cfg) -> Trainer:
+def _make_trainer(comp, cfg, prune=None) -> Trainer:
     """Serial or device-sharded trainer per visible devices / config.
 
     Multi-host: with JAX_COORDINATOR_ADDRESS set (or config HTKTPU:
@@ -658,8 +678,9 @@ def _make_trainer(comp, cfg) -> Trainer:
     n_dev = len(jax.devices())
     prec = outp_precision(cfg)
     if n_dev > 1 and cfg.bool_("USESHARDING", True, module="HTKTPU"):
-        return ShardedTrainer(comp, make_mesh(), precision=prec)
-    return Trainer(comp, precision=prec)
+        return ShardedTrainer(comp, make_mesh(), precision=prec,
+                              prune=prune)
+    return Trainer(comp, precision=prec, prune=prune)
 
 
 main = tool_main(run)

@@ -18,7 +18,10 @@ Usage: HVite [options] dictFile hmmList testFiles...
   -l dir / -y ext   output label dir / extension
   -H mmf      load HMM macro file (repeatable)
   -I mlf      input word-level MLF (alignment)  -L/-X  input label dir/ext
-  -t f        pruning beam (accepted, ignored — dense scans don't prune)
+  -t f        genBeam: recognition tokens below (best - f) die each frame
+              (HRec semantics; traced operand, no recompiles). Alignment
+              mode stays exact (beams can only lose the forced path).
+  -u i        max active models (histogram/top-A pruning analogue)
   -b word     boundary word inserted around alignment (e.g. silence)
   -z ext      write word lattices (one recursion shared with the 1-best)
   -n N M      N-best output from the lattice
@@ -72,7 +75,8 @@ OPTS = {
     "I": Option("I", 1, "input MLF", repeatable=True),
     "L": Option("L", 1, "input label dir"),
     "X": Option("X", 1, "input label ext"),
-    "t": Option("t", 1, "beam (ignored)", typ=float),
+    "t": Option("t", 1, "genBeam pruning threshold", typ=float),
+    "u": Option("u", 1, "max active models", typ=int),
     "b": Option("b", 1, "boundary word"),
     "o": Option("o", 1, "output format flags: N normalise scores, "
                 "S no scores, T no times, W no words (-m), M no models"),
@@ -97,8 +101,11 @@ def _out_label_path(logical: str, out_dir: Optional[str], ext: str) -> str:
 def run(argv: List[str]) -> int:
     force_platform_from_env()
     ta = parse_args("HVite", argv, OPTS, min_args=2, usage=USAGE)
-    if ta.has("t") and ta.trace:
-        print("HVite: -t accepted but IGNORED — token-passing here is a dense scan; -t changes results in HTK but not here")
+    gen_beam = float(ta.get("t")) if ta.has("t") else None
+    max_act = int(ta.get("u")) if ta.has("u") else None
+    if ta.trace and (gen_beam is not None or max_act is not None):
+        print(f"HVite: pruning genBeam={gen_beam} maxActive={max_act} "
+              "(recognition scans; alignment stays exact)")
     cfg = ta.config
     prec = outp_precision(cfg)
     dict_file, hmm_list_file = ta.args[0], ta.args[1]
@@ -344,7 +351,8 @@ def run(argv: List[str]) -> int:
                 for i0 in range(0, len(order), bsz):
                     idx = order[i0 : i0 + bsz]
                     rs = decode_batch(net, comp, [featl[j] for j in idx],
-                                      lm_scale, word_pen, precision=prec)
+                                      lm_scale, word_pen, precision=prec,
+                                      beam=gen_beam, max_active=max_act)
                     for j, r in zip(idx, rs):
                         results[j] = r
             for e, res in zip(entries, results):
@@ -392,7 +400,7 @@ def run(argv: List[str]) -> int:
                     net, comp, data, lm_scale, word_pen,
                     lattice_beam=lat_beam, frame_period_s=period / 1e7,
                     state_scores=state_scores, want_result=True,
-                    precision=prec,
+                    precision=prec, beam=gen_beam, max_active=max_act,
                 )
                 if lat_ext and lat is not None:
                     stem = os.path.splitext(os.path.basename(e.logical))[0]
@@ -401,7 +409,8 @@ def run(argv: List[str]) -> int:
                     write_slf(lat, lat_path)
             else:
                 res = decode(net, comp, data, lm_scale, word_pen,
-                             state_scores=state_scores, precision=prec)
+                             state_scores=state_scores, precision=prec,
+                             beam=gen_beam, max_active=max_act)
             tr = Transcription(alternatives=[[]])
             if res is None:
                 HRError(8522, "HVite: no tokens survived for %s", e.logical)

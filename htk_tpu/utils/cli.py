@@ -35,6 +35,9 @@ class Option:
     help: str
     typ: Callable = str
     repeatable: bool = False
+    # consume extra trailing values that parse as `typ` (HTK options with
+    # optional arguments, e.g. HERest -t f [i l])
+    greedy: bool = False
 
 
 @dataclass
@@ -128,6 +131,13 @@ def parse_args(
                 except ValueError:
                     HError(1022, "%s: bad value for -%s: %s", tool, letter, " ".join(raw))
                 i += opt.nargs
+                if opt.greedy:
+                    while i + 1 < len(argv):
+                        try:
+                            vals = vals + (opt.typ(argv[i + 1]),)
+                        except ValueError:
+                            break
+                        i += 1
             ta.opts.setdefault(letter, []).append(vals if vals else (True,))
         else:
             ta.args.append(a)

@@ -85,6 +85,16 @@ def test_full_pipeline(corpus, capsys):
              "-M", f"hmm{it}", "-S", "train.scp", "monophones"]
         ) == 0
 
+    # -t is REAL FB beam pruning (beta-beam + retry ladder); a wide
+    # ladder never bites, so the reestimated MMF is byte-identical
+    os.makedirs("hmmt", exist_ok=True)
+    assert herest.run(
+        ["-C", "cfg", "-I", "phones.mlf", "-H", "hmm1/hmmdefs", "-M",
+         "hmmt", "-S", "train.scp", "-t", "2000.0", "100.0", "4000.0",
+         "monophones"]
+    ) == 0
+    assert open("hmmt/hmmdefs").read() == open("hmm2/hmmdefs").read()
+
     assert hbuild.run(["wlist", "wdnet.slf"]) == 0
     assert hvite.run(
         ["-w", "wdnet.slf", "-p", "-10", "-i", "rec.mlf", "-H",
@@ -107,6 +117,25 @@ def test_full_pipeline(corpus, capsys):
     assert hresults.run(["-I", "words.mlf", "monophones", "recf.mlf"]) == 0
     out = capsys.readouterr().out
     assert "WORD: %Corr=100.00, Acc=100.00" in out
+
+    # -t genBeam / -u maxActive are REAL pruning now (HRec semantics:
+    # tokens below best-beam die per frame; beam/max_active semantics
+    # themselves are unit-tested in test_lvdecode). Wide settings are
+    # lossless through the tool; a hopeless beam still emits the greedy
+    # path (the frame-best always survives its own beam)
+    assert hvite.run(
+        ["-t", "500.0", "-u", "64", "-w", "wdnet.slf", "-p", "-10", "-i",
+         "recb.mlf", "-H", "hmm2/hmmdefs", "-S", "train.scp", "dict",
+         "monophones"]
+    ) == 0
+    assert hresults.run(["-I", "words.mlf", "monophones", "recb.mlf"]) == 0
+    out = capsys.readouterr().out
+    assert "WORD: %Corr=100.00, Acc=100.00" in out
+    assert hvite.run(
+        ["-t", "0.5", "-w", "wdnet.slf", "-p", "-10", "-i", "rect.mlf",
+         "-H", "hmm2/hmmdefs", "-S", "train.scp", "dict", "monophones"]
+    ) == 0
+    assert os.path.exists("rect.mlf")
 
     # live mode (SOURCEKIND = HAUDIO, no -S): replay u0.wav through the
     # streaming frontend + decoder; the energy feature is mismatched

@@ -1,5 +1,6 @@
 """Baum-Welch correctness: device scans vs f64 numpy reference, EM property."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -234,3 +235,73 @@ class TestEM:
         diffs = np.diff(logps)
         assert np.all(diffs > -1e-2), logps
         assert logps[-1] > logps[0]
+
+class TestBeamPruning:
+    """HERest -t: beta-beam FB pruning (HFB.c pruneSetting semantics)."""
+
+    def _utt(self, comp_set):
+        rng = np.random.default_rng(1)
+        feats = rng.normal(size=(24, 3)).astype(np.float32)
+        return prepare_utterance(comp_set, "u0", feats, ["a", "b", "a"])
+
+    def _run(self, comp_set, utt, prune):
+        tr = Trainer(comp_set, prune=prune)
+        arrs = pad_batch([utt], comp_set.n_states)
+        jb = {k: jnp.asarray(v) for k, v in arrs.items()}
+        step, params = tr._step_fn(), tr.params()
+        if prune is None:
+            lp, accs = step(params, jb)
+        else:
+            lp, accs = step(params, jb, jnp.float32(prune[0]))
+        return float(lp[0]), accs
+
+    def test_wide_beam_bit_exact(self):
+        comp_set = small_set(nmix=1)
+        utt = self._utt(comp_set)
+        lp0, a0 = self._run(comp_set, utt, None)
+        lp1, a1 = self._run(comp_set, utt, (1e6, 0.0, 1e6))
+        assert lp1 == lp0
+        for x, y in zip(jax.tree.leaves(a0), jax.tree.leaves(a1)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_tight_beam_binds_and_occupancy_stays_normalised(self):
+        comp_set = small_set(nmix=1)
+        utt = self._utt(comp_set)
+        lp0, a0 = self._run(comp_set, utt, None)
+        lp, accs = self._run(comp_set, utt, (1.0, 0.0, 1.0))
+        # pruning drops mass: logP strictly below exact but a path survives
+        assert lp < lp0 and lp > -1e9
+        # per-frame occupancy still sums to one over the surviving band
+        assert float(np.asarray(accs.occ).sum()) == pytest.approx(24.0, abs=1e-3)
+        assert not np.allclose(np.asarray(accs.occ), np.asarray(a0.occ))
+
+    def test_hopeless_beam_fails_utterance(self):
+        # measured: beam 5.0 leaves no alpha-reachable band on this
+        # fixture (band-relative pruning is non-monotone at tiny beams)
+        comp_set = small_set(nmix=1)
+        utt = self._utt(comp_set)
+        lp, accs = self._run(comp_set, utt, (5.0, 0.0, 5.0))
+        assert lp <= -1e9
+        assert float(np.asarray(accs.occ).sum()) == 0.0  # zero contribution
+
+    def test_retry_ladder_recovers(self, capsys):
+        # accumulate() escalates 5.0 -> 10.0, where the utterance passes
+        comp_set = small_set(nmix=1)
+        utt = self._utt(comp_set)
+        tr = Trainer(comp_set, prune=(5.0, 5.0, 20.0))
+        accs = tr.accumulate([utt], batch_size=2, trace=1)
+        out = capsys.readouterr()
+        assert "retrying 1 utterance(s) at beam 10.0" in out.out
+        assert float(np.asarray(accs.n_utts)) == 1.0
+        lp0, _ = self._run(comp_set, utt, None)
+        assert float(np.asarray(accs.total_logp)) == pytest.approx(
+            lp0, abs=0.5)
+
+    def test_retry_ladder_exhausts_and_skips(self, capsys):
+        comp_set = small_set(nmix=1)
+        utt = self._utt(comp_set)
+        tr = Trainer(comp_set, prune=(5.0, 0.0, 5.0))  # no increment
+        accs = tr.accumulate([utt], batch_size=2)
+        err = capsys.readouterr().err
+        assert "7323" in err and "7324" in err
+        assert float(np.asarray(accs.n_utts)) == 0.0

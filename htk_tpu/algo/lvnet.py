@@ -61,7 +61,6 @@ def lm_loop_matrices(words: Sequence[str], lm: NGramLM,
     own back-off product). This matches the factored `_factored_rows`
     form exactly, so the dense and factored paths agree bit-for-bit."""
     W = len(words)
-    idx = {w: k for k, w in enumerate(words)}
     uni = np.empty(W, np.float64)
     bow = np.empty(W, np.float64)
     for k, w in enumerate(words):
@@ -70,27 +69,32 @@ def lm_loop_matrices(words: Sequence[str], lm: NGramLM,
             HError(8625, "lm_loop_matrices: %s not in LM", w)
         uni[k], bow[k] = e
     trans = bow[:, None] + uni[None, :]
-    for (w1, w2), (p, _bo) in lm.bigrams.items():
-        i = idx.get(w1)
-        j = idx.get(w2)
-        if i is not None and j is not None:
-            trans[i, j] = max(trans[i, j], p)
+
+    # one vectorised pass over the explicit bigrams (bigram_arrays is
+    # array-native for PackedNGramLM — no million-entry dict walk);
+    # sentence-boundary words index after the loop words unless they are
+    # loop words themselves (HDecode STARTWORD/ENDWORD boundary mode)
+    ext = list(words)
+    pos = {w: k for k, w in enumerate(ext)}
+    for w in (sent_start, sent_end):
+        if w not in pos:
+            pos[w] = len(ext)
+            ext.append(w)
+    bi_i, bi_j, bi_p = lm.bigram_arrays(ext)
+    m = (bi_i < W) & (bi_j < W)
+    np.maximum.at(trans, (bi_i[m], bi_j[m]), bi_p[m])
 
     if sent_start in lm.unigrams:
         ss_bow = lm.unigrams[sent_start][1]
         start_entry = ss_bow + uni
-        for (w1, w2), (p, _bo) in lm.bigrams.items():
-            if w1 == sent_start and w2 in idx:
-                j = idx[w2]
-                start_entry[j] = max(start_entry[j], p)
+        m = (bi_i == pos[sent_start]) & (bi_j < W)
+        np.maximum.at(start_entry, bi_j[m], bi_p[m])
     else:
         start_entry = uni.copy()
     if sent_end in lm.unigrams:
         end_exit = bow + lm.unigrams[sent_end][0]
-        for (w1, w2), (p, _bo) in lm.bigrams.items():
-            if w2 == sent_end and w1 in idx:
-                i = idx[w1]
-                end_exit[i] = max(end_exit[i], p)
+        m = (bi_j == pos[sent_end]) & (bi_i < W)
+        np.maximum.at(end_exit, bi_i[m], bi_p[m])
     else:
         end_exit = np.zeros(W, np.float64)
     return trans, start_entry, end_exit
@@ -100,19 +104,38 @@ def _start_end_vectors(words, lm, sent_start, sent_end):
     """Word-level start/end log-probs, matching lm_loop_matrices'
     back-off-network max(explicit, bow + uni) semantics."""
     W = len(words)
-    if sent_start in lm.unigrams:
-        ss_bow = lm.unigrams[sent_start][1]
-        w_start = np.array(
-            [max(lm.logp_bi(sent_start, w), ss_bow + lm.logp_uni(w))
-             for w in words])
+    unis = lm.unigrams
+    uni_all = np.array([lm.logp_uni(w) for w in words])
+    ext = list(words)
+    pos = {w: k for k, w in enumerate(ext)}
+    for w in (sent_start, sent_end):
+        if w not in pos:
+            pos[w] = len(ext)
+            ext.append(w)
+    bi_i, bi_j, bi_p = lm.bigram_arrays(ext)
+    if sent_start in unis:
+        ss_bow = unis[sent_start][1]
+        w_start = ss_bow + uni_all
+        m = (bi_i == pos[sent_start]) & (bi_j < W)
+        np.maximum.at(w_start, bi_j[m], bi_p[m])
     else:
-        w_start = np.array([lm.logp_uni(w) for w in words])
-    if sent_end in lm.unigrams:
-        e_uni = lm.unigrams[sent_end][0]
-        w_end = np.array(
-            [max(lm.logp_bi(w, sent_end),
-                 lm.unigrams[w][1] + e_uni if w in lm.unigrams else LZERO)
-             for w in words])
+        w_start = uni_all.copy()
+    if sent_end in unis:
+        e_uni = unis[sent_end][0]
+        in_lm = np.array([w in unis for w in words])
+        bow_all = np.array([unis[w][1] if w in unis else 0.0
+                            for w in words])
+        # max(logp_bi(w, </s>), bow(w) + P(</s>) if w in LM else LZERO):
+        # logp_bi is the explicit bigram when present, else its back-off
+        # product bow(w) + P(</s>)
+        second = np.where(in_lm, bow_all + e_uni, LZERO)
+        exp_p = np.full(W, -np.inf)
+        m = (bi_j == pos[sent_end]) & (bi_i < W)
+        np.maximum.at(exp_p, bi_i[m], bi_p[m])
+        has_exp = np.zeros(W, bool)
+        has_exp[bi_i[m]] = True
+        first = np.where(has_exp, exp_p, bow_all + e_uni)
+        w_end = np.maximum(first, second)
     else:
         w_end = np.zeros(W, np.float64)
     return w_start, w_end
@@ -142,9 +165,13 @@ def _factored_rows(words, lm, row_word, i_s, i_e):
     HBuild back-off word networks (both paths exist in the net and the
     decoder maxes over them), vs. ARPA's strict replacement. i_s/i_e:
     boundary word indices (nothing re-enters <s>, nothing leaves </s>).
+
+    Everything below is vectorised (one pass over the bigram arrays, a
+    stable sort, and segment arithmetic) — at 100k vocab / 2M bigrams
+    the former per-entry Python loops were a multi-second host stall on
+    every network compile.
     """
     C = len(row_word)
-    idx = {w: k for k, w in enumerate(words)}
     uni = np.empty(len(words))
     bow = np.empty(len(words))
     for k, w in enumerate(words):
@@ -160,41 +187,66 @@ def _factored_rows(words, lm, row_word, i_s, i_e):
         bow_out[i_e] = LZERO  # nothing leaves </s>
 
     rw = np.asarray(row_word)
-    rows_of: dict = {}
-    for r, wi in enumerate(row_word):
-        rows_of.setdefault(wi, []).append(r)
 
-    pred_lists: List[List[Tuple[int, float]]] = [[] for _ in range(C)]
-    for (w1, w2), (p, _bo) in lm.bigrams.items():
-        i = idx.get(w1)
-        j = idx.get(w2)
-        if i is None or j is None:
-            continue
-        if (i_s is not None and j == i_s) or (i_e is not None and i == i_e):
-            continue
-        for tr_ in rows_of.get(j, ()):
-            for sr in rows_of.get(i, ()):
-                pred_lists[tr_].append((sr, p))
+    bi_i, bi_j, bi_p = lm.bigram_arrays(words)
+    keep = np.ones(len(bi_i), bool)
+    if i_s is not None:
+        keep &= bi_j != i_s
+    if i_e is not None:
+        keep &= bi_i != i_e
+    bi_i, bi_j, bi_p = bi_i[keep], bi_j[keep], bi_p[keep]
+
+    # expand word-level bigrams to (src_row, tgt_row, score) triples.
+    # rows of a word are contiguous ascending (built in word order), so
+    # word w's rows are [w0[w], w0[w] + cnt[w]). Expansion order matches
+    # the former nested loops — (bigram, target row, source row) — so
+    # the bucket tables come out bit-identical.
+    cnt = np.bincount(rw, minlength=len(words)).astype(np.int64)
+    w0 = np.zeros(len(words), np.int64)
+    if len(words):
+        w0[1:] = np.cumsum(cnt)[:-1]
+
+    def _expand(reps):
+        # per-element group index + within-group rank for repeat counts
+        tot = int(reps.sum())
+        gi = np.repeat(np.arange(len(reps), dtype=np.int64), reps)
+        starts = np.zeros(len(reps), np.int64)
+        starts[1:] = np.cumsum(reps)[:-1]
+        return gi, np.arange(tot, dtype=np.int64) - starts[gi]
+
+    e1, off1 = _expand(cnt[bi_j])          # one copy per target row
+    tr1 = w0[bi_j[e1]] + off1
+    e2, off2 = _expand(cnt[bi_i][e1])      # ... then per source row
+    tgt = tr1[e2]
+    src = w0[bi_i[e1]][e2] + off2
+    sc = bi_p[e1][e2]
+    n_e = len(tgt)
 
     # bucket target rows by padded in-degree
-    groups: dict = {}
-    for r in range(C):
-        fb = _bucket_width(len(pred_lists[r]))
-        groups.setdefault(fb, []).append(r)
-    buckets = []
-    perm: List[int] = []
-    for fb in sorted(groups):
-        rows = groups[fb]
-        preds = np.zeros((len(rows), fb), np.int32)  # pad -> row 0
-        scores = np.full((len(rows), fb), LZERO, np.float32)
-        for k, r in enumerate(rows):
-            for q, (sr, p) in enumerate(pred_lists[r]):
-                preds[k, q] = sr
-                scores[k, q] = p
-        buckets.append((preds, scores))
-        perm.extend(rows)
+    indeg = np.bincount(tgt, minlength=C).astype(np.int64)
+    fb_row = np.maximum(4, -(-indeg // 4) * 4)
+    order = np.argsort(fb_row, kind="stable")  # (bucket asc, row asc)
     inv = np.empty(C, np.int32)
-    inv[np.asarray(perm)] = np.arange(C, dtype=np.int32)
+    inv[order] = np.arange(C, dtype=np.int32)
+
+    # entries of a target row, in expansion order, fill its slots 0..n-1
+    eorder = np.argsort(tgt, kind="stable")
+    tgt_s, src_s, sc_s = tgt[eorder], src[eorder], sc[eorder]
+    row_first = np.cumsum(indeg) - indeg
+    slot = np.arange(n_e, dtype=np.int64) - row_first[tgt_s]
+
+    buckets = []
+    uniq_fb, fb_counts = np.unique(fb_row, return_counts=True)
+    start = 0
+    for fb, nrows in zip(uniq_fb.tolist(), fb_counts.tolist()):
+        preds = np.zeros((nrows, fb), np.int32)  # pad -> row 0
+        scores = np.full((nrows, fb), LZERO, np.float32)
+        sel = fb_row[tgt_s] == fb
+        rpos = inv[tgt_s[sel]] - start
+        preds[rpos, slot[sel]] = src_s[sel]
+        scores[rpos, slot[sel]] = sc_s[sel]
+        buckets.append((preds, scores))
+        start += nrows
 
     # successor tables (the transposed view): row-level succ lists per
     # SOURCE row, for the top-A explicit leg (HLVRec maxModel-style
@@ -204,19 +256,19 @@ def _factored_rows(words, lm, row_word, i_s, i_e):
     # A*O_max scatter-max — measured ~20x cheaper at 20k vocab. Skipped
     # (None) when a skewed out-degree distribution would make the dense
     # (C, O_max) table explode; the exact bucket leg always remains.
-    succ_lists: dict = {}
-    for tr_ in range(C):
-        for sr, p in pred_lists[tr_]:
-            succ_lists.setdefault(sr, []).append((tr_, p))
-    o_max = max((len(v) for v in succ_lists.values()), default=0)
+    outdeg = np.bincount(src, minlength=C).astype(np.int64)
+    o_max = int(outdeg.max()) if C else 0
     succ_j = succ_p = None
     if o_max and C * o_max <= 32_000_000:
+        # succ insertion order = target-major over the expansion stream
+        sorder = np.argsort(src_s, kind="stable")
+        src_g, tgt_g, sc_g = src_s[sorder], tgt_s[sorder], sc_s[sorder]
         succ_j = np.full((C, o_max), C, np.int32)  # pad -> dummy row C
         succ_p = np.full((C, o_max), LZERO, np.float32)
-        for sr, lst in succ_lists.items():
-            for q, (tr_, p) in enumerate(lst):
-                succ_j[sr, q] = tr_
-                succ_p[sr, q] = p
+        src_first = np.cumsum(outdeg) - outdeg
+        slot2 = np.arange(n_e, dtype=np.int64) - src_first[src_g]
+        succ_j[src_g, slot2] = tgt_g
+        succ_p[src_g, slot2] = sc_g
     return {
         "bow": bow_out[rw].astype(np.float32),
         "uni": uni_in[rw].astype(np.float32),

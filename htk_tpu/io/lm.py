@@ -11,6 +11,8 @@ import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
+
 from ..utils.errors import HError
 
 LN10 = math.log(10.0)
@@ -54,6 +56,28 @@ class NGramLM:
         bo = b12[1] if b12 else 0.0
         return bo + self.logp_bi(w2, w3)
 
+    def bigram_arrays(self, words: List[str], extra: Tuple[str, ...] = ()):
+        """Explicit bigrams restricted to `words` (+ `extra` words,
+        indexed after them): (i, j, p) int64/int64/float64 arrays with p
+        in natural logs, in dict/file order. The vectorised consumers
+        (algo/lvnet network compile, HBuild) use this instead of
+        iterating 10^6-entry dicts in Python."""
+        pos = {}
+        for k, w in enumerate(list(words) + list(extra)):
+            pos[w] = k
+        ii: List[int] = []
+        jj: List[int] = []
+        pp: List[float] = []
+        for (w1, w2), (p, _bo) in self.bigrams.items():
+            a = pos.get(w1)
+            b = pos.get(w2)
+            if a is not None and b is not None:
+                ii.append(a)
+                jj.append(b)
+                pp.append(p)
+        return (np.asarray(ii, np.int64), np.asarray(jj, np.int64),
+                np.asarray(pp, np.float64))
+
     def logp_4(self, w1: str, w2: str, w3: str, w4: str) -> float:
         e = self.fourgrams.get((w1, w2, w3, w4))
         if e is not None:
@@ -62,11 +86,161 @@ class NGramLM:
         return bo + self.logp_tri(w2, w3, w4)
 
 
+class PackedNGramLM(NGramLM):
+    """Array-backed NGramLM (the native ARPA codec's output, and the
+    binary container's natural in-memory form).
+
+    Holds the n-gram tables as packed numpy arrays — `packs[n] =
+    (ids (count, n) uint32 into `vocab`, logp (count,) f64 natural log,
+    bo (count,) f64 natural log, has_bo (count,) bool)` in file order —
+    and materialises the base class's dicts lazily on first access, so
+    dict consumers (perplexity, lattice rescoring, LM editing tools) see
+    exactly what the pure-Python reader builds while the vectorised
+    consumers (algo/lvnet, HBuild) never pay the 10^6-entry dict
+    construction. Duplicate n-gram lines resolve last-wins in the dicts
+    (dict semantics) and max-wins in `bigram_arrays` consumers (the
+    decoder maxes over parallel arcs); real ARPA files carry unique
+    n-grams so the two never diverge in practice."""
+
+    def __init__(self, packs: dict):
+        self._packs = packs
+        self._vocab_list: List[str] = packs["vocab"]
+        self._widx: Optional[Dict[str, int]] = None
+        self._wobj: Optional[np.ndarray] = None
+        self.order = max(2, int(packs["order"]))
+
+    # -- lazy dict materialisation -------------------------------------
+    def _words_obj(self) -> np.ndarray:
+        if self._wobj is None:
+            self._wobj = np.array(self._vocab_list, dtype=object)
+        return self._wobj
+
+    def _pack(self, n: int):
+        pk = self._packs.get(n)
+        if pk is None:
+            z = np.zeros(0)
+            return (np.zeros((0, n), np.uint32), z, z, z.astype(bool))
+        return pk
+
+    def _lazy(self, key: str, make):
+        d = self.__dict__.get(key)
+        if d is None:
+            d = self.__dict__[key] = make()
+        return d
+
+    @property
+    def unigrams(self):
+        def make():
+            ids, p, bo, _hb = self._pack(1)
+            ws = self._words_obj()
+            return dict(zip(ws[ids[:, 0]].tolist(),
+                            zip(p.tolist(), bo.tolist())))
+        return self._lazy("_d_uni", make)
+
+    @unigrams.setter
+    def unigrams(self, v):
+        self.__dict__["_d_uni"] = v
+
+    @property
+    def bigrams(self):
+        def make():
+            ids, p, bo, _hb = self._pack(2)
+            ws = self._words_obj()
+            keys = zip(ws[ids[:, 0]].tolist(), ws[ids[:, 1]].tolist())
+            return dict(zip(keys, zip(p.tolist(), bo.tolist())))
+        return self._lazy("_d_bi", make)
+
+    @bigrams.setter
+    def bigrams(self, v):
+        self.__dict__["_d_bi"] = v
+
+    @property
+    def trigrams(self):
+        def make():
+            ids, p, _bo, _hb = self._pack(3)
+            ws = self._words_obj()
+            keys = zip(ws[ids[:, 0]].tolist(), ws[ids[:, 1]].tolist(),
+                       ws[ids[:, 2]].tolist())
+            return dict(zip(keys, p.tolist()))
+        return self._lazy("_d_tri", make)
+
+    @trigrams.setter
+    def trigrams(self, v):
+        self.__dict__["_d_tri"] = v
+
+    @property
+    def tri_bo(self):
+        def make():
+            ids, _p, bo, hb = self._pack(3)
+            if not hb.any():
+                return {}
+            ids, bo = ids[hb], bo[hb]
+            ws = self._words_obj()
+            keys = zip(ws[ids[:, 0]].tolist(), ws[ids[:, 1]].tolist(),
+                       ws[ids[:, 2]].tolist())
+            return dict(zip(keys, bo.tolist()))
+        return self._lazy("_d_tribo", make)
+
+    @tri_bo.setter
+    def tri_bo(self, v):
+        self.__dict__["_d_tribo"] = v
+
+    @property
+    def fourgrams(self):
+        def make():
+            ids, p, _bo, _hb = self._pack(4)
+            ws = self._words_obj()
+            keys = zip(ws[ids[:, 0]].tolist(), ws[ids[:, 1]].tolist(),
+                       ws[ids[:, 2]].tolist(), ws[ids[:, 3]].tolist())
+            return dict(zip(keys, p.tolist()))
+        return self._lazy("_d_four", make)
+
+    @fourgrams.setter
+    def fourgrams(self, v):
+        self.__dict__["_d_four"] = v
+
+    # -- vectorised access ---------------------------------------------
+    def bigram_arrays(self, words: List[str], extra: Tuple[str, ...] = ()):
+        if "_d_bi" in self.__dict__:
+            # dicts were touched (possibly edited): they are the truth
+            return super().bigram_arrays(words, extra)
+        if self._widx is None:
+            self._widx = {w: k for k, w in enumerate(self._vocab_list)}
+        m = np.full(len(self._vocab_list) + 1, -1, np.int64)
+        for k, w in enumerate(list(words) + list(extra)):
+            vid = self._widx.get(w)
+            if vid is not None:
+                m[vid] = k
+        ids, p, _bo, _hb = self._pack(2)
+        if not len(ids):
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.float64))
+        i = m[ids[:, 0].astype(np.int64)]
+        j = m[ids[:, 1].astype(np.int64)]
+        keep = (i >= 0) & (j >= 0)
+        return i[keep], j[keep], p[keep]
+
+
 def read_arpa(path: str, cfg=None) -> NGramLM:
     from ..utils.filters import filtered
 
     try:
         with filtered(path, "HLANGMODFILTER", cfg) as p:
+            import os as _os
+            packs = None
+            if not _os.environ.get("HTKTPU_NO_NATIVE"):
+                try:
+                    from ..native import parse_arpa as _native_arpa
+                    packs = _native_arpa(p)
+                except Exception:
+                    packs = None
+            if packs is not None:
+                if 1 not in packs or not len(packs[1][1]):
+                    HError(8150, "ReadLModel: no unigrams found in %s", path)
+                for n in range(1, packs["order"] + 1):
+                    ids, lp, bo, hb = packs[n]
+                    packs[n] = (ids, lp * LN10, bo * LN10, hb)
+                return PackedNGramLM(packs)
             lines = open(p, "r", errors="replace").read().splitlines()
     except OSError as e:
         HError(8110, "ReadLModel: cannot open LM %s (%s)", path, e)
@@ -232,8 +406,6 @@ def read_binary_lm(path: str, cfg=None) -> NGramLM:
     Raises a numbered error on a bad magic or an unsupported version —
     `HTKLib/HLM.c : ReadLModel` rejects incompatible binary headers the
     same way."""
-    import struct
-
     from ..utils.filters import filtered
 
     with filtered(path, "HLANGMODFILTER", cfg) as p:
@@ -255,33 +427,54 @@ def read_binary_lm(path: str, cfg=None) -> NGramLM:
         nl = data.index(b"\n", pos)
         words.append(data[pos:nl].decode())
         pos = nl + 1
-    lm = NGramLM(order=max(order, 2) if counts[1] else order)
-    lm.order = order
-    for w in words:
-        p, bo = struct.unpack_from(">ff", data, pos)
-        pos += 8
-        lm.unigrams[w] = (p, bo)
-    for _ in range(counts[1]):
-        i1, i2, p, bo = struct.unpack_from(">IIff", data, pos)
-        pos += 16
-        lm.bigrams[(words[i1], words[i2])] = (p, bo)
-    for _ in range(counts[2]):
+
+    # fixed-stride big-endian sections: decoded as whole numpy arrays
+    # into the packed form (10^6-gram LMs load in milliseconds; the
+    # materialised dicts are built lazily and match the former
+    # struct-loop reader exactly — same f32->f64 widening)
+    def take(dt, count):
+        nonlocal pos
+        arr = np.frombuffer(data, dtype=np.dtype(dt), count=count,
+                            offset=pos)
+        pos += arr.dtype.itemsize * count
+        return arr
+
+    packs: dict = {"order": order, "vocab": words}
+    uni = take([("p", ">f4"), ("b", ">f4")], counts[0])
+    packs[1] = (np.arange(counts[0], dtype=np.uint32)[:, None],
+                uni["p"].astype(np.float64), uni["b"].astype(np.float64),
+                uni["b"] != 0.0)
+    if counts[1]:
+        bi = take([("i", ">u4"), ("j", ">u4"), ("p", ">f4"), ("b", ">f4")],
+                  counts[1])
+        packs[2] = (np.stack([bi["i"], bi["j"]], 1).astype(np.uint32),
+                    bi["p"].astype(np.float64), bi["b"].astype(np.float64),
+                    bi["b"] != 0.0)
+    if counts[2]:
         if order > 3:
-            i1, i2, i3, p, bo = struct.unpack_from(">IIIff", data, pos)
-            pos += 20
-            if bo != 0.0:
-                lm.tri_bo[(words[i1], words[i2], words[i3])] = bo
+            tri = take([("i", ">u4"), ("j", ">u4"), ("k", ">u4"),
+                        ("p", ">f4"), ("b", ">f4")], counts[2])
+            tb = tri["b"].astype(np.float64)
         else:
-            i1, i2, i3, p = struct.unpack_from(">IIIf", data, pos)
-            pos += 16
-        lm.trigrams[(words[i1], words[i2], words[i3])] = p
-    for _ in range(counts[3]):
-        i1, i2, i3, i4, p = struct.unpack_from(">IIIIf", data, pos)
-        pos += 20
-        lm.fourgrams[(words[i1], words[i2], words[i3], words[i4])] = p
+            tri = take([("i", ">u4"), ("j", ">u4"), ("k", ">u4"),
+                        ("p", ">f4")], counts[2])
+            tb = np.zeros(counts[2], np.float64)
+        packs[3] = (np.stack([tri["i"], tri["j"], tri["k"]], 1)
+                    .astype(np.uint32),
+                    tri["p"].astype(np.float64), tb, tb != 0.0)
+    if counts[3]:
+        fo = take([("i", ">u4"), ("j", ">u4"), ("k", ">u4"), ("l", ">u4"),
+                   ("p", ">f4")], counts[3])
+        packs[4] = (np.stack([fo["i"], fo["j"], fo["k"], fo["l"]], 1)
+                    .astype(np.uint32),
+                    fo["p"].astype(np.float64),
+                    np.zeros(counts[3], np.float64),
+                    np.zeros(counts[3], bool))
     if pos != len(data):
         HError(8151, "ReadLModel: %d trailing bytes in binary LM %s",
                len(data) - pos, path)
+    lm = PackedNGramLM(packs)
+    lm.order = order
     return lm
 
 

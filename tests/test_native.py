@@ -78,3 +78,189 @@ class TestMLFMarks:
             la = [(l.name, l.start, l.end, l.score) for l in ta.labels]
             lb = [(l.name, l.start, l.end, l.score) for l in tb.labels]
             assert la == lb
+
+
+# ---------------------------------------------------------------------------
+# ARPA n-gram codec (htknative.cpp) vs the pure-Python reader in io/lm.py.
+# Same dicts, same floats (both parse decimal literals to correctly-rounded
+# f64 and scale by the same LN10), same skipped-line rules.
+# `HTKLib/HLM.c : ReadLModel` anchor per SURVEY.md §2.1.
+
+import math
+import os
+
+from htk_tpu.io import lm as lmmod
+from htk_tpu.io.lm import NGramLM, PackedNGramLM, read_arpa
+
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from htk_tpu.io import lm as lmmod
+from htk_tpu.io.lm import NGramLM, PackedNGramLM, read_arpa
+
+ARPA = """\
+
+\\data\\
+ngram 1=5
+ngram 2=4
+ngram 3=3
+
+\\1-grams:
+-1.0000 a -0.3010
+-1.3010 b
+-1.5 c -0.25
+-2 d -0
+-99 e
+
+\\2-grams:
+-0.5 a b -0.1
+-0.75 b c
+-1.25 c a -0.0000
+-0.9 a e
+
+\\3-grams:
+-0.25 a b c 0.0000
+-0.33 b c a
+-0.125 c a b -0.05
+
+\\end\\
+trailing garbage after end is ignored
+"""
+
+
+def _write(tmp_path, text, name="t.arpa"):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def _read_py(path):
+    os.environ["HTKTPU_NO_NATIVE"] = "1"
+    try:
+        out = read_arpa(path)
+    finally:
+        del os.environ["HTKTPU_NO_NATIVE"]
+    assert type(out) is NGramLM
+    return out
+
+
+def _read_native(path):
+    out = read_arpa(path)
+    if not isinstance(out, PackedNGramLM):
+        pytest.skip("native codec unavailable (no toolchain)")
+    return out
+
+
+def assert_lm_equal(a, b):
+    assert a.order == b.order
+    assert a.vocab == b.vocab
+    assert a.unigrams == b.unigrams
+    assert a.bigrams == b.bigrams
+    assert a.trigrams == b.trigrams
+    assert a.tri_bo == b.tri_bo
+    assert a.fourgrams == b.fourgrams
+
+
+def test_arpa_native_matches_python(tmp_path):
+    path = _write(tmp_path, ARPA)
+    ref = _read_py(path)
+    nat = _read_native(path)
+    assert_lm_equal(ref, nat)
+    # exact key contents, not just equality of empties
+    assert ref.unigrams["a"] == (-1.0 * math.log(10), -0.3010 * math.log(10))
+    assert ("c", "a") in ref.tri_bo and ("a", "b", "c") in ref.tri_bo \
+        or ("a", "b", "c") in ref.tri_bo  # explicit 0.0000 bo is present
+    assert ("b", "c", "a") not in ref.tri_bo
+
+
+def test_arpa_native_fourgram_and_edge_lines(tmp_path):
+    text = """\\data\\
+\\1-grams:
+-1 a
+-1 b
+\\2-grams:
+-0.5 a b
+\\3-grams:
+-0.4 a b a
+\\4-grams:
+-0.3 a b a b
+-0.2 b a b a -0.9
+short
+\\end\\
+"""
+    path = _write(tmp_path, text)
+    ref = _read_py(path)
+    nat = _read_native(path)
+    assert_lm_equal(ref, nat)
+    assert ref.order == 4
+    assert ref.fourgrams[("a", "b", "a", "b")] == -0.3 * math.log(10)
+    # 5th 4-gram field (back-off) ignored, like the Python reader
+    assert ref.fourgrams[("b", "a", "b", "a")] == -0.2 * math.log(10)
+
+
+def test_arpa_native_empty_sections_and_order(tmp_path):
+    text = "\\data\\\n\\1-grams:\n-1 x\n\\2-grams:\n\\end\\\n"
+    path = _write(tmp_path, text)
+    ref = _read_py(path)
+    nat = _read_native(path)
+    assert_lm_equal(ref, nat)
+    assert nat.order == 2 and not nat.bigrams
+
+
+def test_arpa_native_no_unigrams_error(tmp_path):
+    from htk_tpu.utils.errors import HTKError
+    path = _write(tmp_path, "\\data\\\n\\1-grams:\n\\end\\\n")
+    with pytest.raises(HTKError):
+        read_arpa(path)
+
+
+def test_bigram_arrays_packed_matches_dict(tmp_path):
+    path = _write(tmp_path, ARPA)
+    ref = _read_py(path)
+    nat = _read_native(path)
+    words = ["b", "a", "c", "zz"]
+    for extra in ((), ("e",)):
+        ri, rj, rp = ref.bigram_arrays(words, extra)
+        ni, nj, npp = nat.bigram_arrays(words, extra)
+        np.testing.assert_array_equal(ri, ni)
+        np.testing.assert_array_equal(rj, nj)
+        np.testing.assert_array_equal(rp, npp)
+
+
+def test_bigram_arrays_respects_dict_edits(tmp_path):
+    path = _write(tmp_path, ARPA)
+    nat = _read_native(path)
+    nat.bigrams[("a", "c")] = (-0.111, 0.0)
+    i, j, p = nat.bigram_arrays(["a", "c"])
+    assert len(i) == 2  # (c, a) from the file plus the edited (a, c)
+    assert -0.111 in p.tolist()
+
+
+def test_packed_lazy_dicts_cached_and_writable(tmp_path):
+    path = _write(tmp_path, ARPA)
+    nat = _read_native(path)
+    d1 = nat.bigrams
+    assert nat.bigrams is d1
+    nat.unigrams = {"q": (0.0, 0.0)}
+    assert nat.vocab == ["q"]
+
+
+def test_binary_roundtrip_packed(tmp_path):
+    path = _write(tmp_path, ARPA)
+    ref = _read_py(path)
+    b1 = str(tmp_path / "lm.bin")
+    b2 = str(tmp_path / "lm2.bin")
+    lmmod.write_binary_lm(ref, b1)
+    back = lmmod.read_binary_lm(b1)
+    assert isinstance(back, PackedNGramLM)
+    lmmod.write_binary_lm(back, b2)
+    assert open(b1, "rb").read() == open(b2, "rb").read()
+    # dict views identical to the ARPA-read model up to f32 rounding
+    for k, (p, bo) in back.bigrams.items():
+        rp, rbo = ref.bigrams[k]
+        assert p == pytest.approx(rp, abs=1e-6)
+        assert bo == pytest.approx(rbo, abs=1e-6)

@@ -270,25 +270,38 @@ def read_arpa(path: str, cfg=None) -> NGramLM:
             continue
         if line.startswith("\\end\\"):
             break
-        if section == -1:
+        if section != 0 and line.startswith("\\") and "-grams" in line:
+            # \5-grams: (or higher) — refuse rather than misparse the
+            # section's lines under the previous order
+            HError(8153, "ReadLModel: unsupported n-gram section '%s' "
+                         "in %s (max order 4)", line, path)
+        if section <= 0:
             continue
         parts = line.split()
+
+        def num(tok):
+            try:
+                return float(tok) * LN10
+            except ValueError:
+                HError(8154, "ReadLModel: bad number '%s' in n-gram "
+                             "line '%s' of %s", tok, line, path)
+
         if section == 1 and len(parts) >= 2:
-            p = float(parts[0]) * LN10
+            p = num(parts[0])
             w = parts[1]
-            bo = float(parts[2]) * LN10 if len(parts) > 2 else 0.0
+            bo = num(parts[2]) if len(parts) > 2 else 0.0
             lm.unigrams[w] = (p, bo)
         elif section == 2 and len(parts) >= 3:
-            p = float(parts[0]) * LN10
-            bo = float(parts[3]) * LN10 if len(parts) > 3 else 0.0
+            p = num(parts[0])
+            bo = num(parts[3]) if len(parts) > 3 else 0.0
             lm.bigrams[(parts[1], parts[2])] = (p, bo)
         elif section == 3 and len(parts) >= 4:
-            lm.trigrams[(parts[1], parts[2], parts[3])] = float(parts[0]) * LN10
+            lm.trigrams[(parts[1], parts[2], parts[3])] = num(parts[0])
             if len(parts) > 4:
-                lm.tri_bo[(parts[1], parts[2], parts[3])] = float(parts[4]) * LN10
+                lm.tri_bo[(parts[1], parts[2], parts[3])] = num(parts[4])
         elif section == 4 and len(parts) >= 5:
             lm.fourgrams[(parts[1], parts[2], parts[3], parts[4])] = (
-                float(parts[0]) * LN10)
+                num(parts[0]))
     if not lm.unigrams:
         HError(8150, "ReadLModel: no unigrams found in %s", path)
     return lm
@@ -318,12 +331,17 @@ def write_matrix_bigram(lm: NGramLM, words: List[str], path: str) -> None:
             f.write("\n")
 
 
-def read_matrix_bigram(path: str, words: Optional[List[str]] = None) -> NGramLM:
+def read_matrix_bigram(path: str, words: Optional[List[str]] = None,
+                       cfg=None) -> NGramLM:
     """Read a matrix bigram file back into an NGramLM (explicit bigrams
     only; no back-off weights — the matrix is dense by construction)."""
+    from ..utils.filters import filtered
+
     rows: List[Tuple[str, List[float]]] = []
     cur: Optional[Tuple[str, List[float]]] = None
-    for raw in open(path):
+    with filtered(path, "HLANGMODFILTER", cfg) as p:
+        lines = list(open(p))
+    for raw in lines:
         if not raw.strip():
             continue
         if raw[0] not in (" ", "\t"):
@@ -491,7 +509,7 @@ def read_lm(path: str, cfg=None,
         return read_binary_lm(path, cfg)
     if b"\\data\\" in head:
         return read_arpa(path, cfg)
-    return read_matrix_bigram(path, words=words)
+    return read_matrix_bigram(path, words=words, cfg=cfg)
 
 
 def save_lm(lm: NGramLM, path: str, cfg=None) -> None:

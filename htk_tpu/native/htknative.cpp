@@ -148,6 +148,12 @@ void* ht_arpa_parse(const char* path) {
         goto next;
       }
       if (line.substr(0, 5) == "\\end\\") break;
+      if (section != 0 && line.find("-grams") != std::string_view::npos) {
+        // \5-grams: or higher — fail the parse; the Python fallback
+        // reader raises the numbered error (HError 8153)
+        r->err = "unsupported n-gram section";
+        return r;
+      }
     }
     if (section <= 0) goto next;
     {
@@ -156,15 +162,21 @@ void* ht_arpa_parse(const char* path) {
       int nf = split_fields(line, f, order + 2);
       if (nf >= order + 1) {
         double p;
-        if (!parse_double(f[0], &p)) goto next;  // Python float() would
-        // raise here; ARPA headers inside sections ("ngram 1=...") never
-        // occur, and the Python reader has no such lines in practice —
-        // skipping mirrors the len(parts) guard for malformed rows
+        if (!parse_double(f[0], &p)) {
+          // Python float() raises here -> numbered HError 8154; fail
+          // the parse so the fallback reader reports it identically
+          r->err = "bad number in n-gram line";
+          return r;
+        }
         double b = 0.0;
         uint8_t hb = 0;
         if (nf >= order + 2) {
-          if (parse_double(f[order + 1], &b)) hb = 1;
-          else goto next;
+          if (parse_double(f[order + 1], &b)) {
+            hb = 1;
+          } else {
+            r->err = "bad number in n-gram line";
+            return r;
+          }
         }
         int k = order - 1;
         r->logp[k].push_back(p);

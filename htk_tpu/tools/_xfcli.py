@@ -99,6 +99,19 @@ def recomputed_gconsts(comp, variances: np.ndarray) -> np.ndarray:
     return gc.astype(np.float32)
 
 
+def chain_feature_data(chain: list, data: np.ndarray) -> np.ndarray:
+    """Apply only the feature-space (CMLLR) legs of a transform chain.
+
+    The model-space legs are data-independent, so callers that cache
+    per-speaker parameter overrides (chain_model_params output) apply
+    this to each further utterance instead of re-deriving the params."""
+    for xf in chain:
+        if not isinstance(xf, tuple) and xf.kind not in ("MLLRMEAN",
+                                                         "MLLRCOV"):
+            data = xf.apply_to_features(data).astype(data.dtype)
+    return data
+
+
 def chain_model_params(
     comp, chain: list, data: np.ndarray,
     base: Tuple[np.ndarray, np.ndarray],

@@ -189,8 +189,8 @@ def run(argv: List[str]) -> int:
     # CMLLR applies to the features per utterance, model-space transforms
     # become per-speaker parameter overrides riding the fused pipeline as
     # traced operands (no recompile per speaker)
-    from ._xfcli import (chain_model_params, load_input_transforms,
-                         resolve_chain)
+    from ._xfcli import (chain_feature_data, chain_model_params,
+                         load_input_transforms, resolve_chain)
 
     xforms = load_input_transforms(ta.get_all("J"), ta.trace, "HDecode")
     spk_mask = ta.get("h")
@@ -219,11 +219,14 @@ def run(argv: List[str]) -> int:
         chain = resolve_chain(xforms, spk_mask, logical, "HDecode")
         if base_xf is not None:
             chain = [base_xf] + list(chain)
+        if spk in spk_params:
+            # model-space params are per-speaker and already derived;
+            # only the feature-space legs touch per-utterance data
+            return chain_feature_data(chain, data), spk
         data, params = chain_model_params(comp, chain, data, xf_base,
                                           "HDecode")
-        if spk not in spk_params:
-            spk_params[spk] = params  # same np arrays reused -> the
-            # device cache sees one upload per speaker
+        spk_params[spk] = params  # same np arrays reused -> the
+        # device cache sees one upload per speaker
         return data, spk
 
     # pass 1 runs BATCHED for LV nets: utterances are bucketed by

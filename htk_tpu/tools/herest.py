@@ -112,6 +112,11 @@ def run(argv: List[str]) -> int:
     if ta.has("t"):
         v = ta.get("t")
         vs = [float(x) for x in (v if isinstance(v, tuple) else (v,))]
+        if len(vs) == 2:
+            # HERest.c reads inc and limit together — two values would
+            # silently kill the retry ladder (inc with limit == init)
+            HError(1021, "HERest: -t takes f or f i l (inc without "
+                         "limit given)")
         prune = (vs[0],
                  vs[1] if len(vs) > 1 else 0.0,
                  vs[2] if len(vs) > 2 else vs[0])

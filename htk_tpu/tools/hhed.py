@@ -833,6 +833,8 @@ class Editor:
 
         hs = self.hset
         dup = set(flags.strip('"'))
+        base_hmms = list(hs.hmms.items())  # copies of copies otherwise:
+        # later ids would re-clone earlier ids' duplicates
         for did in ids:
             memo: Dict[int, object] = {}
 
@@ -886,7 +888,7 @@ class Editor:
                         hs.macros["s"][name + did] = ns
                 return ns
 
-            for name, h in list(hs.hmms.items()):
+            for name, h in base_hmms:
                 nh = HMMDef(
                     name=name + did,
                     nstates=h.nstates,

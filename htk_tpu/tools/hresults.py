@@ -171,15 +171,16 @@ def _word_spotting(ta, rec_entries, mlfs, ref_dir, ref_ext) -> int:
             c = p_at_fa[min(i, len(p_at_fa) - 1)]
             return 100.0 * c / max(n_true, 1)
 
-        # average detection rate over 1..10 FA/hour
+        # FOM = (p1 + .. + pN + a*p(N+1)) / (10T), pi = % true hits
+        # found before the i-th false alarm = p_at_fa[i-1]
         fom = 0.0
         n_bands = 10.0 * hours
         full = int(n_bands)
         for i in range(1, full + 1):
-            fom += pct(i)
+            fom += pct(i - 1)
         frac = n_bands - full
         if frac > 0:
-            fom += frac * pct(full + 1)
+            fom += frac * pct(full)
         fom /= max(n_bands, 1e-9)
         foms.append(fom)
         print(f"{k:>11}: {n_hits:8d} {n_fa:8d} {n_true:8d} {fom:8.2f}")

@@ -453,6 +453,11 @@ class TestTCDPXFSUPS:
         # editing a duplicate must not touch the original
         m1.mean += 1.0
         assert not np.allclose(m0.mean, m1.mean)
+        # no copies of copies: the second id clones the ORIGINAL set,
+        # not the first id's duplicates (3 originals -> 9 total)
+        assert len(hs.hmms) == 9
+        assert not any(":m:" in n or ":f:" in n or n.count(":") > 1
+                       for n in hs.hmms)
 
     def test_xf_attaches_and_roundtrips(self, tmp_path):
         from htk_tpu.algo.adapt import Transform, save_tmf

@@ -172,8 +172,9 @@ def test_arpa_native_matches_python(tmp_path):
     assert_lm_equal(ref, nat)
     # exact key contents, not just equality of empties
     assert ref.unigrams["a"] == (-1.0 * math.log(10), -0.3010 * math.log(10))
-    assert ("c", "a") in ref.tri_bo and ("a", "b", "c") in ref.tri_bo \
-        or ("a", "b", "c") in ref.tri_bo  # explicit 0.0000 bo is present
+    assert ref.tri_bo[("c", "a", "b")] == pytest.approx(
+        -0.05 * math.log(10))
+    assert ("a", "b", "c") in ref.tri_bo  # explicit 0.0000 bo is present
     assert ("b", "c", "a") not in ref.tri_bo
 
 
@@ -264,3 +265,64 @@ def test_binary_roundtrip_packed(tmp_path):
         rp, rbo = ref.bigrams[k]
         assert p == pytest.approx(rp, abs=1e-6)
         assert bo == pytest.approx(rbo, abs=1e-6)
+
+
+def test_arpa_unsupported_order_numbered_error(tmp_path):
+    """\\5-grams: must raise HError 8153 on BOTH readers (the native
+    codec fails the parse and the Python fallback reports it), not
+    silently drop the section or misparse its lines."""
+    from htk_tpu.utils.errors import HTKError
+
+    text = ("\\data\\\n\\1-grams:\n-1 a\n-1 b\n"
+            "\\5-grams:\n-0.1 a b a b a\n\\end\\\n")
+    path = _write(tmp_path, text)
+    with pytest.raises(HTKError, match="8153"):
+        read_arpa(path)
+    os.environ["HTKTPU_NO_NATIVE"] = "1"
+    try:
+        with pytest.raises(HTKError, match="8153"):
+            read_arpa(path)
+    finally:
+        del os.environ["HTKTPU_NO_NATIVE"]
+
+
+def test_arpa_bad_number_numbered_error(tmp_path):
+    """A malformed prob/back-off field raises HError 8154 on both
+    readers instead of a raw ValueError (Python) or a silent skip
+    (native)."""
+    from htk_tpu.utils.errors import HTKError
+
+    for bad in ("\\data\\\n\\1-grams:\nxx a\n\\end\\\n",
+                "\\data\\\n\\1-grams:\n-1 a notanumber\n\\end\\\n"):
+        path = _write(tmp_path, bad, name="bad.arpa")
+        with pytest.raises(HTKError, match="815[04]"):
+            read_arpa(path)
+        os.environ["HTKTPU_NO_NATIVE"] = "1"
+        try:
+            with pytest.raises(HTKError, match="815[04]"):
+                read_arpa(path)
+        finally:
+            del os.environ["HTKTPU_NO_NATIVE"]
+
+
+def test_read_lm_filtered_matrix_bigram(tmp_path):
+    """read_lm sniffs through HLANGMODFILTER and the matrix-bigram
+    reader must read through the SAME filter (it used to open the raw
+    gzipped bytes and crash)."""
+    import gzip
+
+    from htk_tpu.utils.config import Config
+
+    words = ["a", "b"]
+    lm = lmmod.NGramLM(order=2)
+    lm.unigrams = {"a": (-1.0, 0.0), "b": (-1.0, 0.0)}
+    lm.bigrams = {("a", "b"): (-0.5, 0.0), ("b", "a"): (-0.7, 0.0)}
+    p = str(tmp_path / "mat.bg")
+    lmmod.write_matrix_bigram(lm, words, p)
+    gz = p + ".gz"
+    gzip.open(gz, "wb").write(open(p, "rb").read())
+    cfg = Config()
+    cfg.set("HLANGMODFILTER", "gunzip -c $")
+    back = lmmod.read_lm(gz, cfg=cfg, words=words)
+    plain = lmmod.read_lm(p, words=words)
+    assert back.bigrams == plain.bigrams

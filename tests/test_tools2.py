@@ -527,8 +527,9 @@ class TestHResultsDNW:
         krow = [l for l in out.splitlines() if l.strip().startswith("KEY")][0]
         assert "100.00" in krow  # FOM
         assert krow.split()[1:4] == ["2", "1", "2"]  # hits, FAs, actual
-        # second hit hidden BELOW two false alarms: band 1 (1 FA/hr)
-        # only reaches 50% detection; bands 2-10 reach 100%
+        # second hit hidden BELOW two false alarms. HTKBook FOM:
+        # p_i = % true hits found BEFORE the i-th false alarm, so
+        # p1 = p2 = 50% (one hit outranks both FAs), p3..p10 = 100%
         open("rec2.mlf", "w").write(
             '#!MLF!#\n"*/u1.rec"\n'
             "0 1000000 KEY -10.0\n5000000 6000000 KEY -12.0\n"
@@ -538,6 +539,6 @@ class TestHResultsDNW:
                              "rec2.mlf"]) == 0
         out = capsys.readouterr().out
         krow = [l for l in out.splitlines() if l.strip().startswith("KEY")][0]
-        # FOM over 10 bands: band1 = 50%, bands 2..10 = 100%
-        assert "95.00" in krow
+        # FOM over 10 bands: (50 + 50 + 100*8) / 10
+        assert "90.00" in krow
         assert krow.split()[1:4] == ["2", "2", "2"]

@@ -60,7 +60,7 @@ def read_dict(path: str, cfg=None) -> Vocab:
     v = Vocab()
     try:
         with filtered(path, "HDICTFILTER", cfg) as p:
-            lines = open(p, "r").read().splitlines()
+            lines = open(p, "r", errors="replace").read().splitlines()
     except OSError as e:
         HError(8010, "ReadDict: cannot open dictionary %s (%s)", path, e)
     for raw in lines:

@@ -31,7 +31,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..utils.errors import HError, HRError
+from ..utils.errors import HError, HRError, contained
 from . import parmkind as pk
 
 
@@ -175,6 +175,12 @@ def read_htk_file(path: str, natural_order: bool = False) -> HTKFeatureFile:
         HError(6310, "read_htk_file: cannot open %s (%s)", path, e)
     if len(raw) < 12:
         HError(6350, "read_htk_file: %s too short for HTK header", path)
+    with contained(6350, "read_htk_file", path):
+        return _parse_htk_file(raw, path, natural_order)
+
+
+def _parse_htk_file(raw: bytes, path: str,
+                    natural_order: bool) -> HTKFeatureFile:
     bo = "<" if natural_order else ">"
     n, samp_period = np.frombuffer(raw[:8], dtype=f"{bo}i4")
     samp_size, parm_kind = np.frombuffer(raw[8:12], dtype=f"{bo}i2")

@@ -13,7 +13,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..utils.errors import HError
+from ..utils.errors import HError, contained
 
 LN10 = math.log(10.0)
 
@@ -340,18 +340,21 @@ def read_matrix_bigram(path: str, words: Optional[List[str]] = None,
     rows: List[Tuple[str, List[float]]] = []
     cur: Optional[Tuple[str, List[float]]] = None
     with filtered(path, "HLANGMODFILTER", cfg) as p:
-        lines = list(open(p))
-    for raw in lines:
-        if not raw.strip():
-            continue
-        if raw[0] not in (" ", "\t"):
-            if cur is not None:
-                rows.append(cur)
-            parts = raw.split()
-            cur = (parts[0], [float(x) for x in parts[1:]])
-        else:
-            assert cur is not None
-            cur[1].extend(float(x) for x in raw.split())
+        lines = list(open(p, errors="replace"))
+    with contained(8155, "read_matrix_bigram", path):
+        for raw in lines:
+            if not raw.strip():
+                continue
+            if raw[0] not in (" ", "\t"):
+                if cur is not None:
+                    rows.append(cur)
+                parts = raw.split()
+                cur = (parts[0], [float(x) for x in parts[1:]])
+            else:
+                if cur is None:
+                    HError(8155, "read_matrix_bigram: continuation line "
+                                 "before any row in %s", path)
+                cur[1].extend(float(x) for x in raw.split())
     if cur is not None:
         rows.append(cur)
     order = words if words is not None else [w for w, _ in rows]
@@ -430,6 +433,11 @@ def read_binary_lm(path: str, cfg=None) -> NGramLM:
         data = open(p, "rb").read()
     if not data.startswith(BINLM_MAGIC):
         HError(8150, "ReadLModel: %s is not a binary n-gram LM", path)
+    with contained(8151, "ReadLModel", path):
+        return _parse_binary_lm(data, path)
+
+
+def _parse_binary_lm(data: bytes, path: str) -> NGramLM:
     pos = len(BINLM_MAGIC)
     nl = data.index(b"\n", pos)
     hdr = data[pos:nl].decode().split()

@@ -36,7 +36,7 @@ from typing import Dict, List, Optional, TextIO, Tuple
 
 import numpy as np
 
-from ..utils.errors import HError
+from ..utils.errors import HError, contained
 from . import parmkind as pk
 
 LZERO = -1.0e10
@@ -720,7 +720,8 @@ def load_mmf(paths, hset: Optional[HMMSet] = None, cfg=None) -> HMMSet:
                 "longer read (unsafe). Re-save it as text or ':'-code "
                 "binary with save_mmf.", p,
             )
-        _Parser(data, hset).parse()
+        with contained(7050, "load_mmf", p):
+            _Parser(data, hset).parse()
     return hset
 
 
@@ -731,7 +732,7 @@ def load_hmm_list(path: str, cfg=None) -> List[Tuple[str, Optional[str]]]:
     out = []
     try:
         with filtered(path, "HMMLISTFILTER", cfg) as _p:
-            lines_src = open(_p).read().splitlines()
+            lines_src = open(_p, errors="replace").read().splitlines()
     except FileNotFoundError:
         HError(2610, "LoadHMMList: cannot open hmm list %s", path)
     for ln in lines_src:

@@ -18,7 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
-from ..utils.errors import HError
+from ..utils.errors import HError, contained
 
 NULL_WORD = "!NULL"
 
@@ -84,11 +84,16 @@ def read_slf(path: str, cfg=None) -> Lattice:
 
     try:
         with filtered(path, "HNETFILTER", cfg) as p:
-            lines = open(p, "r").read().splitlines()
+            lines = open(p, "r", errors="replace").read().splitlines()
     except OSError as e:
         HError(8210, "ReadLattice: cannot open %s (%s)", path, e)
     lat = Lattice()
     n_nodes = n_arcs = None
+    with contained(8253, "ReadLattice", path):
+        return _parse_slf(lines, lat, n_nodes, n_arcs, path)
+
+
+def _parse_slf(lines, lat, n_nodes, n_arcs, path) -> Lattice:
     for raw in lines:
         line = raw.split("#", 1)[0].strip()
         if not line:

@@ -21,7 +21,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..utils.errors import HError
+from ..utils.errors import HError, contained
 from . import parmkind as pk
 from .htkfeat import read_htk_file, write_htk_file
 
@@ -203,6 +203,12 @@ def read_wave(
             raw = f.read()
     except OSError as e:
         HError(6210, "ReadWave: cannot open %s (%s)", path, e)
+    with contained(6253, "ReadWave", path):
+        return _dispatch_wave(raw, path, fmt, source_rate, natural_order)
+
+
+def _dispatch_wave(raw: bytes, path: str, fmt: str,
+                   source_rate, natural_order) -> Waveform:
     if fmt in ("WAV", "WAVE"):
         return _read_wav_riff(raw, path)
     if fmt in ("NIST", "SPHERE"):

@@ -14,6 +14,8 @@ Module code blocks (canonical HTK assignments):
 
 from __future__ import annotations
 
+import contextlib
+import struct
 import sys
 
 
@@ -36,3 +38,25 @@ def HRError(code: int, fmt: str, *args) -> None:
     """Report a recoverable numbered warning (HShell.c : HRError)."""
     msg = (fmt % args) if args else fmt
     print(f"  WARNING [-{code}]  {msg}", file=sys.stderr)
+
+
+@contextlib.contextmanager
+def contained(code: int, what: str, path: str):
+    """Convert parse crashes on damaged input into the module's
+    numbered error.
+
+    HTK readers die with `ERROR [+NNNN]` on any malformed file; wrapping
+    a reader's parse body in `with contained(6350, "read_htk_file", p):`
+    gives truncated/corrupt inputs the same contract instead of leaking
+    ValueError/struct.error/UnicodeDecodeError tracebacks to the CLI
+    (exercised by tests/test_fuzz_readers.py). HTKError passes through
+    untouched so specific numbered errors keep their codes."""
+    try:
+        yield
+    except HTKError:
+        raise
+    except (ValueError, KeyError, IndexError, AttributeError, TypeError,
+            OverflowError, EOFError, UnicodeDecodeError,
+            struct.error) as e:
+        HError(code, "%s: corrupt or truncated file %s (%s: %s)",
+               what, path, type(e).__name__, e)

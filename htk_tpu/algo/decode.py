@@ -1307,33 +1307,43 @@ def generate_lattice(
     wn = np.asarray(wn)
     wt = np.asarray(wt)
     nos = np.asarray(net.node_of_chain[net.chain_of])
-    e_state = v + np.asarray(net.aE)
+    e_state = np.asarray(v + np.asarray(net.aE), np.float64)
     Nn = net.n_nodes
     WE_fin = np.full(Nn, LZERO, np.float64)
     pwn_fin = np.full(Nn, -1, np.int64)
     pwt_fin = np.full(Nn, -1, np.int64)
-    for s in range(len(e_state)):
-        i = nos[s]
-        if e_state[s] > WE_fin[i]:
-            WE_fin[i] = e_state[s]
-            pwn_fin[i] = wn[s]
-            pwt_fin[i] = wt[s]
+    # per-node max over states; stable sort keeps the FIRST state among
+    # equal scores, matching the former strict-greater scan
+    s_ord = np.argsort(-e_state, kind="stable")
+    i_ord = nos[s_ord]
+    _uniq, first = np.unique(i_ord, return_index=True)
+    sel = s_ord[first]
+    win = e_state[sel] > LZERO
+    WE_fin[i_ord[first][win]] = e_state[sel][win]
+    pwn_fin[i_ord[first][win]] = np.asarray(wn, np.int64)[sel][win]
+    pwt_fin[i_ord[first][win]] = np.asarray(wt, np.int64)[sel][win]
 
-    # records table: rec[(node, t)] = (score, pred_node, pred_t)
+    # records table: rec[(node, t)] = (score, pred_node, pred_t) — one
+    # vectorised pass over the (T-1, Nn) plane (the per-frame per-node
+    # Python loop dominated sequential lattice generation); np.nonzero's
+    # row-major order IS the former (t asc, node asc) insertion order
     rec = {}
-    for t in range(T - 1):
-        row = WEs[t + 1]  # ends at time t
-        best = row.max()
-        if best <= LSMALL:
-            continue
-        for i in range(Nn):
-            if row[i] > LSMALL and row[i] >= best - lattice_beam:
-                rec[(i, t)] = (float(row[i]), int(pwns[t + 1, i]),
-                               int(pwts[t + 1, i]))
+    rows = np.asarray(WEs[1:T])  # native plane dtype: beam comparisons
+    # round exactly like the former per-element loop (and the batch path)
+    best = rows.max(axis=1, keepdims=True) if T > 1 else rows
+    mask = (best > LSMALL) & (rows > LSMALL) & (rows >= best - lattice_beam)
+    tt, ii = np.nonzero(mask)
+    for i_, t_, s_, pn_, pt_ in zip(
+            ii.tolist(), tt.tolist(), rows[tt, ii].tolist(),
+            np.asarray(pwns)[tt + 1, ii].tolist(),
+            np.asarray(pwts)[tt + 1, ii].tolist()):
+        rec[(i_, t_)] = (s_, pn_, pt_)
     bestf = WE_fin.max()
-    for i in range(Nn):
-        if WE_fin[i] > LSMALL and WE_fin[i] >= bestf - lattice_beam:
-            rec[(i, T - 1)] = (float(WE_fin[i]), int(pwn_fin[i]), int(pwt_fin[i]))
+    fkeep = np.nonzero((WE_fin > LSMALL)
+                       & (WE_fin >= bestf - lattice_beam))[0]
+    for i_ in fkeep.tolist():
+        rec[(i_, T - 1)] = (float(WE_fin[i_]), int(pwn_fin[i_]),
+                            int(pwt_fin[i_]))
     res = None
     if want_result:
         res = _finalize(net, WEs, pwns, pwts, WE_fin.astype(np.float64),
@@ -1356,14 +1366,16 @@ def generate_lattice(
 
 
 def _lattice_from_rec(net, rec, resolve, T_real, frame_period_s,
-                      lm_scale, word_pen):
+                      lm_scale, word_pen, resolve_many=None):
     """Build a Lattice from beam-kept word-end records.
 
     `rec`: {(node, t): (score, pred_node, pred_t)} in deterministic
     insertion order; `resolve(pn, pt)` recovers a record that the beam
-    dropped (returns (score, ppn, ppt) or None when unavailable).
-    Shared by the sequential and batched lattice generators so both emit
-    byte-identical SLF for identical record sets.
+    dropped (returns (score, ppn, ppt) or None when unavailable);
+    `resolve_many(pairs)` is the batch form — one device gather per
+    resurrection wave instead of one fetch per record. Shared by the
+    sequential and batched lattice generators so both emit byte-identical
+    SLF for identical record sets.
     """
     from ..io.slf import Lattice, LArc, LNode, NULL_WORD
 
@@ -1372,20 +1384,34 @@ def _lattice_from_rec(net, rec, resolve, T_real, frame_period_s,
     # may point at a pruned (pn, pt) — HTK's LatFromPaths never emits arcs
     # to pruned predecessors, so resurrect them from the word-end planes
     # (their scores are still there) rather than rerouting to the start.
-    stack = list(rec)
-    while stack:
-        i, t = stack.pop()
-        _, pn, pt = rec[(i, t)]
-        if pn < 0 or (pn, pt) in rec:
-            continue
-        got = resolve(pn, pt)
-        if got is None:
-            # genuinely unavailable: sever so the arc is dropped, not
-            # misattached to the utterance start
-            rec[(i, t)] = (rec[(i, t)][0], -1, -2)
-            continue
-        rec[(pn, pt)] = got
-        stack.append((pn, pt))
+    # Breadth-first waves: each wave's missing predecessors resolve in
+    # one call, then their own predecessors form the next wave.
+    frontier = list(rec)
+    while frontier:
+        need = []
+        referrers: dict = {}
+        for key in frontier:
+            _, pn, pt = rec[key]
+            if pn < 0 or (pn, pt) in rec:
+                continue
+            if (pn, pt) not in referrers:
+                referrers[(pn, pt)] = []
+                need.append((pn, pt))
+            referrers[(pn, pt)].append(key)
+        if not need:
+            break
+        got_all = (resolve_many(need) if resolve_many is not None
+                   else [resolve(pn, pt) for pn, pt in need])
+        frontier = []
+        for (pn, pt), got in zip(need, got_all):
+            if got is None:
+                # genuinely unavailable: sever so the arc is dropped,
+                # not misattached to the utterance start
+                for key in referrers[(pn, pt)]:
+                    rec[key] = (rec[key][0], -1, -2)
+                continue
+            rec[(pn, pt)] = got
+            frontier.append((pn, pt))
 
     lat = Lattice(lmscale=lm_scale, wdpenalty=word_pen)
     start_id = 0
@@ -1509,21 +1535,25 @@ def generate_lattice_batch(
         tr = lens[b]
         rec = {}
         # plane t+1 holds ends at time t; the final frame tr-1 comes from
-        # the compacted per-utterance final records (plane tr or carry)
-        for t in range(tr - 1):
-            row_sc = sc_k[b, t + 1]
-            best = row_sc[0]
-            if best <= LSMALL:
-                continue
-            keep = np.nonzero((row_sc > LSMALL)
-                              & (row_sc >= best - lattice_beam))[0]
-            # insertion sorted by row id for parity with the sequential
-            # builder's ascending-row order
-            keep = keep[np.argsort(ix_k[b, t + 1, keep], kind="stable")]
-            for k in keep:
-                rec[(int(ix_k[b, t + 1, k]), t)] = (
-                    float(row_sc[k]), int(pn_k[b, t + 1, k]),
-                    int(pt_k[b, t + 1, k]))
+        # the compacted per-utterance final records (plane tr or carry).
+        # One vectorised pass over the (tr-1, K) compacted planes — the
+        # per-frame nonzero/argsort loop was the dominant host cost of
+        # batch lattice generation. Insertion order (t asc, row asc,
+        # compaction slot asc) matches the former per-frame loop exactly.
+        sc = sc_k[b, 1:tr]
+        best = sc[:, :1]
+        mask = (best > LSMALL) & (sc > LSMALL) & (sc >= best - lattice_beam)
+        tt, kk = np.nonzero(mask)
+        if len(tt):
+            ixs = ix_k[b, tt + 1, kk]
+            order = np.lexsort((kk, ixs, tt))
+            tt, kk, ixs = tt[order], kk[order], ixs[order]
+            for i_, t_, s_, pn_, pt_ in zip(
+                    ixs.tolist(), tt.tolist(),
+                    sc[tt, kk].astype(np.float64).tolist(),
+                    pn_k[b, tt + 1, kk].tolist(),
+                    pt_k[b, tt + 1, kk].tolist()):
+                rec[(i_, t_)] = (s_, pn_, pt_)
         row_sc = scf_k[b]
         bestf = row_sc[0]
         if bestf > LSMALL:
@@ -1537,17 +1567,20 @@ def generate_lattice_batch(
             out.append(None)
             continue
 
-        def resolve(pn, pt, b=b):
+        def resolve_many(pairs, b=b):
             # predecessor times are < tr-1, so always in the planes;
-            # rare (beam-pruned) records gather straight from device
+            # rare (beam-pruned) records gather straight from device —
+            # ONE stacked gather per resurrection wave
+            pns = np.asarray([p for p, _ in pairs], np.int32)
+            pts = np.asarray([t for _, t in pairs], np.int32)
             trip = np.asarray(jnp.stack([
-                WEs_d[b, pt + 1, pn].astype(jnp.float32),
-                pwns_d[b, pt + 1, pn].astype(jnp.float32),
-                pwts_d[b, pt + 1, pn].astype(jnp.float32)]))
-            if trip[0] <= LSMALL:
-                return None
-            return float(trip[0]), int(trip[1]), int(trip[2])
+                WEs_d[b, pts + 1, pns].astype(jnp.float32),
+                pwns_d[b, pts + 1, pns].astype(jnp.float32),
+                pwts_d[b, pts + 1, pns].astype(jnp.float32)]))
+            return [None if s <= LSMALL else (float(s), int(a), int(c))
+                    for s, a, c in zip(*trip)]
 
-        out.append(_lattice_from_rec(net, rec, resolve, tr,
-                                     frame_period_s, lm_scale, word_pen))
+        out.append(_lattice_from_rec(net, rec, None, tr,
+                                     frame_period_s, lm_scale, word_pen,
+                                     resolve_many=resolve_many))
     return out

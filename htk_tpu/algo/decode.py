@@ -1229,30 +1229,43 @@ def decode_batch(
 
 
 def _host_lm_lookup(net):
-    """Host-side row-to-row LM score: dense matrix or factored tables."""
+    """Host-side row-to-row LM scores, vectorised: takes int64 arrays
+    (pn, i) and returns the f64 score array (dense matrix or factored
+    back-off tables)."""
     if net.xw_backoff is None:
         trans_np = np.asarray(net.trans, np.float64)
-        return lambda pn, i: float(trans_np[pn, i])
+        return lambda pn, i: trans_np[pn, i]
     x = net.xw_backoff
     pairs = getattr(net, "_xw_pairs", None)
     if pairs is None:
+        # one vectorised pass per bucket (the per-slot loop was
+        # multi-second at 100k vocab / 2M explicit-bigram slots)
         pairs = {}
         perm = np.argsort(np.asarray(x["inv"]))
         pos = 0
         for preds, scores in x["buckets"]:
-            for k in range(preds.shape[0]):
-                r = int(perm[pos])
-                pos += 1
-                for q in range(preds.shape[1]):
-                    if scores[k, q] > LSMALL:
-                        pairs[(int(preds[k, q]), r)] = float(scores[k, q])
+            nrows, fb = preds.shape
+            rows = np.repeat(perm[pos:pos + nrows], fb)
+            pos += nrows
+            m = (scores > LSMALL).ravel()
+            pairs.update(zip(zip(preds.ravel()[m].tolist(),
+                                 rows[m].tolist()),
+                             scores.ravel()[m].astype(np.float64).tolist()))
         net._xw_pairs = pairs
     bow = np.asarray(x["bow"], np.float64)
     uni = np.asarray(x["uni"], np.float64)
 
     def lm_of(pn, i):
-        backoff = bow[pn] + uni[i]
-        return float(max(pairs.get((pn, i), -np.inf), backoff))
+        scalar = np.ndim(pn) == 0
+        pn_a = np.atleast_1d(np.asarray(pn, np.int64))
+        i_a = np.atleast_1d(np.asarray(i, np.int64))
+        backoff = bow[pn_a] + uni[i_a]
+        get = pairs.get
+        expl = np.fromiter(
+            (get(k, -np.inf) for k in zip(pn_a.tolist(), i_a.tolist())),
+            np.float64, len(pn_a))
+        out = np.maximum(expl, backoff)
+        return float(out[0]) if scalar else out
 
     return lm_of
 
@@ -1427,31 +1440,58 @@ def _lattice_from_rec(net, rec, resolve, T_real, frame_period_s,
             LNode(id=nid, time=(t + 1) * frame_period_s,
                   word=net.node_words[i])
         )
-    aid = 0
+    # arcs: all score/LM arithmetic vectorised over the record arrays,
+    # one lean loop only for LArc construction (same arc order and f64
+    # arithmetic as the former per-record loop)
     end_exit = np.asarray(net.end_exit, np.float64)
-    lm_of = _host_lm_lookup(net)
-    for (i, t), (score_it, pn, pt) in rec.items():
-        nid = node_id[(i, t)]
-        if pn < 0:
-            if pt == -2:
-                pass  # severed: predecessor unrecoverable, drop the arc
-            else:
-                # from utterance start
-                lm = float(np.asarray(net.start_entry)[i])
-                ac = score_it - lm * lm_scale
-                lat.arcs.append(LArc(id=aid, start=start_id, end=nid,
-                                     aclike=ac, lmlike=lm))
-                aid += 1
-        else:
-            lm = lm_of(pn, i)
-            prev_score = rec[(pn, pt)][0]
-            ac = score_it - prev_score - lm * lm_scale - word_pen
-            lat.arcs.append(LArc(id=aid, start=node_id[(pn, pt)], end=nid,
-                                 aclike=ac, lmlike=lm))
+    n = len(rec)
+    keys = list(rec)
+    vals = list(rec.values())
+    ii = np.fromiter((k[0] for k in keys), np.int64, n)
+    tt_ = np.fromiter((k[1] for k in keys), np.int64, n)
+    sc = np.fromiter((v[0] for v in vals), np.float64, n)
+    pn_a = np.fromiter((v[1] for v in vals), np.int64, n)
+    pt_a = np.fromiter((v[2] for v in vals), np.int64, n)
+    nid_a = np.fromiter((node_id[k] for k in keys), np.int64, n)
+    m_start = pn_a < 0
+    m_sever = m_start & (pt_a == -2)
+    m_int = ~m_start
+
+    lm_a = np.zeros(n, np.float64)
+    ac_a = np.zeros(n, np.float64)
+    src_a = np.full(n, start_id, np.int64)
+    if m_start.any():
+        start_entry = np.asarray(net.start_entry, np.float64)
+        lm_a[m_start] = start_entry[ii[m_start]]
+        ac_a[m_start] = sc[m_start] - lm_a[m_start] * lm_scale
+    if m_int.any():
+        lm_of = _host_lm_lookup(net)
+        lm_a[m_int] = lm_of(pn_a[m_int], ii[m_int])
+        get = rec.get
+        prev = np.fromiter(
+            (get(k)[0] for k in zip(pn_a[m_int].tolist(),
+                                    pt_a[m_int].tolist())),
+            np.float64, int(m_int.sum()))
+        ac_a[m_int] = (sc[m_int] - prev - lm_a[m_int] * lm_scale
+                       - word_pen)
+        src_a[m_int] = np.fromiter(
+            (node_id[k] for k in zip(pn_a[m_int].tolist(),
+                                     pt_a[m_int].tolist())),
+            np.int64, int(m_int.sum()))
+    m_fin = (tt_ == T_real - 1) & (end_exit[ii] > LSMALL)
+    fin_lm = end_exit[ii]
+
+    aid = 0
+    arcs = lat.arcs
+    for j in range(n):
+        if not m_sever[j]:
+            arcs.append(LArc(id=aid, start=int(src_a[j]),
+                             end=int(nid_a[j]), aclike=float(ac_a[j]),
+                             lmlike=float(lm_a[j])))
             aid += 1
-        if t == T_real - 1 and end_exit[i] > LSMALL:
-            lat.arcs.append(LArc(id=aid, start=nid, end=end_id,
-                                 aclike=0.0, lmlike=float(end_exit[i])))
+        if m_fin[j]:
+            arcs.append(LArc(id=aid, start=int(nid_a[j]), end=end_id,
+                             aclike=0.0, lmlike=float(fin_lm[j])))
             aid += 1
     return lat
 

@@ -320,6 +320,16 @@ def best_path_trigram(lat: Lattice, lm, lmscale: float = 1.0,
     for a in lat.arcs:
         in_arcs[a.end].append(a)
 
+    # contexts repeat heavily across arcs: memoise the back-off chase
+    tri_memo: Dict[tuple, float] = {}
+
+    def tri(c2, c1, w):
+        k = (c2, c1, w)
+        v = tri_memo.get(k)
+        if v is None:
+            v = tri_memo[k] = lm.logp_tri(c2, c1, w)
+        return v
+
     # arc-state DP: score[arc.id], back[arc.id]
     score: Dict[int, float] = {}
     back: Dict[int, Optional[int]] = {}
@@ -336,7 +346,7 @@ def best_path_trigram(lat: Lattice, lm, lmscale: float = 1.0,
         if a.start == start or not preds:
             c2, c1 = sent_start, sent_start
             lmp = (0.0 if w == sent_start
-                   else lm.logp_tri(c2, c1, w)) if w else 0.0
+                   else tri(c2, c1, w)) if w else 0.0
             s = a.aclike + lmscale * lmp + (wdpenalty if w else 0.0)
             cands.append((s, None, c1 if not w else w, c1))
         for p in preds:
@@ -344,7 +354,7 @@ def best_path_trigram(lat: Lattice, lm, lmscale: float = 1.0,
                 continue
             c1, c2 = ctx1[p.id], ctx2[p.id]
             lmp = (0.0 if w == sent_start
-                   else lm.logp_tri(c2, c1, w)) if w else 0.0
+                   else tri(c2, c1, w)) if w else 0.0
             s = score[p.id] + a.aclike + lmscale * lmp + (wdpenalty if w else 0.0)
             cands.append((s, p.id, w if w else c1, c1 if w else c2))
         if not cands:

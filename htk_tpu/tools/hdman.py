@@ -4,9 +4,14 @@ Mirrors `HTKTools/HDMan.c`: merges source dictionaries and applies an
 edit script. Implemented commands:
 
   AS a b ..     append silence model(s) to every pronunciation
+  CR x a y b    replace phone y by x in the context a_b ('*' wildcard)
+                [LC: context-match details reconstructed]
+  DD x a b ..   delete pronunciation "a b .." of word x
+  DP a b ..     delete the named phones from pronunciations
+  DS src        delete prons sourced from dictionary src (path/basename)
+  LP / UP       lower-/upper-case all word names
   RS system     remove stress marks (system = cmu: strip trailing digits)
   MP x a b ..   merge phone sequence a b .. into x
-  DP a b ..     delete the named phones from pronunciations
   RP x a b ..   replace any of phones a b .. by x
   SP x          define the phone used by AS etc. [accepted]
   TC [st [en]]  triphonise prons (l-p+r; st/en optional edge contexts)
@@ -83,6 +88,61 @@ def apply_script(v: Vocab, text: str, trace: int = 0) -> None:
             for w in v.words.values():
                 for p in w.prons:
                     p.phones = [new if ph in olds else ph for ph in p.phones]
+        elif op == "CR":
+            # CR x a y b: replace y by x where the left neighbour
+            # matches a and the right neighbour matches b; '*' matches
+            # anything including a word edge, a concrete context does
+            # not match past the edge
+            if len(args) != 4:
+                HError(14030, "HDMan: CR needs 4 arguments")
+            new, lc, old, rc = args
+
+            def ctx_ok(want, got):
+                return want == "*" or (got is not None and got == want)
+
+            for w in v.words.values():
+                for p in w.prons:
+                    ph = p.phones
+                    p.phones = [
+                        new if (x == old
+                                and ctx_ok(lc, ph[i - 1] if i else None)
+                                and ctx_ok(rc, ph[i + 1]
+                                           if i < len(ph) - 1 else None))
+                        else x
+                        for i, x in enumerate(ph)
+                    ]
+        elif op == "DD":
+            word, seq = args[0], args[1:]
+            w = v.words.get(word)
+            if w is not None:
+                w.prons = [p for p in w.prons if p.phones != seq]
+                if not w.prons:
+                    del v.words[word]
+        elif op == "DS":
+            import os as _os
+
+            src = args[0] if args else ""
+            for name in list(v.words):
+                w = v.words[name]
+                w.prons = [
+                    p for p in w.prons
+                    if not (getattr(p, "source", None) is not None
+                            and (p.source == src
+                                 or _os.path.basename(p.source) == src))
+                ]
+                if not w.prons:
+                    del v.words[name]
+        elif op in ("LP", "UP"):
+            conv = str.lower if op == "LP" else str.upper
+            renamed = {}
+            for name, w in v.words.items():
+                nn = conv(name)
+                if nn in renamed:
+                    renamed[nn].prons.extend(w.prons)
+                else:
+                    w.name = nn
+                    renamed[nn] = w
+            v.words = renamed
         elif op == "SP":
             pass  # silence phone name — AS args already explicit here
         elif op == "TC":
@@ -144,6 +204,8 @@ def run(argv: List[str]) -> int:
                 ) if name in merged.words else False
                 if not exists:
                     merged.add_pron(name, p.phones, p.prob, p.out_sym)
+                    # provenance for the DS edit command
+                    merged.words[name].prons[-1].source = s
 
     if ta.has("w"):
         keep = {

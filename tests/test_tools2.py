@@ -184,6 +184,49 @@ class TestHDMan:
         apply_script(v4, "RC\n")
         assert v4.words["CAT"].prons[0].phones == ["k+ae", "ae+t", "t"]
 
+    def test_cr_contexts(self):
+        v = Vocab()
+        v.add_pron("ABBA", ["ax", "b", "ax", "b"])
+        # replace b by p only between ax_ax
+        apply_script(v, "CR p ax b ax\n")
+        assert v.words["ABBA"].prons[0].phones == ["ax", "p", "ax", "b"]
+        # wildcard context reaches the word edge
+        apply_script(v, "CR d ax b *\n")
+        assert v.words["ABBA"].prons[0].phones == ["ax", "p", "ax", "d"]
+        # concrete context never matches past the edge
+        v2 = Vocab()
+        v2.add_pron("B", ["b"])
+        apply_script(v2, "CR p ax b ax\n")
+        assert v2.words["B"].prons[0].phones == ["b"]
+
+    def test_dd_deletes_single_pron(self):
+        v = Vocab()
+        v.add_pron("A", ["ax"])
+        v.add_pron("A", ["ey"])
+        apply_script(v, "DD A ax\n")
+        assert [p.phones for p in v.words["A"].prons] == [["ey"]]
+        apply_script(v, "DD A ey\n")
+        assert "A" not in v.words  # word gone with its last pron
+
+    def test_ds_deletes_by_source(self):
+        v = Vocab()
+        v.add_pron("A", ["ax"])
+        v.add_pron("A", ["ey"])
+        v.words["A"].prons[0].source = "/dicts/cmu.dict"
+        v.words["A"].prons[1].source = "/dicts/beep.dict"
+        apply_script(v, "DS cmu.dict\n")  # basename match
+        assert [p.phones for p in v.words["A"].prons] == [["ey"]]
+
+    def test_lp_up_case(self):
+        v = Vocab()
+        v.add_pron("Cat", ["k"])
+        v.add_pron("CAT", ["kk"])
+        apply_script(v, "LP\n")
+        assert list(v.words) == ["cat"]
+        assert [p.phones for p in v.words["cat"].prons] == [["k"], ["kk"]]
+        apply_script(v, "UP\n")
+        assert list(v.words) == ["CAT"]
+
 
 class TestHParse:
     def test_digit_loop(self, tmp_path):

@@ -112,6 +112,20 @@ def fb_time_sharded(
     a0_j = jnp.asarray(a0, jnp.float32)
     aE_j = jnp.asarray(aE, jnp.float32)
 
+    shard_fn = _make_block_fb(axis, T, Q, D, logA_j, a0_j, aE_j, K)
+    spec_t = P(axis)
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(spec_t,),
+        out_specs=(spec_t, spec_t, P(), P()),
+    ))
+    return fn(jnp.asarray(outp, jnp.float32))
+
+
+def _make_block_fb(axis, T, Q, D, logA_j, a0_j, aE_j, K):
+    """The per-device FB block body ((T/D, Q) -> block α/β/logP/ξ) with
+    collectives over mesh axis `axis`; shared by the 1D time-sharded
+    form and the 2D dp x t batched form (where it runs under vmap)."""
+
     def shard_fn(outp_blk):
         d = jax.lax.axis_index(axis)
         Tb = outp_blk.shape[0]
@@ -193,9 +207,49 @@ def fb_time_sharded(
 
         return alphas_blk, betas_blk, logp, xi
 
-    spec_t = P(axis)
+    return shard_fn
+
+
+def fb_time_sharded_batch(
+    outp: jnp.ndarray,  # (B, T, Q); B = dp * B_loc, T = Dt * T_blk
+    logA: jnp.ndarray,
+    a0: jnp.ndarray,
+    aE: jnp.ndarray,
+    mesh: Mesh,
+    dp_axis: str = "d",
+    t_axis: str = "t",
+    K: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """2D-mesh forward-backward: a batch of equal-length utterances
+    data-parallel over `dp_axis` while every utterance's time axis is
+    sharded over `t_axis` — long-context sequence parallelism composed
+    with data-parallel training on one (dp, t) device mesh. The block
+    body is shared with fb_time_sharded (vmapped over the local batch;
+    the time-axis collectives ride inside the vmap).
+
+    Returns (alphas (B, T, Q), betas (B, T, Q), logP (B,),
+    xi_sum (B, Q, Q)); alphas/betas stay sharded over (dp, t).
+    """
+    B, T, Q = outp.shape
+    Ddp = mesh.shape[dp_axis]
+    Dt = mesh.shape[t_axis]
+    if B % Ddp:
+        raise ValueError(f"B={B} not divisible by mesh axis "
+                         f"{dp_axis}={Ddp}")
+    if T % Dt:
+        raise ValueError(f"T={T} not divisible by mesh axis {t_axis}={Dt}")
+    if K is None:
+        K = _band_of(np.asarray(logA))
+
+    logA_j = jnp.asarray(logA, jnp.float32)
+    a0_j = jnp.asarray(a0, jnp.float32)
+    aE_j = jnp.asarray(aE, jnp.float32)
+
+    body = _make_block_fb(t_axis, T, Q, Dt, logA_j, a0_j, aE_j, K)
     fn = jax.jit(jax.shard_map(
-        shard_fn, mesh=mesh, in_specs=(spec_t,),
-        out_specs=(spec_t, spec_t, P(), P()),
+        lambda blk: jax.vmap(body)(blk), mesh=mesh,
+        in_specs=(P(dp_axis, t_axis, None),),
+        out_specs=(P(dp_axis, t_axis), P(dp_axis, t_axis),
+                   P(dp_axis), P(dp_axis)),
     ))
     return fn(jnp.asarray(outp, jnp.float32))

@@ -74,3 +74,36 @@ def test_posteriors_normalise():
         mesh)
     gamma = np.exp(np.asarray(alphas) + np.asarray(betas) - float(logp))
     np.testing.assert_allclose(gamma.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_2d_dp_x_t_batch_matches_serial():
+    """fb_time_sharded_batch on a (dp=2, t=4) mesh: every utterance in
+    the dp-sharded batch must match the serial scans like the 1D form."""
+    from htk_tpu.parallel.timeshard import fb_time_sharded_batch
+
+    comp, hmm = _chain()
+    T, B = 32, 4
+    logA = np.asarray(hmm.logA, np.float32)
+    a0 = np.asarray(hmm.a0, np.float32)
+    aE = np.asarray(hmm.aE, np.float32)
+    outp = np.stack([_outp(hmm, T, seed=10 + b) for b in range(B)])
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("d", "t"))
+    alphas, betas, logp, xi = fb_time_sharded_batch(
+        outp, logA, a0, aE, mesh)
+    assert alphas.shape == (B, T, hmm.n_states)
+    assert logp.shape == (B,) and xi.shape[0] == B
+
+    for b in range(B):
+        alphas_s = np.asarray(forward_scan(outp[b], logA, a0, T))
+        betas_s = np.asarray(backward_scan(outp[b], logA, aE, T))
+        logp_s = float(ladd_reduce(alphas_s[0] + betas_s[0], axis=0))
+        xi_s = np.asarray(
+            xi_scan(alphas_s, betas_s, outp[b], logA, logp_s, T))
+        live = alphas_s > -1e9
+        np.testing.assert_allclose(np.asarray(alphas[b])[live],
+                                   alphas_s[live], atol=2e-3, rtol=1e-5)
+        assert float(logp[b]) == pytest.approx(logp_s, abs=2e-3)
+        np.testing.assert_allclose(np.asarray(xi[b]), xi_s,
+                                   atol=5e-3, rtol=5e-4)

@@ -144,7 +144,12 @@ def parse_args(
         i += 1
 
     ta.config = Config.load([v[0] for v in ta.opts.get("C", [])])
-    ta.trace = int(ta.get("T", 0) or 0)
+    # HShell semantics: the tool's TRACE config key sets the trace
+    # level; -T on the command line overrides it
+    if ta.has("T"):
+        ta.trace = int(ta.get("T", 0) or 0)
+    else:
+        ta.trace = int(ta.config.int_("TRACE", 0, module=tool.upper()) or 0)
     ta.binary = ta.has("B")
     if ta.has("A"):
         print(" ".join([tool] + argv))

@@ -260,9 +260,12 @@ def bench_herest(comp, names, n_utts=16, T=500, dim=39, seed=3):
                                       prepare_utterance_ids)
 
     rng = np.random.default_rng(seed)
+    # transcript length must fit the utterance: each model needs >= 3
+    # emitting frames (SMOKE's short T made every utterance pathless)
+    n_seq = min(40, T // 15)
     utts = []
     for i in range(n_utts):
-        seq = [names[j] for j in rng.integers(0, len(names), 40)]
+        seq = [names[j] for j in rng.integers(0, len(names), n_seq)]
         feats = rng.normal(size=(T, dim)).astype(np.float32)
         utts.append(prepare_utterance_ids(comp, f"u{i}", feats, seq))
     tr = DeviceCompositeTrainer(comp, precision="default")
@@ -415,5 +418,31 @@ def main():
     )
 
 
+def _wait_backend_healthy(attempts=6, probe_timeout=180, backoff=60):
+    """The dev tunnel's TPU claim/compile service flaps; probe backend
+    health in a CHILD process (a failed in-process init poisons jax's
+    backend cache) and wait out transient outages before running the
+    real benchmark in this process."""
+    import subprocess
+    import sys
+    import time as _time
+
+    code = ("import jax, jax.numpy as a; "
+            "(a.ones((256,256))@a.ones((256,256))).block_until_ready()")
+    for k in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=probe_timeout)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: backend probe {k + 1}/{attempts} failed; "
+              f"retrying in {backoff}s", file=sys.stderr, flush=True)
+        _time.sleep(backoff)
+    return False  # run anyway — the real error message is the report
+
+
 if __name__ == "__main__":
+    _wait_backend_healthy()
     main()

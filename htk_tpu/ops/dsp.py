@@ -605,9 +605,8 @@ def _bucket_len(n: int) -> int:
     return b
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_frames_pad"))
-def _extract_padded(samples: jnp.ndarray, n_frames_real: jnp.ndarray,
-                    cfg: FrontendConfig, n_frames_pad: int) -> jnp.ndarray:
+def _extract_impl(samples: jnp.ndarray, n_frames_real: jnp.ndarray,
+                  cfg: FrontendConfig, n_frames_pad: int) -> jnp.ndarray:
     tbl = _tables(cfg)
     frames = _frame_signal(samples, cfg.frame_size, cfg.frame_shift, n_frames_pad)
     frames = frames.astype(jnp.float32)
@@ -621,6 +620,20 @@ def _extract_padded(samples: jnp.ndarray, n_frames_real: jnp.ndarray,
     return _qualify(statics, cfg, valid=valid)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_frames_pad"))
+def _extract_padded(samples: jnp.ndarray, n_frames_real: jnp.ndarray,
+                    cfg: FrontendConfig, n_frames_pad: int) -> jnp.ndarray:
+    return _extract_impl(samples, n_frames_real, cfg, n_frames_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_frames_pad"))
+def _extract_padded_batch(samples: jnp.ndarray, n_frames_real: jnp.ndarray,
+                          cfg: FrontendConfig,
+                          n_frames_pad: int) -> jnp.ndarray:
+    return jax.vmap(lambda s, t: _extract_impl(s, t, cfg, n_frames_pad))(
+        samples, n_frames_real)
+
+
 def compute_features(samples: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
     """Waveform (int16/float) -> HTK feature matrix (T, width) float32.
 
@@ -628,14 +641,10 @@ def compute_features(samples: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
     count to a bucket so repeated calls across utterance lengths reuse a
     small set of compiled programs.
     """
-    samples = np.asarray(samples, dtype=np.float32)
-    if cfg.add_dither > 0.0 and len(samples):
-        # HParm ADDDITHER: +-d uniform noise so digital silence never
-        # hits log(0). HTK draws from rand(); a fixed-seed generator
-        # keeps our features reproducible run to run.
-        rng = np.random.default_rng(12345)
-        samples = samples + cfg.add_dither * (
-            2.0 * rng.random(len(samples), dtype=np.float32) - 1.0)
+    # HParm ADDDITHER: +-d uniform noise so digital silence never hits
+    # log(0). HTK draws from rand(); a fixed-seed generator keeps our
+    # features reproducible run to run.
+    samples = _dithered(samples, cfg)
     T = num_frames(len(samples), cfg)
     if T < 1:
         HError(6322, "Frontend: utterance too short (%d samples)", len(samples))
@@ -645,3 +654,52 @@ def compute_features(samples: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
     padded[: len(samples)] = samples
     out = _extract_padded(jnp.asarray(padded), jnp.asarray(T), cfg, Tp)
     return np.asarray(out[:T])
+
+
+def _dithered(samples: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
+    samples = np.asarray(samples, dtype=np.float32)
+    if cfg.add_dither > 0.0 and len(samples):
+        rng = np.random.default_rng(12345)
+        samples = samples + cfg.add_dither * (
+            2.0 * rng.random(len(samples), dtype=np.float32) - 1.0)
+    return samples
+
+
+def compute_features_batch(jobs) -> list:
+    """Batched wave->features: `jobs` is [(samples, cfg), ...]; returns
+    the per-job feature matrices in order, numerically identical to
+    compute_features per job (tested).
+
+    Files group by (cfg, frame bucket) and each group runs as ONE
+    batched program (batch padded to a power of two, capped at 64, to
+    bound recompiles) — corpus preparation at scale amortises the
+    per-file dispatch cost that dominates tiny per-utterance kernels.
+    """
+    outs: list = [None] * len(jobs)
+    groups: dict = {}
+    for i, (samples, cfg) in enumerate(jobs):
+        s = _dithered(samples, cfg)
+        T = num_frames(len(s), cfg)
+        if T < 1:
+            HError(6322, "Frontend: utterance too short (%d samples)",
+                   len(s))
+        groups.setdefault((cfg, _bucket_len(T)), []).append((i, s, T))
+    for (cfg, Tp), items in groups.items():
+        need = (Tp - 1) * cfg.frame_shift + cfg.frame_size
+        B = len(items)
+        Bp = 1
+        while Bp < min(B, 64):
+            Bp *= 2
+        for i0 in range(0, B, Bp):
+            chunk = items[i0 : i0 + Bp]
+            buf = np.zeros((Bp, need), np.float32)
+            ts = np.zeros(Bp, np.int32)
+            for b, (_i, s, T) in enumerate(chunk):
+                buf[b, : len(s)] = s
+                ts[b] = T
+            ts[len(chunk):] = 1  # dummy rows: one valid frame
+            out = np.asarray(_extract_padded_batch(
+                jnp.asarray(buf), jnp.asarray(ts), cfg, Tp))
+            for b, (i, _s, T) in enumerate(chunk):
+                outs[i] = out[b, :T]
+    return outs

@@ -69,14 +69,33 @@ def channel_config(cfg: Config, n: int) -> Config:
     return out
 
 
+class DeferredWave:
+    """A waveform read whose frontend run is deferred for batching.
+
+    open_speech_file(defer_frontend=True) returns this instead of
+    features when the source resolves to a waveform; the caller collects
+    a chunk of these and runs ops/dsp.compute_features_batch over them
+    (HCopy's corpus-preparation fast path)."""
+
+    __slots__ = ("samples", "fcfg", "entry", "feats")
+
+    def __init__(self, samples, fcfg, entry):
+        self.samples = samples
+        self.fcfg = fcfg
+        self.entry = entry
+        self.feats = None  # filled by the batch extraction pass
+
+
 def open_speech_file(
-    entry: str, cfg: Config
-) -> Tuple[np.ndarray, int, int, ScpEntry]:
+    entry: str, cfg: Config, defer_frontend: bool = False
+):
     """Open a data file as (features, samp_period, parm_kind, scp entry).
 
     The HParm OpenBuffer role: if SOURCEKIND is WAVEFORM the file is read
     as audio and converted per TARGETKIND; otherwise it is read as an HTK
     feature file (with optional segment selection from the scp entry).
+    With defer_frontend=True a waveform source returns a DeferredWave
+    (samples + frontend config) instead — see compute_features_batch.
     """
     e = parse_scp_entry(entry)
     src_kind = cfg.str_("SOURCEKIND", "ANON", module="HPARM").upper()
@@ -146,6 +165,8 @@ def open_speech_file(
             if e.start is not None:
                 samples = samples[e.start : e.end + 1]
             fcfg = FrontendConfig.from_config(cfg, wv.samp_period)
+            if defer_frontend:
+                return DeferredWave(samples, fcfg, e)
             feats = compute_features(samples, fcfg)
             period = int(fcfg.target_rate)
             return feats, period, fcfg.target_kind & ~(pk.HASCOMPX | pk.HASCRCC), e

@@ -71,74 +71,123 @@ def run(argv: List[str]) -> int:
     save_comp = cfg.bool_("SAVECOMPRESSED", False, module="HPARM")
     save_crc = cfg.bool_("SAVEWITHCRC", False, module="HPARM")
 
-    for src, tgt in pairs:
-        srcs = src if isinstance(src, tuple) else (src,)
-        chunks = []
-        period = None
-        kind = None
-        for s in srcs:
-            feats, period, kind, e = open_speech_file(s, cfg)
-            chunks.append(feats)
-        data = np.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+    # two-pass over chunks of the scp: open every source first (waveform
+    # frontends DEFERRED), run one batched feature extraction per chunk
+    # (compute_features_batch — amortises the per-file device dispatch
+    # that dominates corpus preparation), then window/quantise/write each
+    # pair exactly as before
+    from ..ops.dsp import compute_features_batch
+    from ._common import DeferredWave
 
-        # windowing / label extraction (HCopy -s/-e/-x)
-        if ta.has("s") or ta.has("e"):
-            t0 = int(float(ta.get("s", 0.0) or 0.0) // period)
-            t1 = (int(float(ta.get("e")) // period) if ta.has("e")
-                  else data.shape[0])
-            data = data[t0 : max(t1, t0 + 1)]
-        if ta.has("x"):
-            want = ta.get("x")
-            occ = int(ta.get("n", 1) or 1)
-            tr = find_labels(e.logical, mlfs, ta.get("L"), ta.get("X", "lab"))
-            hits = [l for l in tr.labels if l.name == want
-                    and l.start is not None and l.end is not None]
-            if len(hits) < occ:
-                HError(1030, "HCopy: label %s occurrence %d not found in %s",
-                       want, occ, e.logical)
-            lab = hits[occ - 1]
-            data = data[int(lab.start // period) : int(lab.end // period)]
-        out_kind = kind
-        # DISCRETE / _V target: vector-quantise against HPARM: VQTABLE
-        # (HParm.c's VQ path feeding DISCRETE systems)
-        tk = cfg.str_("TARGETKIND", None, module="HPARM")
-        tkc = pk.str2parmkind(tk) if tk else None
-        if tkc is not None and (
-                pk.base_kind(tkc) == pk.BASE_KINDS.index("DISCRETE")
-                or (tkc & pk.HASVQ)):
-            from ..io.vq import load_vq
+    # HPARM: BATCHFRONTEND — batch waveform frontends across the scp.
+    # Pays on accelerators (amortises the per-file dispatch floor);
+    # measured SLOWER on CPU (the vmapped FFT costs ~2x per element), so
+    # the default is backend-dependent. Batched extraction is equal to
+    # the per-file path only to ~1e-4 (XLA's batched FFT tiling
+    # reassociates) — golden-byte workflows should set it F explicitly.
+    import jax
 
-            vq_path = cfg.str_("VQTABLE", None, module="HPARM")
-            if not vq_path:
-                HError(6350,
-                       "HCopy: DISCRETE/_V output needs HPARM: VQTABLE")
-            vq = load_vq(vq_path)
-            cols, o = [], 0
-            x = np.asarray(data, np.float32)
-            for s, cb in enumerate(vq.codebooks):
-                w = cb.shape[1]
-                cols.append(vq.quantize(x[:, o : o + w], s))
-                o += w
-            if o != data.shape[1]:
-                HError(6350, "HCopy: VQ table width %d != feature width %d",
-                       o, data.shape[1])
-            data = np.stack(cols, axis=1).astype(np.int16)
-            out_kind = pk.BASE_KINDS.index("DISCRETE") | pk.HASVQ
-        if save_comp:
-            out_kind |= pk.HASCOMPX
-        if save_crc:
-            out_kind |= pk.HASCRCC
-        from ..utils.filters import filtered_output
+    batch_fe = cfg.bool_("BATCHFRONTEND",
+                         jax.default_backend() != "cpu", module="HPARM")
 
-        with filtered_output(tgt, "HPARMOFILTER", ta.config) as _tgt:
-            write_htk_file(_tgt, data, period, out_kind)
-        if ta.trace:
-            print(
-                f"{' + '.join(srcs)} -> {tgt} "
-                f"[{data.shape[0]} frames, {data.shape[1]} dim, "
-                f"{pk.parmkind2str(out_kind)}]"
-            )
+    CHUNK = 256
+    for c0 in range(0, len(pairs), CHUNK):
+        block = pairs[c0 : c0 + CHUNK]
+        opened = []
+        jobs = []
+        for src, tgt in block:
+            srcs = src if isinstance(src, tuple) else (src,)
+            rs = []
+            for s in srcs:
+                r = open_speech_file(s, cfg, defer_frontend=batch_fe)
+                if isinstance(r, DeferredWave):
+                    jobs.append(r)
+                rs.append(r)
+            opened.append((srcs, rs, tgt))
+        if jobs:
+            feats_l = compute_features_batch(
+                [(j.samples, j.fcfg) for j in jobs])
+            for j, f in zip(jobs, feats_l):
+                j.feats = f
+        for srcs, rs, tgt in opened:
+            _convert_one(ta, cfg, mlfs, srcs, rs, tgt, save_comp, save_crc)
     return 0
+
+
+def _convert_one(ta, cfg, mlfs, srcs, rs, tgt, save_comp, save_crc):
+    from ._common import DeferredWave
+
+    chunks = []
+    period = None
+    kind = None
+    for r in rs:
+        if isinstance(r, DeferredWave):
+            feats = r.feats
+            period = int(r.fcfg.target_rate)
+            kind = r.fcfg.target_kind & ~(pk.HASCOMPX | pk.HASCRCC)
+            e = r.entry
+        else:
+            feats, period, kind, e = r
+        chunks.append(feats)
+    data = np.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+
+    # windowing / label extraction (HCopy -s/-e/-x)
+    if ta.has("s") or ta.has("e"):
+        t0 = int(float(ta.get("s", 0.0) or 0.0) // period)
+        t1 = (int(float(ta.get("e")) // period) if ta.has("e")
+              else data.shape[0])
+        data = data[t0 : max(t1, t0 + 1)]
+    if ta.has("x"):
+        want = ta.get("x")
+        occ = int(ta.get("n", 1) or 1)
+        tr = find_labels(e.logical, mlfs, ta.get("L"), ta.get("X", "lab"))
+        hits = [l for l in tr.labels if l.name == want
+                and l.start is not None and l.end is not None]
+        if len(hits) < occ:
+            HError(1030, "HCopy: label %s occurrence %d not found in %s",
+                   want, occ, e.logical)
+        lab = hits[occ - 1]
+        data = data[int(lab.start // period) : int(lab.end // period)]
+    out_kind = kind
+    # DISCRETE / _V target: vector-quantise against HPARM: VQTABLE
+    # (HParm.c's VQ path feeding DISCRETE systems)
+    tk = cfg.str_("TARGETKIND", None, module="HPARM")
+    tkc = pk.str2parmkind(tk) if tk else None
+    if tkc is not None and (
+            pk.base_kind(tkc) == pk.BASE_KINDS.index("DISCRETE")
+            or (tkc & pk.HASVQ)):
+        from ..io.vq import load_vq
+
+        vq_path = cfg.str_("VQTABLE", None, module="HPARM")
+        if not vq_path:
+            HError(6350,
+                   "HCopy: DISCRETE/_V output needs HPARM: VQTABLE")
+        vq = load_vq(vq_path)
+        cols, o = [], 0
+        x = np.asarray(data, np.float32)
+        for s, cb in enumerate(vq.codebooks):
+            w = cb.shape[1]
+            cols.append(vq.quantize(x[:, o : o + w], s))
+            o += w
+        if o != data.shape[1]:
+            HError(6350, "HCopy: VQ table width %d != feature width %d",
+                   o, data.shape[1])
+        data = np.stack(cols, axis=1).astype(np.int16)
+        out_kind = pk.BASE_KINDS.index("DISCRETE") | pk.HASVQ
+    if save_comp:
+        out_kind |= pk.HASCOMPX
+    if save_crc:
+        out_kind |= pk.HASCRCC
+    from ..utils.filters import filtered_output
+
+    with filtered_output(tgt, "HPARMOFILTER", ta.config) as _tgt:
+        write_htk_file(_tgt, data, period, out_kind)
+    if ta.trace:
+        print(
+            f"{' + '.join(srcs)} -> {tgt} "
+            f"[{data.shape[0]} frames, {data.shape[1]} dim, "
+            f"{pk.parmkind2str(out_kind)}]"
+        )
 
 
 main = tool_main(run)

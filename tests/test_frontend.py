@@ -263,3 +263,66 @@ class TestVTLN:
         np.testing.assert_array_equal(f1, f2)
         f0 = compute_features(z, self._cfg())
         assert not np.array_equal(f0, f1)
+
+
+class TestBatchedFrontend:
+    def test_batch_equals_single(self):
+        """compute_features_batch == compute_features per job, across
+        mixed lengths (different frame buckets) and sample rates
+        (different FrontendConfigs in one call)."""
+        from htk_tpu.ops.dsp import (FrontendConfig, compute_features,
+                                     compute_features_batch)
+
+        rng = np.random.default_rng(5)
+        kind = pk.str2parmkind("MFCC_E_D_A")
+        cfg16 = FrontendConfig(target_kind=kind, samp_period=625)
+        cfg8 = FrontendConfig(target_kind=kind, samp_period=1250)
+        jobs = []
+        for n in (4000, 4003, 17000, 66000):
+            jobs.append(((rng.normal(size=n) * 2000).astype(np.float32),
+                         cfg16))
+        jobs.append(((rng.normal(size=9000) * 2000).astype(np.float32),
+                     cfg8))
+        outs = compute_features_batch(jobs)
+        for (s, c), got in zip(jobs, outs):
+            ref = compute_features(s, c)
+            # XLA's batched FFT/matmul tiling reassociates: diffs are
+            # ~2e-5 abs, an order below the frontend's own tolerance vs
+            # the scalar reference (2e-3)
+            np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+    def test_hcopy_scp_batch_matches_individual(self, tmp_path,
+                                                monkeypatch):
+        """The batched scp path matches one-pair-at-a-time runs to the
+        batched-FFT tolerance; with HPARM: BATCHFRONTEND = F the scp run
+        is byte-identical to the single-file runs."""
+        from htk_tpu.io.htkfeat import read_htk_file
+        from htk_tpu.io.wavefile import Waveform, write_wave
+        from htk_tpu.tools import hcopy
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(6)
+        lines = []
+        for i, n in enumerate((8000, 12345, 8000, 30000)):
+            x = (rng.normal(size=n) * 3000).astype(np.int16)
+            write_wave(f"u{i}.wav", Waveform(samples=x, samp_period=625),
+                       fmt="WAV")
+            lines.append(f"u{i}.wav b{i}.mfc")
+        open("all.scp", "w").write("\n".join(lines) + "\n")
+        open("cfg", "w").write(
+            "SOURCEFORMAT = WAV\nSOURCEKIND = WAVEFORM\n"
+            "TARGETKIND = MFCC_E_D_A\nHPARM: BATCHFRONTEND = T\n")
+        open("cfg_nb", "w").write(
+            open("cfg").read().replace("BATCHFRONTEND = T",
+                                       "BATCHFRONTEND = F"))
+        assert hcopy.run(["-C", "cfg", "-S", "all.scp"]) == 0
+        for i in range(4):
+            assert hcopy.run(["-C", "cfg", f"u{i}.wav", f"s{i}.mfc"]) == 0
+            got = read_htk_file(f"b{i}.mfc").data
+            ref = read_htk_file(f"s{i}.mfc").data
+            np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+        # byte identity under BATCHFRONTEND = F
+        assert hcopy.run(["-C", "cfg_nb", "-S", "all.scp"]) == 0
+        for i in range(4):
+            assert (open(f"b{i}.mfc", "rb").read()
+                    == open(f"s{i}.mfc", "rb").read())

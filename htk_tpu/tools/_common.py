@@ -191,3 +191,76 @@ def open_speech_file(
     finally:
         cleanup(ptmp)
         cleanup(wtmp)
+
+
+def preload_corpus(entries: List[str], cfg: Config) -> dict:
+    """Batch-load `_C`-compressed HTK feature corpora natively.
+
+    Returns {entry: (data, period, kind, scp_entry)} for the files it
+    covered; callers fall through to open_speech_file for the rest
+    (waves, uncompressed floats — where numpy's SIMD byteswap already
+    wins — segment-sliced entries, filters, ESIG). The
+    `HTKLib/HParm.c : OpenBuffer` role at corpus scale: one C call
+    decompresses a whole chunk (native/htkio.cpp, ~2x on compressed
+    corpora).
+    """
+    out: dict = {}
+    if cfg is None or cfg.str_("HPARMFILTER", None):
+        return out
+    if cfg.str_("SOURCEKIND", "ANON", module="HPARM").upper() != "ANON":
+        return out
+    if (cfg.str_("SOURCEFORMAT", "HTK", module="HWAVE") or
+            "HTK").upper() != "HTK":
+        return out
+    from ..native import load_corpus_batch
+
+    groups: dict = {}
+    for ent in entries:
+        if ent in out or not isinstance(ent, str):
+            continue
+        e = parse_scp_entry(ent)
+        if e.start is not None:
+            continue
+        try:
+            with open(e.physical, "rb") as f:
+                hdr = f.read(12)
+        except OSError:
+            continue
+        if len(hdr) < 12:
+            continue
+        n = int(np.frombuffer(hdr[:4], dtype=">i4")[0])
+        samp_size = int(np.frombuffer(hdr[8:10], dtype=">i2")[0])
+        kind = int(np.frombuffer(hdr[10:12], dtype=">i2")[0])
+        try:
+            base = pk.base_kind(kind)
+        except Exception:
+            continue
+        if base in (pk.BASE_KINDS.index("WAVEFORM"),
+                    pk.BASE_KINDS.index("IREFC"),
+                    pk.BASE_KINDS.index("DISCRETE")):
+            continue
+        if not pk.has_qual(kind, pk.HASCOMPX) or samp_size <= 0 or n <= 4:
+            continue
+        width = samp_size // 2
+        groups.setdefault(width, []).append((ent, e, n))
+
+    CHUNK = 512
+    for width, items in groups.items():
+        for i0 in range(0, len(items), CHUNK):
+            chunk = items[i0 : i0 + CHUNK]
+            max_frames = max(n for _ent, _e, n in chunk)
+            got = load_corpus_batch([c[1].physical for c in chunk],
+                                    max_frames, width)
+            if got is None:
+                return out  # no native library: caller's slow path
+            arena, frames, periods, kinds = got
+            for k, (ent, e, _n) in enumerate(chunk):
+                if frames[k] < 0:
+                    continue  # damaged file: open_speech_file reports it
+                out[ent] = (
+                    np.ascontiguousarray(arena[k, : int(frames[k])]),
+                    int(periods[k]),
+                    int(kinds[k]) & ~(pk.HASCOMPX | pk.HASCRCC),
+                    e,
+                )
+    return out

@@ -57,7 +57,7 @@ from ..parallel.acc_files import dump_accs, load_accs, sum_accs
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError, HRError
 from ._common import (channel_config, force_platform_from_env,
-                      open_speech_file, outp_precision)
+                      open_speech_file, outp_precision, preload_corpus)
 
 USAGE = "Usage: HERest [options] hmmList [accFiles...]"
 
@@ -260,6 +260,7 @@ def run(argv: List[str]) -> int:
         from ..algo.trainer import prepare_utterance_ids
 
         prep = prepare_utterance_ids if use_dev_comp else prepare_utterance
+        pre = {} if retrain else preload_corpus(files, cfg)
         for fn in files:
             data2 = None
             if retrain:
@@ -272,7 +273,8 @@ def run(argv: List[str]) -> int:
                             data.shape[0], data2.shape[0])
                     data, data2 = data[:n], data2[:n]
             else:
-                data, period, kind, e = open_speech_file(fn, cfg)
+                data, period, kind, e = (pre.get(fn)
+                                         or open_speech_file(fn, cfg))
             tr = find_labels(e.logical, mlfs, label_dir, label_ext)
             names = [l.name for l in tr.labels]
             if not names:

@@ -56,7 +56,7 @@ from ..io.slf import read_slf
 from ..models.hmmset import compile_hmmset
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError, HRError
-from ._common import (force_platform_from_env, open_speech_file,
+from ._common import (force_platform_from_env, open_speech_file, preload_corpus,
                       outp_precision)
 
 USAGE = "Usage: HVite [options] dictFile hmmList testFiles..."
@@ -336,8 +336,10 @@ def run(argv: List[str]) -> int:
             from ..utils.metrics import maybe_profile
 
             entries, featl = [], []
+            pre = preload_corpus(files, cfg)
             for fn in files:
-                data, _p, _k, e = open_speech_file(fn, cfg)
+                data, _p, _k, e = (pre.get(fn)
+                                   or open_speech_file(fn, cfg))
                 entries.append(e)
                 # feature-space (CMLLR) chains touch no model state, so
                 # they batch fine — applied per utterance up front

@@ -326,3 +326,35 @@ def test_read_lm_filtered_matrix_bigram(tmp_path):
     back = lmmod.read_lm(gz, cfg=cfg, words=words)
     plain = lmmod.read_lm(p, words=words)
     assert back.bigrams == plain.bigrams
+
+
+def test_preload_corpus_matches_open_speech_file(tmp_path):
+    """The native corpus preload returns exactly what open_speech_file
+    returns per file for _C(_K) feature corpora, and declines files it
+    must not cover (uncompressed, segment-sliced)."""
+    from htk_tpu.io import parmkind as pkm
+    from htk_tpu.io.htkfeat import write_htk_file
+    from htk_tpu.tools._common import open_speech_file, preload_corpus
+    from htk_tpu.utils.config import Config
+
+    rng = np.random.default_rng(4)
+    cfg = Config()
+    entries = []
+    for i, (n, kind) in enumerate([(30, "USER_C"), (45, "USER_C_K"),
+                                   (20, "USER")]):
+        x = (rng.normal(size=(n, 7)) * 4).astype(np.float32)
+        p = str(tmp_path / f"c{i}.usr")
+        write_htk_file(p, x, 100000, pkm.str2parmkind(kind))
+        entries.append(p)
+    entries.append(entries[0] + "[3,10]")  # segment-sliced: not covered
+    pre = preload_corpus(entries, cfg)
+    if not pre:
+        pytest.skip("native codec unavailable (no toolchain)")
+    assert entries[0] in pre and entries[1] in pre
+    assert entries[2] not in pre  # uncompressed: numpy path wins
+    assert entries[3] not in pre  # sliced
+    for ent in entries[:2]:
+        data, period, kind, e = pre[ent]
+        d2, p2, k2, e2 = open_speech_file(ent, cfg)
+        np.testing.assert_allclose(data, d2, atol=1e-5)
+        assert period == p2 and kind == k2 and e.logical == e2.logical

@@ -30,7 +30,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from ..models.hmmset import CompiledHMMSet
-from ..utils.errors import HError
+from ..utils.errors import HError, contained
 from .fb import Accumulators
 
 
@@ -619,14 +619,72 @@ def save_baseclass(path: str, name: str, classes: np.ndarray,
             f.write(" " + " ".join(str(int(x)) for x in leaf_node) + "\n")
 
 
-def load_baseclass(path: str):
-    """Read a base-class file written by `save_baseclass`.
+def load_baseclass(path: str, hset=None, comp=None):
+    """Read a regression base-class file.
 
+    Two accepted layouts: the framework's own `save_baseclass` form
+    (<GAUSSCLASSES> + explicit per-Gaussian ids), and HTK's ~b itemlist
+    form (HTKBook adaptation chapter:
+    `<CLASS> n {model.state[..].mix[..]}` per class) — the latter needs
+    `hset` and `comp` to resolve item lists onto compiled Gaussians.
     Returns (name, classes, tree) with classes an (M,) int32 array and
     tree either None (flat classes) or (parent, leaf_node) arrays."""
-    toks = open(path).read().split()
+    text = open(path, errors="replace").read()
+    toks = text.split()
     if not toks or toks[0] != "~b":
         HError(7460, "baseclass: %s is not a ~b file", path)
+    if "<CLASS>" in text and "<GAUSSCLASSES>" not in text:
+        if hset is None or comp is None:
+            HError(7460, "baseclass: %s uses HTK itemlist classes — "
+                         "the caller must supply the model set", path)
+        with contained(7460, "baseclass", path):
+            return _parse_baseclass_htk(text, path, hset, comp)
+    with contained(7460, "baseclass", path):
+        return _parse_baseclass(toks, path)
+
+
+def _parse_baseclass_htk(text: str, path: str, hset, comp):
+    """HTK ~b itemlist form -> per-compiled-Gaussian class ids.
+
+    `HTKLib/HAdapt.c : LoadBaseClass` role; class numbers are 1-based in
+    the file and 0-based in the returned array. Gaussians not named by
+    any class land in class 0 (HTK's global fallback)."""
+    import re as _re
+
+    from ..models.itemlist import parse_item_list
+
+    name = "global"
+    m = _re.search(r'~b\s+"([^"]*)"', text)
+    if m:
+        name = m.group(1)
+    id2idx = {id(mp): k for k, mp in enumerate(comp._mix_objs)}
+    classes = np.zeros(comp.n_mix, np.int32)
+    found = 0
+    for cm in _re.finditer(r"<CLASS>\s+(\d+)\s+(\{[^}]*\})", text):
+        cls = int(cm.group(1)) - 1
+        found += 1
+        for it in parse_item_list(cm.group(2), hset):
+            if it.kind in ("hmm", "transP"):
+                states = it.hmm.states
+            else:
+                states = [it.hmm.states[it.state_idx - 2]]
+            for st in states:
+                streams = (st.streams if it.kind in ("hmm", "state",
+                                                     "transP")
+                           else [st.streams[it.stream_idx - 1]])
+                for se in streams:
+                    mixes = (se.mixes if it.mix_idx is None
+                             else [se.mixes[it.mix_idx - 1]])
+                    for mp in mixes:
+                        k = id2idx.get(id(mp))
+                        if k is not None:
+                            classes[k] = cls
+    if not found:
+        HError(7460, "baseclass: %s has no <CLASS> entries", path)
+    return name, classes, None
+
+
+def _parse_baseclass(toks, path: str):
     name = toks[1].strip('"')
     m = int(toks[toks.index("<GAUSSCLASSES>") + 1])
     i = toks.index("<GAUSSCLASSES>") + 2
@@ -747,7 +805,8 @@ def save_tmf(path: str, name: str, xf: Transform) -> None:
 
 
 def load_tmf(path: str) -> Tuple[str, Transform]:
-    return load_tmf_text(open(path).read())
+    with contained(7460, "load_tmf", path):
+        return load_tmf_text(open(path, errors="replace").read())
 
 
 def load_tmf_text(text: str) -> Tuple[str, Transform]:

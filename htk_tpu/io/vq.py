@@ -19,7 +19,7 @@ from typing import List
 
 import numpy as np
 
-from ..utils.errors import HError
+from ..utils.errors import HError, contained
 
 MAGIC = 1984
 
@@ -55,9 +55,15 @@ def save_vq(vq: VQTable, path: str) -> None:
 
 def load_vq(path: str) -> VQTable:
     try:
-        lines = [l for l in open(path).read().splitlines() if l.strip()]
+        lines = [l for l in open(path, errors="replace").read().splitlines()
+                 if l.strip()]
     except OSError as e:
         HError(5810, "LoadVQTab: cannot open %s (%s)", path, e)
+    with contained(5850, "LoadVQTab", path):
+        return _parse_vq(lines, path)
+
+
+def _parse_vq(lines, path: str) -> VQTable:
     hdr = lines[0].split()
     if int(hdr[0]) != MAGIC:
         HError(5850, "LoadVQTab: bad magic in %s", path)

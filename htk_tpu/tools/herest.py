@@ -467,7 +467,8 @@ def run(argv: List[str]) -> int:
         if bc_path:
             from ..algo.adapt import load_baseclass
 
-            _bc_name, bc_classes, bc_tree = load_baseclass(bc_path)
+            _bc_name, bc_classes, bc_tree = load_baseclass(
+                bc_path, hset=hset, comp=comp)
             if len(bc_classes) != comp.n_mix:
                 HError(7460, "HERest: baseclass %s covers %d Gaussians, "
                        "set has %d", bc_path, len(bc_classes), comp.n_mix)

@@ -27,7 +27,7 @@ from collections import Counter
 from typing import Dict, List, Tuple
 
 from ..utils.cli import Option, parse_args, tool_main
-from ..utils.errors import HError
+from ..utils.errors import HError, contained
 from .lbuild import ENTER, EXIT, read_sentences
 
 UNK = "!!UNK"
@@ -97,16 +97,17 @@ def is_gram_file(path: str) -> bool:
 
 
 def read_gram(path: str) -> Tuple[int, Counter]:
-    with open(path) as f:
+    with open(path, errors="replace") as f:
         head = f.readline()
         if not head.startswith("!Ngram"):
             HError(16110, "read_gram: %s is not a gram file", path)
-        order = int(head.split("=", 1)[1])
-        counts: Counter = Counter()
-        for ln in f:
-            parts = ln.split()
-            if len(parts) == order + 1:
-                counts[tuple(parts[:order])] += int(parts[order])
+        with contained(16111, "read_gram", path):
+            order = int(head.split("=", 1)[1])
+            counts: Counter = Counter()
+            for ln in f:
+                parts = ln.split()
+                if len(parts) == order + 1:
+                    counts[tuple(parts[:order])] += int(parts[order])
     return order, counts
 
 

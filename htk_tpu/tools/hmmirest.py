@@ -49,7 +49,8 @@ from ..io.slf import NULL_WORD, read_slf
 from ..models.hmmset import compile_hmmset, write_back
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError, HRError
-from ._common import force_platform_from_env, open_speech_file
+from ._common import (force_platform_from_env, open_speech_file,
+                      preload_corpus)
 
 USAGE = "Usage: HMMIRest [options] hmmList trainFiles..."
 
@@ -220,8 +221,9 @@ def run(argv: List[str]) -> int:
     mode = (cfg.str_("DISCRMODE", "MMI", module="HMMIREST") or "MMI").upper()
     period = int(cfg.flt_("TARGETRATE", 100000.0, module="HPARM"))
     total_acc_exp = 0.0
+    pre = preload_corpus(files, cfg)
     for fn in files:
-        data, _p, _k, e = open_speech_file(fn, cfg)
+        data, _p, _k, e = pre.get(fn) or open_speech_file(fn, cfg)
         stem = os.path.splitext(os.path.basename(e.logical))[0]
 
         den_path = os.path.join(ta.get("r"), f"{stem}.lat")

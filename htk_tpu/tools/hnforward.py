@@ -29,7 +29,8 @@ from ..io.htkfeat import write_htk_file
 from ..models.ann import load_ann
 from ..utils.cli import Option, parse_args, tool_main
 from ..utils.errors import HError
-from ._common import force_platform_from_env, open_speech_file
+from ._common import (force_platform_from_env, open_speech_file,
+                      preload_corpus)
 
 USAGE = "Usage: HNForward [options] hmmList testFiles..."
 
@@ -60,8 +61,9 @@ def run(argv: List[str]) -> int:
     ext = ta.get("y", "pos")
     prior_scale = 0.0 if ta.has("l") else 1.0
 
+    pre = preload_corpus(files, cfg)
     for fn in files:
-        data, period, _k, e = open_speech_file(fn, cfg)
+        data, period, _k, e = pre.get(fn) or open_speech_file(fn, cfg)
         scores = np.asarray(hybrid_outp(ann, data, prior_scale=prior_scale))
         stem = os.path.splitext(os.path.basename(e.logical))[0]
         out = os.path.join(out_dir, f"{stem}.{ext}")

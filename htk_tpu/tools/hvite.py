@@ -373,8 +373,9 @@ def run(argv: List[str]) -> int:
                 _emit(tr, e.logical, out_mlf, out_dir, out_ext)
             files = []
 
+        pre = preload_corpus(files, cfg)
         for fn in files:
-            data, _p, _k, e = open_speech_file(fn, cfg)
+            data, _p, _k, e = pre.get(fn) or open_speech_file(fn, cfg)
             data = adapt_for(e.logical, data)
             state_scores = None
             if ann is not None:
@@ -456,8 +457,9 @@ def run(argv: List[str]) -> int:
         label_dir = ta.get("L")
         label_ext = ta.get("X", "lab")
         bound = ta.get("b")
+        pre = preload_corpus(files, cfg)
         for fn in files:
-            data, _p, _k, e = open_speech_file(fn, cfg)
+            data, _p, _k, e = pre.get(fn) or open_speech_file(fn, cfg)
             data = adapt_for(e.logical, data)
             wtr = find_labels(e.logical, mlfs, label_dir, label_ext)
             words = [l.name for l in wtr.labels]

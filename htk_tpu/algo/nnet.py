@@ -70,9 +70,7 @@ def _regularise(grads, params, wd, clip):
     return grads
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("acts", "lr", "momentum", "wd", "clip"))
-def _sgd_step(params, vel, x, y, acts, lr, momentum, wd=0.0, clip=0.0):
+def _sgd_body(params, vel, x, y, acts, lr, momentum, wd=0.0, clip=0.0):
     def loss_fn(p):
         logits = forward(p, list(acts), x, return_logits=True)
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -88,10 +86,12 @@ def _sgd_step(params, vel, x, y, acts, lr, momentum, wd=0.0, clip=0.0):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("acts", "lr", "k", "wd", "clip"))
-def _sgd_step_adagrad(params, ssg, x, y, acts, lr, k, wd=0.0, clip=0.0):
-    """AdaGrad update (HNTrainSGD.c AdaGrad scheduler): per-parameter
-    rate lr / sqrt(k + sum of squared gradients). [LC k default]"""
+                   static_argnames=("acts", "lr", "momentum", "wd", "clip"))
+def _sgd_step(params, vel, x, y, acts, lr, momentum, wd=0.0, clip=0.0):
+    return _sgd_body(params, vel, x, y, acts, lr, momentum, wd, clip)
+
+
+def _adagrad_body(params, ssg, x, y, acts, lr, k, wd=0.0, clip=0.0):
     def loss_fn(p):
         logits = forward(p, list(acts), x, return_logits=True)
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -105,6 +105,43 @@ def _sgd_step_adagrad(params, ssg, x, y, acts, lr, k, wd=0.0, clip=0.0):
     new_params = jax.tree.map(
         lambda p, g, s: p - lr * g / jnp.sqrt(k + s), params, grads, new_ssg)
     return new_params, new_ssg, ce, acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("acts", "lr", "k", "wd", "clip"))
+def _sgd_step_adagrad(params, ssg, x, y, acts, lr, k, wd=0.0, clip=0.0):
+    """AdaGrad update (HNTrainSGD.c AdaGrad scheduler): per-parameter
+    rate lr / sqrt(k + sum of squared gradients). [LC k default]"""
+    return _adagrad_body(params, ssg, x, y, acts, lr, k, wd, clip)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("acts", "adagrad", "wd", "clip"))
+def _train_epoch(params, st, xd, yd, idx_mat, lr, k_or_mom, acts,
+                 adagrad, wd=0.0, clip=0.0):
+    """One epoch as lax.scan over minibatch index rows.
+
+    The frame cache (xd, yd) stays device-resident (the HNCache role)
+    and the whole epoch runs as ONE dispatch instead of one per
+    minibatch — at HTK-scale nets (a few matmuls per 256-frame batch)
+    per-step dispatch dominated wall-clock. lr is a traced operand so
+    NEWBOB halving/ramping never recompiles. Returns summed per-batch
+    mean CE/accuracy like the per-batch loop accumulated."""
+    def step(carry, ib):
+        params, st, ce, acc = carry
+        x = jnp.take(xd, ib, axis=0)
+        y = jnp.take(yd, ib, axis=0)
+        if adagrad:
+            p2, s2, c, a = _adagrad_body(params, st, x, y, acts, lr,
+                                         k_or_mom, wd, clip)
+        else:
+            p2, s2, c, a = _sgd_body(params, st, x, y, acts, lr,
+                                     k_or_mom, wd, clip)
+        return (p2, s2, ce + c, acc + a), None
+
+    (params, st, ce, acc), _ = jax.lax.scan(
+        step, (params, st, jnp.float32(0.0), jnp.float32(0.0)), idx_mat)
+    return params, st, ce, acc
 
 
 @functools.partial(jax.jit,
@@ -164,6 +201,12 @@ def train_ann(
     prev_cv = None
     ramping = False
     bs = cfg.batch_size
+    # device-resident frame cache (HNCache): epochs then run as one
+    # lax.scan dispatch; fall back to per-batch shipping past ~4 GB
+    use_cache = xtr.nbytes + ytr.nbytes < (4 << 30)
+    if use_cache:
+        xd = jnp.asarray(xtr)
+        yd = jnp.asarray(ytr)
     for epoch in range(cfg.n_epochs):
         if cfg.scheduler == "LIST" and cfg.lr_list:
             lr = cfg.lr_list[min(epoch, len(cfg.lr_list) - 1)]
@@ -175,9 +218,28 @@ def train_ann(
         nb = 0
         # the final partial minibatch trains too (a corpus smaller than
         # MINIBATCHSIZE must still train, as in HNCache's last batch)
-        for i in range(0, len(order), bs):
-            idx = order[i : i + bs]
-            if cfg.scheduler == "ADAGRAD":
+        adagrad = cfg.scheduler == "ADAGRAD"
+        k_or_mom = cfg.adagrad_k if adagrad else cfg.momentum
+        nb_full = len(order) // bs
+        if use_cache and nb_full:
+            # device-resident cache + one scan dispatch per epoch
+            idx_mat = jnp.asarray(
+                order[: nb_full * bs].reshape(nb_full, bs))
+            params, vel, ce_s, acc_s = _train_epoch(
+                params, vel, xd, yd, idx_mat, jnp.float32(lr),
+                jnp.float32(k_or_mom), acts, adagrad,
+                wd=cfg.weight_decay, clip=cfg.grad_clip)
+            tot_ce += float(ce_s)
+            tot_acc += float(acc_s)
+            nb += nb_full
+            tail = order[nb_full * bs :]
+        else:
+            tail = order
+        # the final partial minibatch trains too (HNCache's last batch);
+        # without the cache this loop is the whole epoch
+        for i in range(0, len(tail), bs):
+            idx = tail[i : i + bs]
+            if adagrad:
                 params, vel, ce, acc = _sgd_step_adagrad(
                     params, vel, jnp.asarray(xtr[idx]),
                     jnp.asarray(ytr[idx]), acts, lr, cfg.adagrad_k,

@@ -221,6 +221,16 @@ class PackedNGramLM(NGramLM):
         return i[keep], j[keep], p[keep]
 
 
+def _num_factory(line, path):
+    def num(tok):
+        try:
+            return float(tok) * LN10
+        except ValueError:
+            HError(8154, "ReadLModel: bad number '%s' in n-gram "
+                         "line '%s' of %s", tok, line, path)
+    return num
+
+
 def read_arpa(path: str, cfg=None) -> NGramLM:
     from ..utils.filters import filtered
 
@@ -278,14 +288,7 @@ def read_arpa(path: str, cfg=None) -> NGramLM:
         if section <= 0:
             continue
         parts = line.split()
-
-        def num(tok):
-            try:
-                return float(tok) * LN10
-            except ValueError:
-                HError(8154, "ReadLModel: bad number '%s' in n-gram "
-                             "line '%s' of %s", tok, line, path)
-
+        num = _num_factory(line, path)
         if section == 1 and len(parts) >= 2:
             p = num(parts[0])
             w = parts[1]

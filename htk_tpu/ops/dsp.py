@@ -651,7 +651,11 @@ def compute_features(samples: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
     Tp = _bucket_len(T)
     need = (Tp - 1) * cfg.frame_shift + cfg.frame_size
     padded = np.zeros(need, dtype=np.float32)
-    padded[: len(samples)] = samples
+    # trailing samples past the last full frame belong to NO frame (T is
+    # the frame count), so truncating to the padded buffer is exact —
+    # len(samples) can exceed `need` when T lands exactly on a bucket
+    n_copy = min(len(samples), need)
+    padded[:n_copy] = samples[:n_copy]
     out = _extract_padded(jnp.asarray(padded), jnp.asarray(T), cfg, Tp)
     return np.asarray(out[:T])
 
@@ -687,15 +691,18 @@ def compute_features_batch(jobs) -> list:
     for (cfg, Tp), items in groups.items():
         need = (Tp - 1) * cfg.frame_shift + cfg.frame_size
         B = len(items)
-        Bp = 1
-        while Bp < min(B, 64):
-            Bp *= 2
+        # FIXED batch width: one compiled program per (cfg, bucket) and,
+        # more importantly, output values that do not depend on which
+        # other files share the scp chunk (a varying batch dimension
+        # changes XLA's FFT tiling and wobbles the last float bits)
+        Bp = 64
         for i0 in range(0, B, Bp):
             chunk = items[i0 : i0 + Bp]
             buf = np.zeros((Bp, need), np.float32)
             ts = np.zeros(Bp, np.int32)
             for b, (_i, s, T) in enumerate(chunk):
-                buf[b, : len(s)] = s
+                n_copy = min(len(s), need)  # see compute_features
+                buf[b, :n_copy] = s[:n_copy]
                 ts[b] = T
             ts[len(chunk):] = 1  # dummy rows: one valid frame
             out = np.asarray(_extract_padded_batch(

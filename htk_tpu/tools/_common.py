@@ -215,8 +215,14 @@ def preload_corpus(entries: List[str], cfg: Config) -> dict:
     from ..native import load_corpus_batch
 
     groups: dict = {}
+    seen: set = set()
+    budget = 2 << 30  # cap resident decompressed features at ~2 GB;
+    # everything past the cap streams through open_speech_file as before
     for ent in entries:
-        if ent in out or not isinstance(ent, str):
+        if ent in seen or not isinstance(ent, str):
+            continue
+        seen.add(ent)
+        if budget <= 0:
             continue
         e = parse_scp_entry(ent)
         if e.start is not None:
@@ -242,6 +248,7 @@ def preload_corpus(entries: List[str], cfg: Config) -> dict:
         if not pk.has_qual(kind, pk.HASCOMPX) or samp_size <= 0 or n <= 4:
             continue
         width = samp_size // 2
+        budget -= n * width * 4
         groups.setdefault(width, []).append((ent, e, n))
 
     CHUNK = 512

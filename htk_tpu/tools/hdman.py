@@ -112,6 +112,9 @@ def apply_script(v: Vocab, text: str, trace: int = 0) -> None:
                         for i, x in enumerate(ph)
                     ]
         elif op == "DD":
+            if len(args) < 2:
+                HError(14030, "HDMan: DD needs a word and a "
+                              "pronunciation")
             word, seq = args[0], args[1:]
             w = v.words.get(word)
             if w is not None:
@@ -121,7 +124,9 @@ def apply_script(v: Vocab, text: str, trace: int = 0) -> None:
         elif op == "DS":
             import os as _os
 
-            src = args[0] if args else ""
+            if not args:
+                HError(14030, "HDMan: DS needs a source dictionary name")
+            src = args[0]
             for name in list(v.words):
                 w = v.words[name]
                 w.prons = [

@@ -326,3 +326,53 @@ class TestBatchedFrontend:
         for i in range(4):
             assert (open(f"b{i}.mfc", "rb").read()
                     == open(f"s{i}.mfc", "rb").read())
+
+    def test_bucket_boundary_trailing_samples(self):
+        """Waveforms whose frame count lands exactly on a padding bucket
+        with trailing samples used to overflow the padded buffer
+        (ValueError); trailing samples belong to no frame, so the result
+        must equal the truncated waveform's."""
+        from htk_tpu.ops.dsp import (FrontendConfig, compute_features,
+                                     compute_features_batch, num_frames)
+
+        kind = pk.str2parmkind("MFCC_E_D_A")
+        cfg = FrontendConfig(target_kind=kind, samp_period=625)
+        # frame_size 400, shift 160: T=32 needs 5360 samples; 5400 gives
+        # T=32 (bucket 32) with 40 trailing samples
+        x = (np.random.default_rng(8).normal(size=5400) * 2000).astype(
+            np.float32)
+        assert num_frames(len(x), cfg) == 32
+        got = compute_features(x, cfg)
+        ref = compute_features(x[:5360], cfg)
+        np.testing.assert_array_equal(got, ref)
+        got_b = compute_features_batch([(x, cfg)])[0]
+        np.testing.assert_allclose(got_b, ref, rtol=1e-3, atol=1e-4)
+
+    def test_batch_bytes_independent_of_scp_composition(self, tmp_path,
+                                                        monkeypatch):
+        """The batched frontend writes the SAME bytes for a file no
+        matter which other files share its chunk (fixed batch width +
+        row-uniform kernels)."""
+        from htk_tpu.io.wavefile import Waveform, write_wave
+        from htk_tpu.tools import hcopy
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(9)
+        for i, n in enumerate((8000, 8000, 12000, 16000)):
+            x = (rng.normal(size=n) * 3000).astype(np.int16)
+            write_wave(f"v{i}.wav", Waveform(samples=x, samp_period=625),
+                       fmt="WAV")
+        open("cfg", "w").write(
+            "SOURCEFORMAT = WAV\nSOURCEKIND = WAVEFORM\n"
+            "TARGETKIND = MFCC_E_D_A\nHPARM: BATCHFRONTEND = T\n")
+        # v0 alone, v0 among many, v0 in a different order
+        assert hcopy.run(["-C", "cfg", "v0.wav", "alone.mfc"]) == 0
+        open("a.scp", "w").write(
+            "v0.wav a0.mfc\nv1.wav a1.mfc\nv2.wav a2.mfc\nv3.wav a3.mfc\n")
+        open("b.scp", "w").write(
+            "v3.wav b3.mfc\nv2.wav b2.mfc\nv1.wav b1.mfc\nv0.wav b0.mfc\n")
+        assert hcopy.run(["-C", "cfg", "-S", "a.scp"]) == 0
+        assert hcopy.run(["-C", "cfg", "-S", "b.scp"]) == 0
+        alone = open("alone.mfc", "rb").read()
+        assert open("a0.mfc", "rb").read() == alone
+        assert open("b0.mfc", "rb").read() == alone

@@ -187,3 +187,53 @@ def test_hvite_output_format_flags(corpus, capsys):
     body2 = [l for l in open("al2.mlf").read().splitlines()[2:]
              if l not in (".",)][0]
     assert body2.split() == [parts[2]]  # phone name only
+
+
+def test_herest_preload_compressed_equals_uncompressed(corpus, capsys):
+    """Training from a _C-compressed corpus (the native preload path)
+    produces the same model as training from the uncompressed corpus up
+    to the _C quantisation itself: compare against training on features
+    read back from the SAME compressed files via the per-file reader."""
+    from htk_tpu.io.mmf import load_mmf
+
+    from htk_tpu.io.mmf import save_mmf
+    from htk_tpu.models.proto import clone_proto
+
+    assert hcopy.run(["-C", "cfg_wav", "-S", "copy.scp"]) == 0
+    assert hcompv.run(["-C", "cfg", "-f", "0.01", "-m", "-M", "hmm0",
+                       "-S", "train.scp", "proto"]) == 0
+    hs0 = load_mmf("hmm0/proto")
+    cl = clone_proto(hs0, "proto", ["aa", "iy", "sil"])
+    cl.macros["v"]["varFloor1"] = load_mmf("hmm0/vFloors").macros["v"][
+        "varFloor1"]
+    os.makedirs("hmm_base", exist_ok=True)
+    save_mmf(cl, "hmm_base/hmmdefs")
+    # compressed copies of the corpus
+    open("cfg_c", "w").write(
+        "TARGETKIND = MFCC_E_D_A\nHPARM: SAVECOMPRESSED = T\n"
+        "HPARM: SAVEWITHCRC = T\n")
+    open("copy2.scp", "w").write(
+        "\n".join(f"u{i}.mfc u{i}.cmp" for i in range(6)))
+    assert hcopy.run(["-C", "cfg_c", "-S", "copy2.scp"]) == 0
+    open("train_c.scp", "w").write("\n".join(f"u{i}.cmp" for i in range(6)))
+
+    import shutil
+
+    for out, env in (("hmm_native", "0"), ("hmm_python", "1")):
+        os.makedirs(out, exist_ok=True)
+        shutil.copy("hmm_base/hmmdefs", "hmmdefs")
+        os.environ["HTKTPU_NO_NATIVE"] = env
+        try:
+            assert herest.run(["-C", "cfg", "-I", "phones.mlf",
+                               "-H", "hmmdefs", "-M", out,
+                               "-S", "train_c.scp", "monophones"]) == 0
+        finally:
+            os.environ.pop("HTKTPU_NO_NATIVE", None)
+    a = load_mmf("hmm_native/hmmdefs")
+    b = load_mmf("hmm_python/hmmdefs")
+    for name in a.hmms:
+        for sa, sb in zip(a.hmms[name].states, b.hmms[name].states):
+            ma = sa.streams[0].mixes[0]
+            mb = sb.streams[0].mixes[0]
+            np.testing.assert_allclose(ma.mean, mb.mean, atol=2e-4)
+            np.testing.assert_allclose(ma.var, mb.var, rtol=2e-3)

@@ -24,7 +24,7 @@ from .lbuild import ENTER, EXIT, read_sentences
 USAGE = "Usage: LPlex [options] lmFile testFiles..."
 
 OPTS = {
-    "n": Option("n", 1, "evaluation order", typ=int),
+    "n": Option("n", 1, "evaluation order", typ=int, repeatable=True),
     "u": Option("u", 0, "skip OOV words"),
     "t": Option("t", 0, "per-sentence trace"),
 }
@@ -36,40 +36,43 @@ def run(argv: List[str]) -> int:
     files = ta.args[1:] + ta.script
     if not files:
         HError(1030, "LPlex: no test files\n%s", USAGE)
-    order = int(ta.get("n", lm.order) or lm.order)
+    # LPlex.c accepts repeated -n and reports one table per order
+    orders = [int(v) for v in ta.get_all("n")] or [lm.order]
     skip_oov = ta.has("u")
 
-    total_lp = 0.0
-    n_words = 0
-    n_oov = 0
-    n_sents = 0
-    for f in files:
-        for sent in read_sentences(f, ta.config):
-            seq = [ENTER] + sent + [EXIT]
-            lp = 0.0
-            for i in range(1, len(seq)):
-                w = seq[i]
-                if w not in lm.unigrams and w != EXIT:
-                    n_oov += 1
-                    if skip_oov:
-                        continue
-                if order >= 4 and i >= 3:
-                    lp += lm.logp_4(seq[i - 3], seq[i - 2], seq[i - 1], w)
-                elif order >= 3 and i >= 2:
-                    lp += lm.logp_tri(seq[i - 2], seq[i - 1], w)
-                else:
-                    lp += lm.logp_bi(seq[i - 1], w)
-                n_words += 1
-            total_lp += lp
-            n_sents += 1
-            if ta.has("t"):
-                print(f"  {' '.join(sent)}: logP={lp:.3f}")
-    if n_words == 0:
-        HError(15030, "LPlex: no scorable words")
-    ppl = math.exp(-total_lp / n_words)
-    print(f"LPlex: {n_sents} sentences, {n_words} words, {n_oov} OOV")
-    print(f"perplexity {ppl:.4f}, logprob/word {total_lp / n_words:.4f} "
-          f"(order {order})")
+    for order in orders:
+        total_lp = 0.0
+        n_words = 0
+        n_oov = 0
+        n_sents = 0
+        for f in files:
+            for sent in read_sentences(f, ta.config):
+                seq = [ENTER] + sent + [EXIT]
+                lp = 0.0
+                for i in range(1, len(seq)):
+                    w = seq[i]
+                    if w not in lm.unigrams and w != EXIT:
+                        n_oov += 1
+                        if skip_oov:
+                            continue
+                    if order >= 4 and i >= 3:
+                        lp += lm.logp_4(seq[i - 3], seq[i - 2],
+                                        seq[i - 1], w)
+                    elif order >= 3 and i >= 2:
+                        lp += lm.logp_tri(seq[i - 2], seq[i - 1], w)
+                    else:
+                        lp += lm.logp_bi(seq[i - 1], w)
+                    n_words += 1
+                total_lp += lp
+                n_sents += 1
+                if ta.has("t"):
+                    print(f"  {' '.join(sent)}: logP={lp:.3f}")
+        if n_words == 0:
+            HError(15030, "LPlex: no scorable words")
+        ppl = math.exp(-total_lp / n_words)
+        print(f"LPlex: {n_sents} sentences, {n_words} words, {n_oov} OOV")
+        print(f"perplexity {ppl:.4f}, logprob/word "
+              f"{total_lp / n_words:.4f} (order {order})")
     return 0
 
 

@@ -8,18 +8,26 @@ through the uniform-row LV network (algo/lvnet). BASELINE.md north
 star: < 0.01 xRT per chip on TPU v5e; `vs_baseline` reports
 target/actual so values > 1.0 beat the target.
 
-Extras inside the JSON line:
-  - hdecode_5kvocab_xrt:   config #5 scale (5,000 words, back-off bigram
-    pass-1 with word-end histogram pruning -u 256) — the LVCSR
-    feasibility number the round-1 verdict asked for.
-  - hvite_100w_loop_xrt:   the round-1 headline (kept for continuity).
-  - herest_bw_utt_per_sec_per_chip: Baum-Welch accumulation throughput.
+Covers all five BASELINE.json configs:
+  #1 hcopy_mfcc_xrt / hcopy_kframes_per_sec — batched waveform->MFCC_E_D_A
+  #2 herest_bw_utt_per_sec_per_chip — Baum-Welch accumulation
+  #3 (device half == #2's 8-mix models; tree surgery is host-side, see
+     recipes/full)
+  #4 hvite_1kvocab_bigram_xrt_per_chip — the headline
+  #5 hdecode_5kvocab_xrt (lattice pass) + mmi_utt_per_sec/ebw_update_s
+     (discriminative half) + 20k/50k/100k-vocab LV rows
+
+RELIABILITY CONTRACT (VERDICT r3 item #1): running `python bench.py`
+ALWAYS prints one parseable JSON line and exits 0 within the budget
+(env BENCH_BUDGET_S, default 1200 s), even when the axon TPU tunnel is
+dead.  The parent process NEVER initialises a jax backend: it probes
+backend health in a short-timeout child, runs the real benchmark in a
+child with a hard deadline, and on any failure reruns a shrunk CPU
+benchmark (JSON gains "degraded": true, "backend": "cpu"); if even that
+fails it emits a JSON line with value -1 and the error in extra.
 
 Features are synthetic noise: xRT measures compute, not WER (WER
 pipelines are exercised in tests/ on synthesized speech).
-
-Run on the real chip (default env). Use JAX_PLATFORMS=cpu for a smoke
-run (BENCH_SMOKE=1 shrinks sizes).
 """
 
 from __future__ import annotations
@@ -27,18 +35,33 @@ from __future__ import annotations
 import json
 import math
 import os
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 
+# set by main() from _BENCH_TIME_LEFT: monotonic deadline for optional
+# (big-vocab) sections so the child never overruns its parent's budget
+_DEADLINE = None
+
+
+def _left():
+    return math.inf if _DEADLINE is None else _DEADLINE - time.monotonic()
+
+
+def _import_jax():
+    global jax, jnp
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    jax, jnp = _jax, _jnp
+
 
 def build_model(n_phones=40, nstates=5, dim=39, nmix=8, seed=0):
-    from htk_tpu.models.proto import clone_proto, make_proto
     from htk_tpu.models.hmmset import compile_hmmset
+    from htk_tpu.models.proto import clone_proto, make_proto
 
     rng = np.random.default_rng(seed)
     hs = make_proto(nstates=nstates, dim=dim, parm_kind="MFCC_E_D_A", nmix=nmix)
@@ -144,8 +167,33 @@ def build_tied_triphone_system(n_words, n_phones=40, n_tied=2000, nmix=8,
     return comp, vocab, words, lm
 
 
+def bench_frontend(n_utts=64, secs=5.0, reps=3):
+    """BASELINE config #1: batched waveform -> MFCC_E_D_A 39-dim
+    extraction (25 ms window / 10 ms shift, 16 kHz). Returns
+    (xrt, kframes_per_sec)."""
+    import statistics
+
+    from htk_tpu.ops.dsp import FrontendConfig, compute_features_batch
+
+    cfg = FrontendConfig()  # MFCC_E_D_A, 16 kHz, 25 ms/10 ms defaults
+    rng = np.random.default_rng(9)
+    n_samp = int(secs * 16000)
+    jobs = [((rng.normal(size=n_samp) * 2000).astype(np.float32), cfg)
+            for _ in range(n_utts)]
+    out = compute_features_batch(jobs)  # warm up / compile
+    n_frames = sum(f.shape[0] for f in out)
+    audio_seconds = n_utts * secs
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = compute_features_batch(jobs)
+        times.append(time.perf_counter() - t0)
+    dt = statistics.median(times)
+    return dt / audio_seconds, n_frames / dt / 1e3
+
+
 def bench_decode_lv(comp, vocab, words, lm, T=500, batch=8, n_batches=2,
-                    max_active=None, seed=2, reps=3):
+                    max_active=None, seed=2, reps=3, net=None):
     """Batched LV word-loop decode; returns xRT per chip (full pipeline:
     OutP + scan + host traceback). Median of `reps` timed passes — the
     dev tunnel's run-to-run variance swings single measurements ±30%."""
@@ -154,7 +202,8 @@ def bench_decode_lv(comp, vocab, words, lm, T=500, batch=8, n_batches=2,
     from htk_tpu.algo.decode import decode_batch
     from htk_tpu.algo.lvnet import compile_lv_loop
 
-    net = compile_lv_loop(words, vocab, comp, lm=lm)
+    if net is None:
+        net = compile_lv_loop(words, vocab, comp, lm=lm)
     rng = np.random.default_rng(seed)
     dim = comp.means.shape[1]
     feats = [rng.normal(size=(T, dim)).astype(np.float32)
@@ -175,9 +224,6 @@ def bench_decode_lv(comp, vocab, words, lm, T=500, batch=8, n_batches=2,
     # traceback) with operands resident — excludes the dev tunnel's
     # per-call host round-trips (~25 ms each), i.e. the number real
     # (non-tunnelled) serving hardware sees
-    import jax
-    import jax.numpy as jnp
-
     from htk_tpu.algo.decode import _BEAM_OFF, _lv_pipeline
 
     pipe = _lv_pipeline(net, comp, "highest", max_active, False)
@@ -279,7 +325,8 @@ def bench_herest(comp, names, n_utts=16, T=500, dim=39, seed=3):
     return n_pass * n_utts / dt
 
 
-def bench_hdecode_batch(comp, vocab, words, lm, n_utts=64, seed=3, reps=3):
+def bench_hdecode_batch(comp, vocab, words, lm, n_utts=64, seed=3, reps=3,
+                        net=None):
     """HDecode pass-1 throughput: 64 mixed-length utterances through the
     bucketed batched lattice generator vs the per-utterance loop.
     Returns (batched_xrt, sequential_xrt)."""
@@ -288,7 +335,8 @@ def bench_hdecode_batch(comp, vocab, words, lm, n_utts=64, seed=3, reps=3):
     from htk_tpu.algo.decode import generate_lattice, generate_lattice_batch
     from htk_tpu.algo.lvnet import compile_lv_loop
 
-    net = compile_lv_loop(words, vocab, comp, lm=lm)
+    if net is None:
+        net = compile_lv_loop(words, vocab, comp, lm=lm)
     rng = np.random.default_rng(seed)
     dim = comp.means.shape[1]
     lens = rng.integers(300, 700, size=n_utts)
@@ -319,26 +367,80 @@ def bench_hdecode_batch(comp, vocab, words, lm, n_utts=64, seed=3, reps=3):
     return statistics.median(tb) / audio, seq_xrt
 
 
-def bench_hdecode_20k_topa(reps=3):
-    """20k-vocab factored decode with top-A histogram pruning (A=128;
-    traceback measured identical to the exact decode on this system).
-    Returns (topA_xrt, exact_xrt)."""
+def bench_mmi(comp, vocab, words, lm, net=None, n_utts=8, T=500, seed=5):
+    """BASELINE config #5, discriminative half: per-utterance MMI pass
+    (numerator transcript FB + denominator lattice generation + lattice
+    FB accumulation) and the EBW update. Returns
+    (mmi_utt_per_sec, ebw_update_s)."""
+    from htk_tpu.algo.ebw import EBWConfig, ebw_update
+    from htk_tpu.algo.fb import zero_accs
+    from htk_tpu.algo.decode import generate_lattice
+    from htk_tpu.algo.lvnet import compile_lv_loop
+    from htk_tpu.algo.trainer import Trainer, prepare_utterance
+    from htk_tpu.tools.hmmirest import accumulate_lattice
+
+    if net is None:
+        net = compile_lv_loop(words, vocab, comp, lm=lm)
+    rng = np.random.default_rng(seed)
+    dim = comp.means.shape[1]
+    trainer = Trainer(comp)
+    period = 100000
+
+    # synthetic corpus: features + "true" word transcript
+    feats, trans = [], []
+    for _ in range(n_utts):
+        feats.append(rng.normal(size=(T, dim)).astype(np.float32))
+        trans.append([words[j] for j in rng.integers(0, len(words), 8)])
+
+    def mmi_pass():
+        num = zero_accs(comp.n_mix, comp.dim, comp.n_states, comp.max_mix,
+                        trainer.tr_flat)
+        den = zero_accs(comp.n_mix, comp.dim, comp.n_states, comp.max_mix,
+                        trainer.tr_flat)
+        for i in range(n_utts):
+            # numerator: transcript composite FB
+            phones = [p for w in trans[i]
+                      for p in vocab.get(w).prons[0].phones]
+            utt = prepare_utterance(comp, f"u{i}", feats[i], phones)
+            accs = trainer.accumulate([utt])
+            num = jax.tree.map(lambda a, b: a + b, num, accs)
+            # denominator: lattice generation + lattice FB
+            lat = generate_lattice(net, comp, feats[i], lm_scale=8.0,
+                                   lattice_beam=150.0)
+            den, _lp = accumulate_lattice(lat, vocab, comp, trainer,
+                                          feats[i], period, f"u{i}", 8.0,
+                                          den)
+        return num, den
+
+    num, den = mmi_pass()  # warm up / compile
+    t0 = time.perf_counter()
+    num, den = mmi_pass()
+    dt = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    ebw_update(comp, num, den, EBWConfig())
+    ebw_s = time.perf_counter() - t1
+    return n_utts / dt, ebw_s
+
+
+def bench_bigvocab(n_words, max_active, seed=11, reps=3, B=8, T=500):
+    """50k/100k-vocab factored cross-word LV decode (exact and top-A)
+    at BASELINE.md's quoted scales. Returns dict of xRT values."""
     import statistics
 
     from htk_tpu.algo.decode import decode_batch
     from htk_tpu.algo.lvnet import compile_lv_loop
 
     comp, vocab, words, lm = build_tied_triphone_system(
-        20000, n_tied=2000, seed=11)
+        n_words, n_tied=2000, seed=seed)
     net = compile_lv_loop(words, vocab, comp, lm=lm, factored=True)
     rng = np.random.default_rng(3)
-    B, T = 8, 500
     dim = comp.means.shape[1]
     feats = [rng.normal(size=(T, dim)).astype(np.float32)
              for _ in range(B)]
     audio = B * T * 0.01
     out = {}
-    for name, ma in (("topA", 128), ("exact", None)):
+    for name, ma in (("topA", max_active), ("exact", None)):
         decode_batch(net, comp, feats, lm_scale=12.0, max_active=ma)
         ts = []
         for _ in range(reps):
@@ -346,103 +448,238 @@ def bench_hdecode_20k_topa(reps=3):
             decode_batch(net, comp, feats, lm_scale=12.0, max_active=ma)
             ts.append(time.perf_counter() - t0)
         out[name] = statistics.median(ts) / audio
-    return out["topA"], out["exact"]
+    return out
 
 
 def main():
+    global _DEADLINE
+    _import_jax()
+    left = os.environ.get("_BENCH_TIME_LEFT")
+    if left:
+        _DEADLINE = time.monotonic() + float(left)
     backend = jax.default_backend()
     target = 0.01
+    extra = {"backend": backend}
+    if os.environ.get("BENCH_DEGRADED") == "1":
+        extra["degraded"] = True
+    if SMOKE:
+        extra["smoke"] = True
 
-    # headline: config #4 — 1k-vocab back-off bigram, tied 8-mix triphones
+    def section(key, min_s, fn):
+        """Run one guarded bench section: skip when the deadline is too
+        close, record (not raise) failures — the JSON line must always
+        come out with whatever was measured."""
+        if _left() < min_s:
+            extra[key + "_skipped"] = True
+            return None
+        try:
+            return fn()
+        except Exception as e:  # pragma: no cover - depends on backend
+            extra[key + "_error"] = f"{type(e).__name__}: {e}"[:300]
+            return None
+
+    # headline first: config #4 — 1k-vocab back-off bigram, tied-state
+    # 8-mix triphones (the driver's `value` field)
+    xrt_1k = None
     n1k = 100 if SMOKE else 1000
     comp1, vocab1, words1, lm1 = build_tied_triphone_system(
         n1k, n_tied=(200 if SMOKE else 2000))
     T1 = 100 if SMOKE else 500
-    xrt_1k, net1, dev_1k = bench_decode_lv(comp1, vocab1, words1, lm1,
-                                           T=T1, batch=(2 if SMOKE else 8))
+    r = section("hvite_1k", 0, lambda: bench_decode_lv(
+        comp1, vocab1, words1, lm1, T=T1, batch=(2 if SMOKE else 8)))
+    if r:
+        xrt_1k, net1, dev_1k = r
+        extra["hvite_1kvocab_device_xrt"] = round(dev_1k, 6)
+        extra["net_1k_states"] = int(net1.n_states)
+
+    # config #1: batched MFCC frontend
+    r = section("hcopy", 45, lambda: bench_frontend(
+        n_utts=(8 if SMOKE else 64), secs=(1.0 if SMOKE else 5.0)))
+    if r:
+        extra["hcopy_mfcc_xrt"] = round(r[0], 6)
+        extra["hcopy_kframes_per_sec"] = round(r[1], 1)
 
     # config #5 scale: 5k vocab with histogram pruning
     n5k = 200 if SMOKE else 5000
     comp5, vocab5, words5, lm5 = build_tied_triphone_system(
         n5k, n_tied=(200 if SMOKE else 2000), seed=7)
-    xrt_5k, net5, dev_5k = bench_decode_lv(
+    net5 = None
+    r = section("hdecode_5k", 120, lambda: bench_decode_lv(
         comp5, vocab5, words5, lm5, T=(100 if SMOKE else 500),
-        batch=(2 if SMOKE else 16), n_batches=1, max_active=128)
+        batch=(2 if SMOKE else 16), n_batches=1, max_active=128))
+    if r:
+        xrt_5k, net5, dev_5k = r
+        extra["hdecode_5kvocab_xrt"] = round(xrt_5k, 6)
+        extra["hdecode_5kvocab_device_xrt"] = round(dev_5k, 6)
+        extra["net_5k_states"] = int(net5.n_states)
 
     # HDecode batch path: 64 mixed-length utterances, bucketed batched
     # lattice generation vs the per-utterance loop it replaced
-    hd_batch, hd_seq = bench_hdecode_batch(
-        comp5, vocab5, words5, lm5, n_utts=(8 if SMOKE else 64))
+    r = section("hdecode_batch", 120, lambda: bench_hdecode_batch(
+        comp5, vocab5, words5, lm5, n_utts=(8 if SMOKE else 64), net=net5))
+    if r:
+        extra["hdecode_5k_batch64_xrt"] = round(r[0], 6)
+        extra["hdecode_5k_seq_lattice_xrt"] = round(r[1], 6)
 
-    # 20k-vocab factored decode with/without top-A histogram pruning
-    if SMOKE:
-        xrt_20k_a = xrt_20k_x = 0.0
-    else:
-        xrt_20k_a, xrt_20k_x = bench_hdecode_20k_topa()
+    # config #5 discriminative half: MMI accumulation + EBW update
+    r = section("mmi", 120, lambda: bench_mmi(
+        comp5, vocab5, words5, lm5, net=net5,
+        n_utts=(1 if SMOKE else 8), T=(100 if SMOKE else 500)))
+    if r:
+        extra["mmi_utt_per_sec"] = round(r[0], 3)
+        extra["ebw_update_s"] = round(r[1], 3)
 
-    # round-1 continuity numbers
+    # round-1 continuity numbers (config #2: BW throughput)
     comp0, names0 = build_model()
-    net0 = build_net(comp0, names0)
-    xrt_100 = bench_decode(comp0, net0, T=(100 if SMOKE else 500),
-                           batch=(2 if SMOKE else 8))
-    utt_s = bench_herest(comp0, names0, n_utts=(4 if SMOKE else 16),
-                         T=(100 if SMOKE else 500))
+    r = section("hvite_100w", 90, lambda: bench_decode(
+        comp0, build_net(comp0, names0), T=(100 if SMOKE else 500),
+        batch=(2 if SMOKE else 8)))
+    if r is not None:
+        extra["hvite_100w_loop_xrt"] = round(r, 6)
+    r = section("herest", 90, lambda: bench_herest(
+        comp0, names0, n_utts=(4 if SMOKE else 16),
+        T=(100 if SMOKE else 500)))
+    if r is not None:
+        extra["herest_bw_utt_per_sec_per_chip"] = round(r, 2)
 
-    print(
-        json.dumps(
-            {
-                "metric": "hvite_1kvocab_bigram_xrt_per_chip",
-                "value": round(xrt_1k, 6),
-                "unit": "xRT",
-                "vs_baseline": round(target / xrt_1k, 3),
-                "extra": {
-                    "hdecode_5kvocab_xrt": round(xrt_5k, 6),
-                    "hdecode_5k_batch64_xrt": round(hd_batch, 6),
-                    "hdecode_5k_seq_lattice_xrt": round(hd_seq, 6),
-                    "hdecode_20k_topA128_xrt": round(xrt_20k_a, 6),
-                    "hdecode_20k_exact_xrt": round(xrt_20k_x, 6),
-                    "hdecode_5kvocab_device_xrt": round(dev_5k, 6),
-                    "hvite_1kvocab_device_xrt": round(dev_1k, 6),
-                    "hvite_100w_loop_xrt": round(xrt_100, 6),
-                    "herest_bw_utt_per_sec_per_chip": round(utt_s, 2),
-                    "backend": backend,
-                    "net_1k_states": int(net1.n_states),
-                    "net_5k_states": int(net5.n_states),
-                    "note": "headline = BASELINE config #4 (1k-vocab "
-                            "back-off bigram, tied-state 8-mix "
-                            "triphones); vs_baseline = 0.01 xRT target "
-                            "/ measured",
-                },
-            }
-        )
-    )
+    # big-vocab rows (BASELINE.md's quoted 20k/50k/100k numbers),
+    # deadline-gated so the child never blows the parent's budget
+    for n_words, ma, key, est_s in ((20000, 128, "20k", 90),
+                                    (50000, 256, "50k", 150),
+                                    (100000, 256, "100k", 300)):
+        if SMOKE:
+            extra[f"hdecode_{key}_skipped"] = True
+            continue
+        r = section(f"hdecode_{key}", est_s + 60,
+                    lambda n=n_words, m=ma: bench_bigvocab(n, m))
+        if r:
+            extra[f"hdecode_{key}_topA{ma}_xrt"] = round(r["topA"], 6)
+            extra[f"hdecode_{key}_exact_xrt"] = round(r["exact"], 6)
+
+    extra["note"] = ("headline = BASELINE config #4 (1k-vocab back-off "
+                     "bigram, tied-state 8-mix triphones); vs_baseline = "
+                     "0.01 xRT target / measured")
+    ok = xrt_1k is not None and xrt_1k > 0
+    print(json.dumps({
+        "metric": "hvite_1kvocab_bigram_xrt_per_chip",
+        "value": round(xrt_1k, 6) if ok else -1.0,
+        "unit": "xRT",
+        "vs_baseline": round(target / xrt_1k, 3) if ok else 0.0,
+        "extra": extra,
+    }))
 
 
-def _wait_backend_healthy(attempts=6, probe_timeout=180, backoff=60):
-    """The dev tunnel's TPU claim/compile service flaps; probe backend
-    health in a CHILD process (a failed in-process init poisons jax's
-    backend cache) and wait out transient outages before running the
-    real benchmark in this process."""
+# ---------------------------------------------------------------------------
+# Orchestration (parent process; MUST NOT initialise a jax backend)
+# ---------------------------------------------------------------------------
+
+def _probe_backend(timeout_s):
+    """Health-probe the default jax backend in a CHILD process (a failed
+    in-process init poisons jax's backend cache — and with the axon
+    tunnel dead even `jax.devices()` can hang)."""
     import subprocess
-    import sys
-    import time as _time
 
     code = ("import jax, jax.numpy as a; "
             "(a.ones((256,256))@a.ones((256,256))).block_until_ready()")
-    for k in range(attempts):
-        try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, timeout=probe_timeout)
-            if r.returncode == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        print(f"bench: backend probe {k + 1}/{attempts} failed; "
-              f"retrying in {backoff}s", file=sys.stderr, flush=True)
-        _time.sleep(backoff)
-    return False  # run anyway — the real error message is the report
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _run_child(env_extra, timeout_s, strip_axon=False):
+    """Run `python bench.py` as the benchmark child; returns the JSON
+    line it printed, or None. strip_axon removes PALLAS_AXON_POOL_IPS so
+    the axon sitecustomize cannot register the (dead) tunnel plugin."""
+    import subprocess
+
+    env = dict(os.environ)
+    if strip_axon:
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(env_extra)
+    env["_BENCH_CHILD"] = "1"
+    env["_BENCH_TIME_LEFT"] = str(max(30.0, timeout_s - 20.0))
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True,
+                           timeout=timeout_s, env=env,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        print(f"bench: child timed out after {timeout_s:.0f}s",
+              file=sys.stderr, flush=True)
+        return None
+    if r.stderr:
+        sys.stderr.write(r.stderr[-4000:])
+    for line in reversed((r.stdout or "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                json.loads(line)
+                return line
+            except Exception:
+                continue
+    print(f"bench: child rc={r.returncode}, no JSON in output",
+          file=sys.stderr, flush=True)
+    return None
+
+
+def orchestrate():
+    """Always prints one JSON line and exits 0 within BENCH_BUDGET_S."""
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    t0 = time.monotonic()
+
+    def remaining():
+        return budget - (time.monotonic() - t0)
+
+    # reserve for the CPU fallback (shrunk sizes compile+run well inside
+    # this on the host)
+    reserve = min(420.0, max(180.0, budget * 0.3))
+
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    cpu_only = plats and "cpu" in plats and "axon" not in plats \
+        and "tpu" not in plats
+
+    healthy = True
+    if not cpu_only:
+        probe_t = min(75.0, max(20.0, budget / 8.0))
+        healthy = _probe_backend(probe_t)
+        if not healthy:  # one retry after a short backoff
+            time.sleep(min(20.0, budget / 20.0))
+            healthy = _probe_backend(probe_t)
+        if not healthy:
+            print("bench: TPU backend unhealthy; falling back to a "
+                  "degraded CPU run", file=sys.stderr, flush=True)
+
+    if healthy:
+        line = _run_child({}, max(60.0, remaining() - reserve))
+        if line:
+            print(line)
+            return
+
+    # degraded CPU fallback: shrunk sizes, always labeled
+    fb_env = {"JAX_PLATFORMS": "cpu", "BENCH_SMOKE": "1",
+              "BENCH_DEGRADED": "1"}
+    line = _run_child(fb_env, max(60.0, remaining() - 10.0),
+                      strip_axon=True)
+    if line:
+        print(line)
+        return
+
+    # last resort: hand-built JSON so the driver always parses something
+    print(json.dumps({
+        "metric": "hvite_1kvocab_bigram_xrt_per_chip",
+        "value": -1.0,
+        "unit": "xRT",
+        "vs_baseline": 0.0,
+        "extra": {"error": "backend unavailable and CPU fallback failed",
+                  "degraded": True},
+    }))
 
 
 if __name__ == "__main__":
-    _wait_backend_healthy()
-    main()
+    if os.environ.get("_BENCH_CHILD") == "1":
+        main()
+    else:
+        orchestrate()

@@ -180,6 +180,19 @@ def run(argv: List[str]) -> int:
     main_beam = float(ta.get("t", 0.0) or 0.0) or None
     max_active = int(ta.get("u", 0) or 0) or None
     lat_beam = float(ta.get("n", 250.0) or 250.0)
+    # Beam-cliff guardrail: BASELINE.md's lattice-quality sweep measured
+    # whole-utterance search errors once genBeam drops below ~300-400
+    # (the knee) — lattice rescoring cannot recover them.  Warn when -t
+    # is set below the knee; HREC: GENBEAMKNEE moves it (0 disables).
+    knee = cfg.flt_("GENBEAMKNEE", 400.0, module="HREC")
+    if main_beam is not None and knee and main_beam < knee:
+        HRError(8524, "HDecode: -t %.0f is below the measured search-"
+                      "error knee (~%.0f): pruning losses at this beam "
+                      "are whole utterances and no lattice rescoring "
+                      "recovers them. Control lattice size with -n "
+                      "(lossless down to 50) and keep -t >= %.0f, or set "
+                      "HREC: GENBEAMKNEE = 0 to silence this",
+                main_beam, knee, knee)
     period = int(cfg.flt_("TARGETRATE", 100000.0, module="HPARM"))
     out_dir = ta.get("l")
     out_mlf_path = ta.get("i")
@@ -280,6 +293,36 @@ def run(argv: List[str]) -> int:
                 max_active=max_active, precision=prec,
                 model_params=spk_params.get(spks[j]),
             )
+
+    # HFB.c-style retry escalation on the pass-1 beam (the decoder
+    # analogue of HERest's -t retry ladder): an utterance whose pruned
+    # pass 1 found no path re-runs with the beam widened by
+    # HREC: PRUNERETRYINC (default 200), twice, then unpruned, before
+    # being reported as failed. The beam rides the scan as a traced
+    # operand, so widening does not recompile.
+    if main_beam is not None or max_active is not None:
+        inc = cfg.flt_("PRUNERETRYINC", 200.0, module="HREC")
+        for j, lt in enumerate(lats):
+            if lt is not None:
+                continue
+            ladder = []
+            if main_beam is not None and inc > 0:
+                ladder = [(main_beam + inc, max_active),
+                          (main_beam + 2 * inc, max_active)]
+            ladder.append((None, None))
+            for b, ma in ladder:
+                HRError(8525, "HDecode: no path for %s under pruning; "
+                              "retrying at %s",
+                        entries[j].logical,
+                        "unpruned" if b is None else f"beam {b:.0f}")
+                lt = generate_lattice(
+                    net, comp, featl[j], lm_scale, word_pen,
+                    lattice_beam=lat_beam, frame_period_s=period / 1e7,
+                    beam=b, max_active=ma, precision=prec,
+                    model_params=spk_params.get(spks[j]))
+                if lt is not None:
+                    lats[j] = lt
+                    break
 
     for e, data, lat, spk in zip(entries, featl, lats, spks):
         stem = os.path.splitext(os.path.basename(e.logical))[0]

@@ -357,6 +357,29 @@ def run(argv: List[str]) -> int:
                                       beam=gen_beam, max_active=max_act)
                     for j, r in zip(idx, rs):
                         results[j] = r
+            # retry escalation (HFB.c ladder, decoder-side): a pruned-out
+            # utterance re-decodes with the beam widened twice, then
+            # unpruned, before "no tokens survived" is final
+            if gen_beam is not None or max_act is not None:
+                inc = cfg.flt_("PRUNERETRYINC", 200.0, module="HREC")
+                for j, r in enumerate(results):
+                    if r is not None:
+                        continue
+                    ladder = ([(gen_beam + inc, max_act),
+                               (gen_beam + 2 * inc, max_act)]
+                              if gen_beam is not None and inc > 0 else [])
+                    ladder.append((None, None))
+                    for b, ma in ladder:
+                        HRError(8525, "HVite: no tokens for %s under "
+                                      "pruning; retrying at %s",
+                                entries[j].logical,
+                                "unpruned" if b is None else f"beam {b:.0f}")
+                        r = decode(net, comp, featl[j], lm_scale,
+                                   word_pen, precision=prec, beam=b,
+                                   max_active=ma)
+                        if r is not None:
+                            results[j] = r
+                            break
             for e, res in zip(entries, results):
                 tr = Transcription(alternatives=[[]])
                 if res is None:
@@ -414,6 +437,22 @@ def run(argv: List[str]) -> int:
                 res = decode(net, comp, data, lm_scale, word_pen,
                              state_scores=state_scores, precision=prec,
                              beam=gen_beam, max_active=max_act)
+            if res is None and (gen_beam is not None or max_act is not None):
+                # retry escalation, as on the batched path
+                inc = cfg.flt_("PRUNERETRYINC", 200.0, module="HREC")
+                ladder = ([(gen_beam + inc, max_act),
+                           (gen_beam + 2 * inc, max_act)]
+                          if gen_beam is not None and inc > 0 else [])
+                ladder.append((None, None))
+                for b, ma in ladder:
+                    HRError(8525, "HVite: no tokens for %s under pruning; "
+                                  "retrying at %s", e.logical,
+                            "unpruned" if b is None else f"beam {b:.0f}")
+                    res = decode(net, comp, data, lm_scale, word_pen,
+                                 state_scores=state_scores, precision=prec,
+                                 beam=b, max_active=ma)
+                    if res is not None:
+                        break
             tr = Transcription(alternatives=[[]])
             if res is None:
                 HRError(8522, "HVite: no tokens survived for %s", e.logical)

@@ -1,0 +1,120 @@
+"""The driver-harness reliability contract (VERDICT r3 item #1).
+
+Round 3 shipped zero driver-verified numbers because a dead axon tunnel
+hung both `bench.py` (probe ladder + in-process run on the dead backend)
+and `__graft_entry__.dryrun_multichip` (parent-process jax.devices()
+probe). These tests simulate a dead tunnel by pointing
+PALLAS_AXON_POOL_IPS at a blackhole address and assert that both entry
+points still produce their contracted output, in bounded time, with
+exit code 0.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BLACKHOLE = "10.255.255.1:1"
+
+
+def _dead_tunnel_env(**extra):
+    env = dict(os.environ)
+    # simulate: axon pool configured but unreachable; no explicit
+    # platform override (the driver's default environment)
+    env["PALLAS_AXON_POOL_IPS"] = BLACKHOLE
+    env.pop("JAX_PLATFORMS", None)
+    # the conftest sets a forced-device-count XLA flag in this process;
+    # the driver's env would not have it
+    env.pop("XLA_FLAGS", None)
+    env.update(extra)
+    return env
+
+
+@pytest.mark.slow
+def test_bench_emits_json_with_dead_tunnel():
+    """bench.py must print one parseable JSON line and exit 0 inside its
+    budget even when every backend probe hangs/fails."""
+    budget = 420.0
+    t0 = time.monotonic()
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=_dead_tunnel_env(BENCH_BUDGET_S=str(budget)),
+        capture_output=True, text=True, timeout=budget + 90, cwd=REPO,
+    )
+    took = time.monotonic() - t0
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.strip().startswith("{")]
+    assert lines, f"no JSON line in stdout: {r.stdout[-500]!r}"
+    doc = json.loads(lines[-1])
+    assert doc["metric"] == "hvite_1kvocab_bigram_xrt_per_chip"
+    assert "value" in doc and "vs_baseline" in doc
+    assert doc["extra"].get("degraded") is True
+    # either the CPU fallback measured something or the last-resort line
+    # fired; both are parseable, but the fallback should normally win
+    assert doc["value"] != 0
+    assert took < budget + 60
+
+
+def test_bench_last_resort_json_when_everything_fails():
+    """With a budget too small for even the CPU fallback, the parent
+    itself must emit the hand-built JSON line."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=_dead_tunnel_env(BENCH_BUDGET_S="45"),
+        capture_output=True, text=True, timeout=240, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.strip().startswith("{")]
+    assert lines
+    doc = json.loads(lines[-1])
+    assert doc["extra"].get("degraded") is True
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_with_dead_tunnel():
+    """dryrun_multichip must never touch jax in the parent process: with
+    a dead tunnel it spawns the CPU-forced child and succeeds."""
+    code = ("import sys; sys.path.insert(0, %r);"
+            "import __graft_entry__ as g; g.dryrun_multichip(4);"
+            "print('OK_DEAD_TUNNEL')" % REPO)
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        env=_dead_tunnel_env(_HTKTPU_DRYRUN_TIMEOUT="420"),
+        capture_output=True, text=True, timeout=480, cwd=REPO,
+    )
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-3000:])
+    assert "OK_DEAD_TUNNEL" in r.stdout
+
+
+def test_can_run_inproc_is_env_only():
+    """_can_run_inproc's decision must be env-only — a jax backend query
+    in the parent is exactly the round-3 hang. (This box's axon
+    sitecustomize imports jax at interpreter start, so `jax in
+    sys.modules` cannot be the check; instead: the function's source
+    must not touch jax, and its decisions must follow the env.)"""
+    import inspect
+
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+
+    src = inspect.getsource(g._can_run_inproc)
+    body = src.split('"""')[-1]  # code after the docstring
+    assert "import jax" not in body and "jax." not in body
+
+    import unittest.mock as mock
+
+    with mock.patch.dict(os.environ,
+                         {"PALLAS_AXON_POOL_IPS": BLACKHOLE}, clear=False):
+        os.environ.pop("_HTKTPU_DRYRUN_CHILD", None)
+        assert g._can_run_inproc(8) is False
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "_HTKTPU_DRYRUN_CHILD")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    with mock.patch.dict(os.environ, env, clear=True):
+        assert g._can_run_inproc(8) is True
+        assert g._can_run_inproc(16) is False

@@ -77,12 +77,14 @@ def build_model(n_phones=40, nstates=5, dim=39, nmix=8, seed=0):
 
 
 def build_tied_triphone_system(n_words, n_phones=40, n_tied=2000, nmix=8,
-                               dim=39, seed=0):
+                               dim=39, seed=0, lm_order=2):
     """Synthetic tied-state word-internal triphone system at config-#4
     scale: a pool of `n_tied` shared 8-mix states (the decision-tree
     tying outcome), word-internal triphones drawing 3 emitting states
     each from the pool, a random 3-5 phone lexicon, and a back-off
-    bigram LM. Vocab prons hold the triphone names directly."""
+    bigram LM (`lm_order=3`: plus ~8 favoured trigram successors per
+    bigram and non-trivial trigram back-off weights — the single-pass
+    guidance / rescoring testbed)."""
     from htk_tpu.io.dictionary import Vocab
     from htk_tpu.io.lm import NGramLM
     from htk_tpu.io.mmf import HMMSet, HMMDef, MixPDF, StateInfo, StreamElem
@@ -160,10 +162,22 @@ def build_tied_triphone_system(n_words, n_phones=40, n_tied=2000, nmix=8,
     lm.unigrams["!ENTER"] = (-99.0, math.log(0.5))
     lm.unigrams["!EXIT"] = (uni, 0.0)
     fanout = 20
+    bi_bow = math.log(0.3) if lm_order >= 3 else 0.0
     for w in words:
         succ = rng.integers(0, n_words, fanout)
         for j in set(int(x) for x in succ):
-            lm.bigrams[(w, words[j])] = (math.log(0.4 / fanout), 0.0)
+            lm.bigrams[(w, words[j])] = (math.log(0.4 / fanout), bi_bow)
+    if lm_order >= 3:
+        # ~8 explicit trigram successors per bigram, each much likelier
+        # than its back-off path — trigram context genuinely reranks
+        lm.order = 3
+        tri_fan = 8
+        for (u, v) in list(lm.bigrams):
+            if u == "!ENTER":
+                continue
+            succ = rng.integers(0, n_words, tri_fan)
+            for j in set(int(x) for x in succ):
+                lm.trigrams[(u, v, words[j])] = math.log(0.5 / tri_fan)
     return comp, vocab, words, lm
 
 

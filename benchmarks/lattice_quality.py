@@ -10,6 +10,12 @@ vs the widest configuration.
 
 Run on the accelerator: python benchmarks/lattice_quality.py
 (VOCAB=20000 for the 20k sweep; defaults to 5000.)
+
+LMORDER=3 builds a trigram LM and sweeps every configuration twice in
+one interleaved run — pass 1 plain bigram vs single-pass trigram
+guidance (compile_lv_loop(trigram=True), the HLVRec-LM.c role) — so
+the guided column shows whether the genBeam search-error knee
+collapses when the beam protects trigram-best hypotheses.
 """
 import os
 import sys
@@ -61,12 +67,17 @@ def main():
     from htk_tpu.algo.lvnet import compile_lv_loop
 
     rng = np.random.default_rng(7)
+    lm_order = int(os.environ.get("LMORDER", "2"))
     comp, vocab, words, lm = build_tied_triphone_system(
-        VOCAB, n_tied=2000, seed=11)
-    net = compile_lv_loop(words, vocab, comp, lm=lm)
+        VOCAB, n_tied=2000, seed=11, lm_order=lm_order)
+    nets = [("bigram", compile_lv_loop(words, vocab, comp, lm=lm))]
+    if lm_order >= 3:
+        nets.append(("triguide", compile_lv_loop(words, vocab, comp,
+                                                 lm=lm, trigram=True)))
+    net = nets[0][1]
     print(f"{VOCAB} words, {net.n_chains} rows "
-          f"({'factored' if net.xw_backoff is not None else 'dense'})",
-          flush=True)
+          f"({'factored' if net.xw_backoff is not None else 'dense'}), "
+          f"LM order {lm_order}", flush=True)
 
     refs, feats = [], []
     for _ in range(N_UTT):
@@ -91,51 +102,55 @@ def main():
     ]
     base_hyps = None
     lm_scale = 8.0
-    print(f"{'genBeam':>8} {'topA':>5} {'latBeam':>8} | "
+    print(f"{'mode':>9} {'genBeam':>8} {'topA':>5} {'latBeam':>8} | "
           f"{'WER%':>6} {'oracle%':>8} {'resc%':>6} {'searchErr%':>10} "
           f"{'xRT':>7} {'arcs/utt':>9}")
     for beam, top_a, lat_beam in configs:
-        generate_lattice_batch(  # warm-up: exclude compilation of
-            net, comp, feats, lm_scale=lm_scale,  # every length bucket
-            lattice_beam=lat_beam, beam=beam, max_active=top_a)
-        t0 = time.perf_counter()
-        lats = generate_lattice_batch(
-            net, comp, feats, lm_scale=lm_scale, lattice_beam=lat_beam,
-            beam=beam, max_active=top_a)
-        dt = time.perf_counter() - t0
-        errs = orc = resc = diff = 0
-        n_arcs = 0
-        hyps = []
-        for lat, ref in zip(lats, refs):
-            if lat is None:
-                errs += len(ref)
-                orc += len(ref)
-                resc += len(ref)
-                hyps.append([])
-                continue
-            from htk_tpu.algo.latops import best_path
+        for tag, net_ in nets:
+            generate_lattice_batch(  # warm-up: exclude compilation of
+                net_, comp, feats, lm_scale=lm_scale,  # every bucket
+                lattice_beam=lat_beam, beam=beam, max_active=top_a)
+            t0 = time.perf_counter()
+            lats = generate_lattice_batch(
+                net_, comp, feats, lm_scale=lm_scale,
+                lattice_beam=lat_beam, beam=beam, max_active=top_a)
+            dt = time.perf_counter() - t0
+            errs = orc = resc = diff = 0
+            n_arcs = 0
+            hyps = []
+            for lat, ref in zip(lats, refs):
+                if lat is None:
+                    errs += len(ref)
+                    orc += len(ref)
+                    resc += len(ref)
+                    hyps.append([])
+                    continue
+                from htk_tpu.algo.latops import best_path
 
-            _s, path = best_path(lat)
-            hyp = [w for (w, _t, _a) in path
-                   if w not in ("!NULL", "", None)]
-            e, _r = oracle_error(lat, ref)
-            _s2, path2 = best_path_trigram(lat, lm, lm_scale, 0.0)
-            hyp2 = [w for (w, _t) in path2]
-            errs += wer(ref, hyp)
-            orc += e
-            resc += wer(ref, hyp2)
-            n_arcs += len(lat.arcs)
-            hyps.append(hyp2)
-        if base_hyps is None:
-            base_hyps = hyps
-        diff = sum(h != b for h, b in zip(hyps, base_hyps))
-        audio = sum(f.shape[0] for f in feats) * 0.01
-        print(f"{beam if beam else '-':>8} "
-              f"{top_a if top_a else '-':>5} {lat_beam:>8.0f} | "
-              f"{100 * errs / n_ref:6.2f} {100 * orc / n_ref:8.2f} "
-              f"{100 * resc / n_ref:6.2f} "
-              f"{100 * diff / N_UTT:10.2f} {dt / audio:7.4f} "
-              f"{n_arcs // N_UTT:9d}", flush=True)
+                _s, path = best_path(lat)
+                hyp = [w for (w, _t, _a) in path
+                       if w not in ("!NULL", "", None)]
+                e, _r = oracle_error(lat, ref)
+                _s2, path2 = best_path_trigram(lat, lm, lm_scale, 0.0)
+                hyp2 = [w for (w, _t) in path2]
+                errs += wer(ref, hyp)
+                orc += e
+                resc += wer(ref, hyp2)
+                n_arcs += len(lat.arcs)
+                hyps.append(hyp2)
+            if base_hyps is None:
+                # reference point: the widest configuration's rescored
+                # transcripts (mode-independent at a wide-open beam) —
+                # both modes' search errors count against the same truth
+                base_hyps = hyps
+            diff = sum(h != b for h, b in zip(hyps, base_hyps))
+            audio = sum(f.shape[0] for f in feats) * 0.01
+            print(f"{tag:>9} {beam if beam else '-':>8} "
+                  f"{top_a if top_a else '-':>5} {lat_beam:>8.0f} | "
+                  f"{100 * errs / n_ref:6.2f} {100 * orc / n_ref:8.2f} "
+                  f"{100 * resc / n_ref:6.2f} "
+                  f"{100 * diff / N_UTT:10.2f} {dt / audio:7.4f} "
+                  f"{n_arcs // N_UTT:9d}", flush=True)
 
 
 if __name__ == "__main__":

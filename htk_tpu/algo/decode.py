@@ -321,6 +321,7 @@ def decode_scan_uniform_batch(
     max_active: Optional[int] = None,
     xw: Optional[dict] = None,
     use_pallas: Optional[bool] = None,
+    xw3: Optional[dict] = None,
 ):
     """Batched uniform-row scan — same recursion as decode_scan_uniform
     but with the batch INSIDE the step, which is what makes the
@@ -331,11 +332,15 @@ def decode_scan_uniform_batch(
     batch element or pays ~1.2 ms/frame for the top-k sort (measured
     85% of the step on v5e). Other cross-word forms (factored back-off
     `xw`, explicit top-A `max_active`) run as batched XLA ops.
+
+    `xw3`: single-pass trigram guidance tables (net.xw_trigram, scaled)
+    — replaces the cross-word step with the trigram-context form (see
+    _make_uniform_step). Batched-path only.
     """
     B, T, Ns = outp_states.shape
     step = _make_uniform_step(
         B, Ns, band, a0, aE, S, entry_bonus_row, trans, start_entry,
-        word_pen, beam, max_active, xw, use_pallas)
+        word_pen, beam, max_active, xw, use_pallas, xw3)
     if T > REC_TMASK:
         HError(8520, "decode_scan_uniform_batch: %d frames exceed the "
                      "packed-record range (%d — chunk longer audio)",
@@ -361,13 +366,35 @@ def decode_scan_uniform_batch(
 
 def _make_uniform_step(B, Ns, band, a0, aE, S, entry_bonus_row, trans,
                        start_entry, word_pen, beam, max_active, xw,
-                       use_pallas):
-    """The batched per-frame update as step(carry, outp_t, t)."""
+                       use_pallas, xw3=None):
+    """The batched per-frame update as step(carry, outp_t, t).
+
+    With `xw3` (single-pass trigram guidance, the `HTKLVRec/HLVRec-LM.c`
+    role): the whole cross-word step runs over the top-A word-end set,
+    each source row i scored under its own token's trigram context
+    u_i = word(pwn_i) — the predecessor row its entry record already
+    carries. entry[j] = max_i WE_i + max(s*tri(u_i, v_i, j),
+    s*tribow(u_i, v_i) + bigram legs). This is the word-pair
+    approximation (one LM context per row — the Viterbi-best one), not
+    HLVRec's exact LM-state token sets; it is exact vs the same
+    recursion unpruned whenever A covers every live word end, and its
+    purpose is to make the pass-1 beam protect trigram-best hypotheses
+    (the measured genBeam search-error knee collapses)."""
     C = Ns // S
     K = band.shape[0]
     if C >= REC_MAXROWS:
         HError(8520, "decode_scan_uniform_batch: %d rows exceed the "
                      "packed-record range (%d)", C, REC_MAXROWS)
+    if xw3 is not None:
+        if xw is None:
+            HError(8526, "trigram guidance needs the factored cross-word "
+                         "tables (compile_lv_loop(factored=True))")
+        if (xw.get("succ_j") is None and max_active is not None
+                and max_active < C):
+            HError(8526, "trigram guidance with top-A pruning needs the "
+                         "bigram successor tables (out-degree too skewed "
+                         "at this vocabulary) — decode without -u or "
+                         "disable HDECODE: TRIGUIDE")
     if use_pallas is None:
         # measured on v5e at C=5k: the kernel's exact dense max-plus is
         # VPU-compute-bound (B*C^2 compare/select ~ 1.2G ops/frame) and
@@ -394,7 +421,99 @@ def _make_uniform_step(B, Ns, band, a0, aE, S, entry_bonus_row, trans,
         pwn = (prec >> REC_TBITS).astype(jnp.int32) - 1
         pwt = (prec & REC_TMASK).astype(jnp.int32) - 1
 
-        if xw is not None:
+        if xw3 is not None and xw is not None:
+            # single-pass trigram guidance: everything below runs over
+            # the top-A word-end set (A = C when max_active is off)
+            if max_active is not None and max_active < C:
+                vals, idxs = jax.lax.top_k(WE, max_active)  # (B, A)
+                uA = jnp.take_along_axis(pwn, idxs, axis=1)
+            else:
+                idxs = jnp.broadcast_to(
+                    jnp.arange(C, dtype=jnp.int32)[None], (B, C))
+                vals = WE
+                uA = pwn
+            uw = xw3["ctx_word"][jnp.where(uA >= 0, uA, C)]  # (B, A)
+            # lower-bound search for the (u, v) context: pairs are
+            # sorted (v_row asc, u_word asc), so each lane's segment
+            # base seg_start[row] is static and only u varies — a short
+            # int32 binary search, no 64-bit pair keys
+            P = xw3["pair_u"].shape[0]
+            lo = xw3["seg_start"][idxs]
+            hi0 = xw3["seg_start"][idxs + 1]
+            hi = hi0
+            for _ in range(xw3["iters"]):
+                mid = (lo + hi) >> 1
+                mu = xw3["pair_u"][jnp.minimum(mid, P - 1)]
+                go = (mid < hi) & (mu < uw)
+                lo = jnp.where(go, mid + 1, lo)
+                hi = jnp.where(go | (mid >= hi), hi, mid)
+            loc = jnp.minimum(lo, P - 1)
+            hit = (lo < hi0) & (xw3["pair_u"][loc] == uw)
+            tb = jnp.where(hit, xw3["pair_bow"][loc], 0.0)
+            vb = vals + tb  # word-end mass through the trigram back-off
+            # back-off-to-unigram leg
+            bo = vb + xw["bow"][idxs]
+            kbo = jnp.argmax(bo, axis=1)
+            bo_best = jnp.take_along_axis(bo, kbo[:, None], axis=1)
+            entry_n = bo_best + xw["uni"][None]
+            bo_arg = jnp.take_along_axis(idxs, kbo[:, None], axis=1)
+            an = jnp.broadcast_to(bo_arg, (B, C))
+            bidx = jnp.arange(B)[:, None, None]
+            # explicit-bigram leg (successor tables over the A set)
+            if xw.get("succ_j") is not None:
+                sj = xw["succ_j"][idxs]  # (B, A, O) row gather
+                sp = xw["succ_p"][idxs]
+                cand = vb[..., None] + sp
+                ex = jnp.full((B, C + 1), 2.0 * LZERO, jnp.float32)
+                ex = ex.at[bidx, sj].max(cand, mode="promise_in_bounds")
+                exg = ex[bidx, sj]
+                src_rows = jnp.broadcast_to(idxs[..., None], cand.shape)
+                win_src = jnp.where(cand >= exg, src_rows, -1)
+                anx = jnp.full((B, C + 1), -1, jnp.int32)
+                anx = anx.at[bidx, sj].max(win_src,
+                                           mode="promise_in_bounds")
+                take = ex[:, :C] > entry_n
+                entry_n = jnp.maximum(entry_n, ex[:, :C])
+                an = jnp.where(take, anx[:, :C], an)
+            elif idxs.shape[1] == C and xw["buckets"]:
+                # exact mode without succ tables: vb is row-aligned, so
+                # the per-target bucket gather applies unchanged
+                parts_v, parts_a = [], []
+                for preds, scores in xw["buckets"]:
+                    cand = vb[:, preds] + scores[None]
+                    parts_v.append(jnp.max(cand, axis=2))
+                    k = jnp.argmax(cand, axis=2)
+                    parts_a.append(
+                        preds[jnp.arange(preds.shape[0])[None], k])
+                exp_v = jnp.concatenate(parts_v, axis=1)[:, xw["inv"]]
+                exp_a = jnp.concatenate(parts_a, axis=1)[:, xw["inv"]]
+                take = exp_v > entry_n
+                entry_n = jnp.maximum(entry_n, exp_v)
+                an = jnp.where(take, exp_a, an)
+            # explicit-trigram leg (pair-major CSR gather, raw vals)
+            if xw3["o3max"]:
+                st = jnp.where(hit, xw3["pair_tstart"][loc], 0)
+                cn = jnp.where(hit, xw3["pair_tcnt"][loc], 0)
+                sl = jnp.arange(xw3["o3max"], dtype=jnp.int32)[None, None]
+                valid = sl < cn[..., None]
+                oc = jnp.where(valid, st[..., None] + sl, 0)
+                tjg = jnp.where(valid, xw3["tri_j"][oc], C)
+                tpg = jnp.where(valid, xw3["tri_p"][oc], 2.0 * LZERO)
+                cand3 = vals[..., None] + tpg  # (B, A, O3)
+                ex3 = jnp.full((B, C + 1), 2.0 * LZERO, jnp.float32)
+                ex3 = ex3.at[bidx, tjg].max(cand3,
+                                            mode="promise_in_bounds")
+                exg3 = ex3[bidx, tjg]
+                src3 = jnp.broadcast_to(idxs[..., None], cand3.shape)
+                win3 = jnp.where(cand3 >= exg3, src3, -1)
+                an3 = jnp.full((B, C + 1), -1, jnp.int32)
+                an3 = an3.at[bidx, tjg].max(win3,
+                                            mode="promise_in_bounds")
+                take3 = ex3[:, :C] > entry_n
+                entry_n = jnp.maximum(entry_n, ex3[:, :C])
+                an = jnp.where(take3, an3[:, :C], an)
+            entry_n = entry_n + word_pen
+        elif xw is not None:
             bo = WE + xw["bow"][None]
             bo_best = jnp.max(bo, axis=1)  # (B,)
             bo_arg = jnp.argmax(bo, axis=1).astype(jnp.int32)
@@ -535,8 +654,28 @@ def _net_dev(net: DecodeNetwork) -> dict:
                 "succ_p": (jnp.asarray(x["succ_p"])
                            if x.get("succ_p") is not None else None),
             }
+        if getattr(net, "xw_trigram", None) is not None:
+            x3 = net.xw_trigram
+            d["xw3"] = {
+                k: jnp.asarray(x3[k])
+                for k in ("pair_u", "pair_bow", "pair_tstart",
+                          "pair_tcnt", "seg_start", "tri_j", "tri_p",
+                          "ctx_word")
+            }
+            d["xw3"]["o3max"] = x3["o3max"]
+            d["xw3"]["iters"] = x3["iters"]
         net._dev_cache = d
     return d
+
+
+def _scale_xw3(x3, lm_scale):
+    """LM-scale the trigram guidance tables (traced)."""
+    if x3 is None:
+        return None
+    out = dict(x3)
+    out["pair_bow"] = x3["pair_bow"] * lm_scale
+    out["tri_p"] = x3["tri_p"] * lm_scale
+    return out
 
 
 def _scale_xw(xw_d, lm_scale):
@@ -573,12 +712,15 @@ def run_decode_batch(
             S = net.uniform_width
             xw_d = d.get("xw")
 
+            xw3_d = d.get("xw3")
+
             def scan_all(outp, lm_scale_, word_pen_, beam_):
                 xw_s = _scale_xw(xw_d, lm_scale_)
                 return decode_scan_uniform_batch(
                     outp, d["band"], d["a0"], d["aE"], S, d["bonus"],
                     d["trans"] * lm_scale_, d["start"] * lm_scale_,
                     word_pen_, beam_, max_active, xw=xw_s,
+                    xw3=_scale_xw3(xw3_d, lm_scale_),
                 )
 
             fn = jax.jit(scan_all)
@@ -774,7 +916,8 @@ def _lv_scan_body(net, comp, d, precision, max_active, state_mode,
     step = _make_uniform_step(
         B, Ns, d["band"], d["a0"], d["aE"], S, d["bonus"],
         d["trans"] * lm_scale, d["start"] * lm_scale,
-        word_pen, beam, max_active, xw_s, None)
+        word_pen, beam, max_active, xw_s, None,
+        _scale_xw3(d.get("xw3"), lm_scale))
 
     def outp_of(fchunk):
         if state_mode:  # (B, t, S_phys) external state scores
@@ -1270,6 +1413,47 @@ def _host_lm_lookup(net):
     return lm_of
 
 
+def _host_lm3_lookup(net):
+    """Host-side trigram-guided LM scores for lattice arc arithmetic:
+    lm3(ppn, pn, i) = the score the single-pass trigram cross-word step
+    applied to the pn -> i transition when pn's token's own predecessor
+    was ppn (-1 = sentence-start context). The lattice's acoustic
+    scores come from subtracting exactly what pass 1 added."""
+    x3 = net.xw_trigram
+    lm2 = _host_lm_lookup(net)
+    ctx = np.asarray(x3["ctx_word"], np.int64)
+    C = len(ctx) - 1
+    seg = np.asarray(x3["seg_start"], np.int64)
+    pu = np.asarray(x3["pair_u"], np.int64)
+    pbow = np.asarray(x3["pair_bow"], np.float64)
+    pst = np.asarray(x3["pair_tstart"], np.int64)
+    pcn = np.asarray(x3["pair_tcnt"], np.int64)
+    tj = np.asarray(x3["tri_j"], np.int64)
+    tp = np.asarray(x3["tri_p"], np.float64)
+
+    def lm3(ppn, pn, i):
+        ppn_a = np.atleast_1d(np.asarray(ppn, np.int64))
+        pn_a = np.atleast_1d(np.asarray(pn, np.int64))
+        i_a = np.atleast_1d(np.asarray(i, np.int64))
+        uw = ctx[np.where(ppn_a >= 0, ppn_a, C)]
+        out = np.asarray(lm2(pn_a, i_a), np.float64).copy()
+        lo = seg[pn_a]
+        hi = seg[pn_a + 1]
+        for q in range(len(pn_a)):
+            j = lo[q] + np.searchsorted(pu[lo[q]:hi[q]], uw[q])
+            if j >= hi[q] or pu[j] != uw[q]:
+                continue  # no (u, v) context: plain bigram score
+            v = pbow[j] + out[q]
+            s, c = pst[j], pcn[j]
+            k = s + np.searchsorted(tj[s:s + c], i_a[q])
+            if k < s + c and tj[k] == i_a[q] and tp[k] > v:
+                v = tp[k]
+            out[q] = v
+        return out
+
+    return lm3
+
+
 def generate_lattice(
     net: DecodeNetwork,
     comp: CompiledHMMSet,
@@ -1465,9 +1649,19 @@ def _lattice_from_rec(net, rec, resolve, T_real, frame_period_s,
         lm_a[m_start] = start_entry[ii[m_start]]
         ac_a[m_start] = sc[m_start] - lm_a[m_start] * lm_scale
     if m_int.any():
-        lm_of = _host_lm_lookup(net)
-        lm_a[m_int] = lm_of(pn_a[m_int], ii[m_int])
         get = rec.get
+        if getattr(net, "xw_trigram", None) is not None:
+            # pass 1 scored pn -> i under pn's token's own trigram
+            # context — its record's predecessor names that context
+            ppn_a = np.fromiter(
+                (get(k)[1] for k in zip(pn_a[m_int].tolist(),
+                                        pt_a[m_int].tolist())),
+                np.int64, int(m_int.sum()))
+            lm_a[m_int] = _host_lm3_lookup(net)(
+                ppn_a, pn_a[m_int], ii[m_int])
+        else:
+            lm_of = _host_lm_lookup(net)
+            lm_a[m_int] = lm_of(pn_a[m_int], ii[m_int])
         prev = np.fromiter(
             (get(k)[0] for k in zip(pn_a[m_int].tolist(),
                                     pt_a[m_int].tolist())),

@@ -279,6 +279,120 @@ def _factored_rows(words, lm, row_word, i_s, i_e):
     }
 
 
+def _trigram_tables(words, lm, row_word, i_s, i_e, sent_start):
+    """Single-pass trigram guidance tables (the `HTKLVRec/HLVRec-LM.c`
+    role, TPU-shaped).
+
+    The reference decodes trigrams in ONE pass by carrying LM states on
+    its tokens. Here every row keeps its single best token, and that
+    token's entry record already names its predecessor row (the pwn
+    plane the scan emits every frame) — so the cross-word step can
+    rescore each word end with its best predecessor's trigram context:
+
+      entry[j] = max_i WE[i] + max( s*tri(u_i, v_i, j),
+                                    s*tribow(u_i, v_i) + bigram legs )
+
+    where u_i = word(pwn[i]) and v_i = word(i). This is the word-pair
+    approximation (one LM context per row, the best one) rather than
+    HLVRec's exact token-set search; the exact lattice rescoring pass
+    stays on, and the point of the guidance is that the pass-1 beam now
+    protects trigram-best hypotheses (measured: the genBeam search-error
+    knee collapses, benchmarks/lattice_quality.py).
+
+    Table layout (everything static, device-resident once):
+      pair_u / pair_bow / pair_tstart / pair_tcnt — the (u, v) bigram
+        contexts, sorted (v_row asc, u_word asc) so each decode lane's
+        segment base is STATIC (seg_start[v_row]) and the per-frame
+        lookup is a short binary search over u alone — no int64 pair
+        keys (jax default dtypes are 32-bit);
+      seg_start (C+1,) — per-row slice into the pair arrays;
+      tri_j / tri_p — row-level explicit-trigram successor lists,
+        pair-major CSR (pair_tstart/pair_tcnt), target-sorted within a
+        pair so the host lattice lookup can binary-search a target;
+      ctx_word (C+1,) — row -> word id; slot C is the sentence-start
+        context (tokens whose record says "no predecessor" back off to
+        the <s> context, exactly HLVRec's initial LM state).
+    """
+    C = len(row_word)
+    W = len(words)
+    rw = np.asarray(row_word, np.int64)
+    extra = () if sent_start in words else (sent_start,)
+    t_i, t_j, t_k, t_p = lm.trigram_arrays(list(words), tuple(extra))
+    # v and the target must be loop words; the context u may be the
+    # sentence start (index W when it is not itself a loop word)
+    kt = (t_j < W) & (t_k < W)
+    if i_e is not None:
+        kt &= t_j != i_e  # nothing leaves </s>
+    if i_s is not None:
+        kt &= t_k != i_s  # nothing re-enters <s>
+    t_i, t_j, t_k, t_p = t_i[kt], t_j[kt], t_k[kt], t_p[kt]
+    if not len(t_i):
+        return None
+    bi_i, bi_j, bi_b = lm.bigram_bow_arrays(list(words), tuple(extra))
+    kb = bi_j < W
+    if i_e is not None:
+        kb &= bi_j != i_e
+    pu, pv, pb = bi_i[kb], bi_j[kb], bi_b[kb]
+    # contexts present only in the trigram section (ill-formed ARPA
+    # tolerated the way HLM.c tolerates it): back-off weight 0
+    Wx = W + 1
+    miss = np.setdiff1d(np.unique(t_i * Wx + t_j), pu * Wx + pv)
+    if len(miss):
+        pu = np.concatenate([pu, miss // Wx])
+        pv = np.concatenate([pv, miss % Wx])
+        pb = np.concatenate([pb, np.zeros(len(miss))])
+
+    cnt = np.bincount(rw, minlength=W).astype(np.int64)
+    w0 = np.zeros(W, np.int64)
+    w0[1:] = np.cumsum(cnt)[:-1]
+
+    def _expand(reps):
+        tot = int(reps.sum())
+        gi = np.repeat(np.arange(len(reps), dtype=np.int64), reps)
+        starts = np.cumsum(reps) - reps
+        return gi, np.arange(tot, dtype=np.int64) - starts[gi]
+
+    # (u_word, v_word) pairs expand over v's pronunciation rows (the
+    # back-off weight is a word property; rows are (word, pron))
+    g, off = _expand(cnt[pv])
+    p_u = pu[g]
+    p_vrow = w0[pv[g]] + off
+    p_bow = pb[g]
+    # trigram instances expand over v's rows then the target's rows
+    g1, o1 = _expand(cnt[t_j])
+    u1, v1, k1, p1 = t_i[g1], w0[t_j[g1]] + o1, t_k[g1], t_p[g1]
+    g2, o2 = _expand(cnt[k1])
+    tri_tgt = w0[k1[g2]] + o2
+    tkey = v1[g2] * Wx + u1[g2]
+    tri_lp = p1[g2]
+
+    po = np.lexsort((p_u, p_vrow))
+    p_u, p_vrow, p_bow = p_u[po], p_vrow[po], p_bow[po]
+    pkey = p_vrow * Wx + p_u
+    to = np.lexsort((tri_tgt, tkey))
+    tkey, tri_tgt, tri_lp = tkey[to], tri_tgt[to], tri_lp[to]
+    pair_tstart = np.searchsorted(tkey, pkey, side="left")
+    pair_tcnt = np.searchsorted(tkey, pkey, side="right") - pair_tstart
+    seg_start = np.searchsorted(p_vrow, np.arange(C + 1))
+    max_seg = int((seg_start[1:] - seg_start[:-1]).max()) if C else 0
+    o3max = int(pair_tcnt.max()) if len(pair_tcnt) else 0
+
+    s_ctx = words.index(sent_start) if sent_start in words else W
+    ctx_word = np.concatenate([rw, [s_ctx]])
+    return {
+        "pair_u": p_u.astype(np.int32),
+        "pair_bow": p_bow.astype(np.float32),
+        "pair_tstart": pair_tstart.astype(np.int32),
+        "pair_tcnt": pair_tcnt.astype(np.int32),
+        "seg_start": seg_start.astype(np.int32),
+        "tri_j": tri_tgt.astype(np.int32),
+        "tri_p": tri_lp.astype(np.float32),
+        "ctx_word": ctx_word.astype(np.int32),
+        "o3max": o3max,
+        "iters": max(1, int(np.ceil(np.log2(max_seg + 1)))),
+    }
+
+
 def compile_lv_loop(
     words: Sequence[str],
     vocab: Vocab,
@@ -291,6 +405,7 @@ def compile_lv_loop(
     start_word: Optional[str] = None,
     end_word: Optional[str] = None,
     factored: Optional[bool] = None,
+    trigram: bool = False,
 ) -> DecodeNetwork:
     """Compile a full-vocabulary back-off bigram word loop.
 
@@ -311,7 +426,17 @@ def compile_lv_loop(
     thousand rows (the factored gathers serialise on the VPU), but the
     dense matrix is 4*C^2 bytes — 400 MB at 10k rows — so beyond
     FACTORED_THRESHOLD rows the factored form is the only viable one.
-    None = auto by that threshold."""
+    None = auto by that threshold.
+
+    `trigram`: build single-pass trigram guidance tables (see
+    _trigram_tables — the `HTKLVRec/HLVRec-LM.c` role) so the pass-1
+    cross-word step scores each word end under its best predecessor's
+    trigram context. Forces the factored form (the guidance leg rides
+    the factored top-A cross-word step). No-op for bigram LMs."""
+    if trigram and lm is not None and lm.order >= 3:
+        factored = True  # guidance rides the factored cross-word step
+    else:
+        trigram = False
     if factored is None:
         n_rows = sum(len(vocab.get(w).prons) if vocab.get(w) else 1
                      for w in words) + (2 if start_word else 0)
@@ -406,11 +531,15 @@ def compile_lv_loop(
     start_entry = w_start[row_word_np]
     end_exit = w_end[row_word_np]
     xw = None
+    xw3 = None
     if factored:
         # the dense (C, C) matrix is never materialised — the factored
         # tables carry the same information in O(#bigrams)
         trans = np.zeros((0, 0), np.float64)
         xw = _factored_rows(words, lm, row_word, i_s, i_e)
+        if trigram:
+            xw3 = _trigram_tables(list(words), lm, row_word, i_s, i_e,
+                                  sent_start)
     else:
         trans = w_trans[row_word_np[:, None], row_word_np[None, :]]
 
@@ -432,4 +561,5 @@ def compile_lv_loop(
         n_nodes=C,
         uniform_width=S,
         xw_backoff=xw,
+        xw_trigram=xw3,
     )

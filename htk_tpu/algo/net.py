@@ -84,6 +84,11 @@ class DecodeNetwork:
     # 1.0 where entering the node collects the word-insertion penalty
     # (full/head units), 0.0 for intra-word body/tail entries
     node_wdpen: Optional[np.ndarray] = None
+    # set by algo/lvnet.py for trigram LMs: single-pass trigram guidance
+    # tables (context-sorted trigram successor lists + bigram back-off
+    # weights, keyed by the predecessor word carried on each token's
+    # entry record) — see lvnet._trigram_tables / decode `xw3` leg
+    xw_trigram: Optional[dict] = None
 
 
 def _maxplus_closure(null_arcs: np.ndarray) -> np.ndarray:

@@ -85,6 +85,49 @@ class NGramLM:
         bo = self.tri_bo.get((w1, w2, w3), 0.0)
         return bo + self.logp_tri(w2, w3, w4)
 
+    def bigram_bow_arrays(self, words: List[str], extra: Tuple[str, ...] = ()):
+        """Bigram back-off weights restricted to `words` (+ `extra`,
+        indexed after them): (i, j, bow) arrays, dict/file order.
+        Contexts with bow == 0 are included (presence = the (u, w)
+        context exists, which trigram back-off semantics needs)."""
+        pos = {}
+        for k, w in enumerate(list(words) + list(extra)):
+            pos[w] = k
+        ii: List[int] = []
+        jj: List[int] = []
+        bb: List[float] = []
+        for (w1, w2), (_p, bo) in self.bigrams.items():
+            a = pos.get(w1)
+            b = pos.get(w2)
+            if a is not None and b is not None:
+                ii.append(a)
+                jj.append(b)
+                bb.append(bo)
+        return (np.asarray(ii, np.int64), np.asarray(jj, np.int64),
+                np.asarray(bb, np.float64))
+
+    def trigram_arrays(self, words: List[str], extra: Tuple[str, ...] = ()):
+        """Explicit trigrams restricted to `words` (+ `extra`, indexed
+        after them): (i, j, k, p) arrays with p in natural logs."""
+        pos = {}
+        for k, w in enumerate(list(words) + list(extra)):
+            pos[w] = k
+        ii: List[int] = []
+        jj: List[int] = []
+        kk: List[int] = []
+        pp: List[float] = []
+        for (w1, w2, w3), p in self.trigrams.items():
+            a = pos.get(w1)
+            b = pos.get(w2)
+            c = pos.get(w3)
+            if a is not None and b is not None and c is not None:
+                ii.append(a)
+                jj.append(b)
+                kk.append(c)
+                pp.append(p)
+        return (np.asarray(ii, np.int64), np.asarray(jj, np.int64),
+                np.asarray(kk, np.int64), np.asarray(pp, np.float64))
+
 
 class PackedNGramLM(NGramLM):
     """Array-backed NGramLM (the native ARPA codec's output, and the
@@ -200,10 +243,7 @@ class PackedNGramLM(NGramLM):
         self.__dict__["_d_four"] = v
 
     # -- vectorised access ---------------------------------------------
-    def bigram_arrays(self, words: List[str], extra: Tuple[str, ...] = ()):
-        if "_d_bi" in self.__dict__:
-            # dicts were touched (possibly edited): they are the truth
-            return super().bigram_arrays(words, extra)
+    def _word_map(self, words, extra):
         if self._widx is None:
             self._widx = {w: k for k, w in enumerate(self._vocab_list)}
         m = np.full(len(self._vocab_list) + 1, -1, np.int64)
@@ -211,6 +251,13 @@ class PackedNGramLM(NGramLM):
             vid = self._widx.get(w)
             if vid is not None:
                 m[vid] = k
+        return m
+
+    def bigram_arrays(self, words: List[str], extra: Tuple[str, ...] = ()):
+        if "_d_bi" in self.__dict__:
+            # dicts were touched (possibly edited): they are the truth
+            return super().bigram_arrays(words, extra)
+        m = self._word_map(words, extra)
         ids, p, _bo, _hb = self._pack(2)
         if not len(ids):
             return (np.zeros(0, np.int64), np.zeros(0, np.int64),
@@ -219,6 +266,33 @@ class PackedNGramLM(NGramLM):
         j = m[ids[:, 1].astype(np.int64)]
         keep = (i >= 0) & (j >= 0)
         return i[keep], j[keep], p[keep]
+
+    def bigram_bow_arrays(self, words: List[str], extra: Tuple[str, ...] = ()):
+        if "_d_bi" in self.__dict__:
+            return super().bigram_bow_arrays(words, extra)
+        m = self._word_map(words, extra)
+        ids, _p, bo, _hb = self._pack(2)
+        if not len(ids):
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.float64))
+        i = m[ids[:, 0].astype(np.int64)]
+        j = m[ids[:, 1].astype(np.int64)]
+        keep = (i >= 0) & (j >= 0)
+        return i[keep], j[keep], bo[keep]
+
+    def trigram_arrays(self, words: List[str], extra: Tuple[str, ...] = ()):
+        if "_d_tri" in self.__dict__:
+            return super().trigram_arrays(words, extra)
+        m = self._word_map(words, extra)
+        ids, p, _bo, _hb = self._pack(3)
+        if not len(ids):
+            z = np.zeros(0, np.int64)
+            return z, z.copy(), z.copy(), np.zeros(0, np.float64)
+        i = m[ids[:, 0].astype(np.int64)]
+        j = m[ids[:, 1].astype(np.int64)]
+        k = m[ids[:, 2].astype(np.int64)]
+        keep = (i >= 0) & (j >= 0) & (k >= 0)
+        return i[keep], j[keep], k[keep], p[keep]
 
 
 def _num_factory(line, path):

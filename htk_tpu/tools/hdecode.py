@@ -150,12 +150,19 @@ def run(argv: List[str]) -> int:
     pmap = word_internal_phone_map(comp.names)
     if use_lv:
         # uniform-row LV loop; cross-word exactness comes from the
-        # lattice-constrained pass 2 below
+        # lattice-constrained pass 2 below. TRIGUIDE (default T, the
+        # HLVRec-LM.c single-pass role) scores pass 1 under each
+        # token's trigram context so the beam protects trigram-best
+        # hypotheses — without it pass-1 pruning errors at tight
+        # genBeam are whole utterances no rescoring can recover.
+        triguide = cfg.bool_("TRIGUIDE", None, module="HDECODE")
+        triguide = (lm.order >= 3) if triguide is None else bool(triguide)
         net = compile_lv_loop(
             words, vocab, comp, lm=lm, phone_map=pmap,
             sent_start=sent_start, sent_end=sent_end,
             start_word=start_w if bound_prons else None,
-            end_word=end_w if bound_prons else None)
+            end_word=end_w if bound_prons else None,
+            trigram=triguide)
         x_static = False
     elif want_x:
         lat_net = bigram_lattice(words, lm, sent_start, sent_end,

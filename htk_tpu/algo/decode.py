@@ -193,6 +193,10 @@ def decode_scan_uniform(
     T, Ns = outp_states.shape
     C = Ns // S
     K = band.shape[0]
+    max_active, _adaptive = _topa_mode(max_active)
+    if _adaptive:
+        HError(8526, "adaptive-exact top-A (negative max_active) is a "
+                     "batched-path feature — use decode()/decode_batch()")
     if C >= REC_MAXROWS or T > REC_TMASK:
         HError(8520, "decode_scan_uniform: %d rows / %d frames exceed the "
                      "packed-record range (%d rows, %d frames — chunk "
@@ -300,6 +304,24 @@ def decode_scan_uniform(
     return (v, wn, wt), (WEs, pwns, pwts)
 
 
+def _topa_mode(max_active):
+    """Decode the max_active encoding.
+
+    n > 0: top-A histogram pruning (HLVRec maxModel semantics).
+    n < 0: ADAPTIVE-EXACT top-A — |n| sources drive the explicit leg
+    plus a per-frame soundness certificate (an excluded source i can
+    win some target j only if WE[i] + marg[i] > bo_best, marg static —
+    see lvnet._factored_rows); frames where the certificate trips
+    recompute the explicit leg exactly via the bucket gather under
+    lax.cond. Scores are bit-identical to the exact decode on every
+    frame; records can differ only on exact f32 score ties (the two
+    legs' tie rules differ).
+    Returns (A, adaptive)."""
+    if max_active is None:
+        return None, False
+    return abs(int(max_active)), max_active < 0
+
+
 def _shift_down_b(x, k, fill):
     """Batched _shift_down along axis 1: y[:, s] = x[:, s-k]."""
     if k == 0:
@@ -382,9 +404,17 @@ def _make_uniform_step(B, Ns, band, a0, aE, S, entry_bonus_row, trans,
     (the measured genBeam search-error knee collapses)."""
     C = Ns // S
     K = band.shape[0]
+    max_active, adaptive = _topa_mode(max_active)
     if C >= REC_MAXROWS:
         HError(8520, "decode_scan_uniform_batch: %d rows exceed the "
                      "packed-record range (%d)", C, REC_MAXROWS)
+    if adaptive and (xw is None or xw3 is not None
+                     or xw.get("succ_j") is None or not xw["buckets"]
+                     or xw.get("marg") is None):
+        HError(8526, "adaptive-exact top-A needs the factored cross-word "
+                     "tables with successor tables and buckets (and is "
+                     "not combined with trigram guidance, which is "
+                     "already a top-A semantic)")
     if xw3 is not None:
         if xw is None:
             HError(8526, "trigram guidance needs the factored cross-word "
@@ -549,9 +579,38 @@ def _make_uniform_step(B, Ns, band, a0, aE, S, entry_bonus_row, trans,
                 win_src = jnp.where(cand >= exg, src_rows, -1)
                 anx = jnp.full((B, C + 1), -1, jnp.int32)
                 anx = anx.at[bidx, sj].max(win_src, mode="promise_in_bounds")
+                an_x = anx[:, :C]
+                if adaptive:
+                    # soundness certificate: an excluded source i can
+                    # win some target j over the back-off floor
+                    # bo_best + uni[j] only if WE[i] + marg[i] >
+                    # bo_best (marg static, lvnet._factored_rows).
+                    # Frames where that trips recompute the explicit
+                    # leg exactly (bucket gather) under lax.cond —
+                    # exact scores every frame, top-A cost on the rest.
+                    ex_m = WE + xw["marg"][None]
+                    ex_m = ex_m.at[jnp.arange(B)[:, None], idxs].set(
+                        2.0 * LZERO, mode="promise_in_bounds")
+                    safe = jnp.all(jnp.max(ex_m, axis=1) <= bo_best)
+
+                    def _fast(_):
+                        return exp_v, an_x
+
+                    def _slow(_):
+                        pv, pa = [], []
+                        for preds, scores in xw["buckets"]:
+                            cb = WE[:, preds] + scores[None]
+                            pv.append(jnp.max(cb, axis=2))
+                            kb = jnp.argmax(cb, axis=2)
+                            pa.append(preds[
+                                jnp.arange(preds.shape[0])[None], kb])
+                        return (jnp.concatenate(pv, axis=1)[:, xw["inv"]],
+                                jnp.concatenate(pa, axis=1)[:, xw["inv"]])
+
+                    exp_v, an_x = jax.lax.cond(safe, _fast, _slow, None)
                 take = exp_v > entry_n
                 entry_n = jnp.maximum(entry_n, exp_v)
-                an = jnp.where(take, anx[:, :C], an)
+                an = jnp.where(take, an_x, an)
             elif xw["buckets"]:  # an LM can carry zero explicit bigrams
                 parts_v, parts_a = [], []
                 for preds, scores in xw["buckets"]:
@@ -653,6 +712,8 @@ def _net_dev(net: DecodeNetwork) -> dict:
                            if x.get("succ_j") is not None else None),
                 "succ_p": (jnp.asarray(x["succ_p"])
                            if x.get("succ_p") is not None else None),
+                "marg": (jnp.asarray(x["marg"])
+                         if x.get("marg") is not None else None),
             }
         if getattr(net, "xw_trigram", None) is not None:
             x3 = net.xw_trigram
@@ -690,6 +751,8 @@ def _scale_xw(xw_d, lm_scale):
         "succ_j": xw_d.get("succ_j"),
         "succ_p": (xw_d["succ_p"] * lm_scale
                    if xw_d.get("succ_p") is not None else None),
+        "marg": (xw_d["marg"] * lm_scale
+                 if xw_d.get("marg") is not None else None),
     }
 
 

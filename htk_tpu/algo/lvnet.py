@@ -269,6 +269,15 @@ def _factored_rows(words, lm, row_word, i_s, i_e):
         slot2 = np.arange(n_e, dtype=np.int64) - src_first[src_g]
         succ_j[src_g, slot2] = tgt_g
         succ_p[src_g, slot2] = sc_g
+    # per-source certificate margin for the adaptive-exact cross-word
+    # step (decode._make_uniform_step, adaptive=True): an excluded
+    # source i can outscore the back-off floor bo_best + uni[j] at some
+    # target j only if WE[i] + max_j(p_ij - uni_j) > bo_best, so
+    # marg[i] = that static max makes "top-A missed nothing this frame"
+    # a one-reduction soundness certificate.
+    marg = np.full(C, LZERO, np.float32)
+    if n_e:
+        np.maximum.at(marg, src, sc - uni_in[rw[tgt]])
     return {
         "bow": bow_out[rw].astype(np.float32),
         "uni": uni_in[rw].astype(np.float32),
@@ -276,6 +285,7 @@ def _factored_rows(words, lm, row_word, i_s, i_e):
         "inv": inv,
         "succ_j": succ_j,
         "succ_p": succ_p,
+        "marg": marg,
     }
 
 

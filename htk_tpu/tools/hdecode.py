@@ -186,6 +186,14 @@ def run(argv: List[str]) -> int:
     word_pen = float(ta.get("p", 0.0) or 0.0)
     main_beam = float(ta.get("t", 0.0) or 0.0) or None
     max_active = int(ta.get("u", 0) or 0) or None
+    # HREC: ADAPTTOPA — adaptive-exact top-A: -u (default 512) drives
+    # the explicit cross-word leg with a per-frame soundness
+    # certificate; frames it can't certify recompute exactly. Scores
+    # == the exact decode on every frame (see decode._topa_mode).
+    if (cfg.bool_("ADAPTTOPA", False, module="HREC")
+            and net.xw_backoff is not None
+            and net.xw_trigram is None):
+        max_active = -(max_active or 512)
     lat_beam = float(ta.get("n", 250.0) or 250.0)
     # Beam-cliff guardrail: BASELINE.md's lattice-quality sweep measured
     # whole-utterance search errors once genBeam drops below ~300-400

@@ -611,6 +611,18 @@ def _make_uniform_step(B, Ns, band, a0, aE, S, entry_bonus_row, trans,
                 take = exp_v > entry_n
                 entry_n = jnp.maximum(entry_n, exp_v)
                 an = jnp.where(take, an_x, an)
+            elif xw.get("route") is not None:
+                # routed exact explicit leg: every dynamic access is a
+                # 128-lane Mosaic gather (ops/xw_route); values and
+                # first-slot argmax ties bit-match the bucket leg
+                from ..ops.xw_route import routed_explicit_leg
+
+                exp_v, exp_a = routed_explicit_leg(
+                    WE, xw["route"],
+                    interpret=xw.get("route_interp", False))
+                take = exp_v > entry_n
+                entry_n = jnp.maximum(entry_n, exp_v)
+                an = jnp.where(take, exp_a, an)
             elif xw["buckets"]:  # an LM can carry zero explicit bigrams
                 parts_v, parts_a = [], []
                 for preds, scores in xw["buckets"]:
@@ -715,6 +727,21 @@ def _net_dev(net: DecodeNetwork) -> dict:
                 "marg": (jnp.asarray(x["marg"])
                          if x.get("marg") is not None else None),
             }
+            import os as _os
+
+            route_env = _os.environ.get("HTKTPU_XW_ROUTE", "0")
+            if route_env != "0" and x.get("slots") is not None:
+                # routed exact explicit leg (ops/xw_route): compile the
+                # static route once per network, cache on the net
+                from ..ops.xw_route import build_route, device_tables
+
+                plan = getattr(net, "_xw_route_plan", None)
+                if plan is None:
+                    s_, t_, p_ = x["slots"]
+                    plan = build_route(s_, t_, p_, net.n_chains)
+                    net._xw_route_plan = plan
+                d["xw"]["route"] = device_tables(plan)
+                d["xw"]["route_interp"] = route_env == "interpret"
         if getattr(net, "xw_trigram", None) is not None:
             x3 = net.xw_trigram
             d["xw3"] = {
@@ -753,6 +780,10 @@ def _scale_xw(xw_d, lm_scale):
                    if xw_d.get("succ_p") is not None else None),
         "marg": (xw_d["marg"] * lm_scale
                  if xw_d.get("marg") is not None else None),
+        "route": ({**xw_d["route"],
+                   "t_p": xw_d["route"]["t_p"] * lm_scale}
+                  if xw_d.get("route") is not None else None),
+        "route_interp": xw_d.get("route_interp", False),
     }
 
 

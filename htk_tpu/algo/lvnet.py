@@ -286,6 +286,10 @@ def _factored_rows(words, lm, row_word, i_s, i_e):
         "succ_j": succ_j,
         "succ_p": succ_p,
         "marg": marg,
+        # raw slot stream (target-major, bucket insertion order) for
+        # the routed exact leg (ops/xw_route, HTKTPU_XW_ROUTE=1)
+        "slots": (src_s.astype(np.int32), tgt_s.astype(np.int32),
+                  sc_s.astype(np.float32)),
     }
 
 

@@ -380,6 +380,8 @@ def _trigram_tables(words, lm, row_word, i_s, i_e, sent_start):
     tkey = v1[g2] * Wx + u1[g2]
     tri_lp = p1[g2]
 
+    if not len(pu):
+        return None  # trigrams but zero usable contexts: nothing to guide
     po = np.lexsort((p_u, p_vrow))
     p_u, p_vrow, p_bow = p_u[po], p_vrow[po], p_bow[po]
     pkey = p_vrow * Wx + p_u

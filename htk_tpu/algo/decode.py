@@ -1562,6 +1562,7 @@ def generate_lattice(
     beam: Optional[float] = None,
     max_active: Optional[int] = None,
     model_params: Optional[dict] = None,
+    max_preds: int = 1,
 ):
     """Decode and emit a word lattice (HVite -z).
 
@@ -1569,7 +1570,9 @@ def generate_lattice(
     end time) word-link record, each with its single best predecessor
     (HRec.c LatFromPaths — HVite lattices keep only the best predecessor
     per record). Records scoring worse than `lattice_beam` below the best
-    record at the same frame are dropped.
+    record at the same frame are dropped. `max_preds` > 1 adds
+    alternative-predecessor arcs (HLVRec semantics, see
+    _lattice_from_rec) — HDecode's lattices use it.
 
     `want_result=True` additionally returns the 1-best DecodeResult from
     the same recursion (so HVite -z needs one decode, not two);
@@ -1652,13 +1655,27 @@ def generate_lattice(
         return score, ppn, ppt
 
     lat = _lattice_from_rec(net, rec, resolve, T, frame_period_s,
-                            lm_scale, word_pen)
+                            lm_scale, word_pen, max_preds=max_preds,
+                            arc_beam=lattice_beam)
     return (lat, res) if want_result else lat
 
 
 def _lattice_from_rec(net, rec, resolve, T_real, frame_period_s,
-                      lm_scale, word_pen, resolve_many=None):
+                      lm_scale, word_pen, resolve_many=None,
+                      max_preds=1, arc_beam=None):
     """Build a Lattice from beam-kept word-end records.
+
+    `max_preds` > 1 (HDECODE: LATPREDS — the HLVRec lattice semantics):
+    each record additionally links to up to max_preds-1 ALTERNATIVE
+    predecessors among the records kept at its entry time, under the
+    standard acoustic-invariance approximation (the word's internal
+    Viterbi path — hence its acoustic score — is taken from the winning
+    predecessor; alternatives reuse it). HVite keeps the default
+    max_preds=1 (HRec.c LatFromPaths single-best-predecessor lattices);
+    HLVRec-style rescoring needs the alternatives — without them the
+    exact pass-2 trigram walk can only rescore the pass-1 chain.
+    `arc_beam` prunes alternatives scoring worse than the record's own
+    path by more than the beam (default: keep all that max_preds allows).
 
     `rec`: {(node, t): (score, pred_node, pred_t)} in deterministic
     insertion order; `resolve(pn, pt)` recovers a record that the beam
@@ -1781,6 +1798,66 @@ def _lattice_from_rec(net, rec, resolve, T_real, frame_period_s,
             arcs.append(LArc(id=aid, start=int(nid_a[j]), end=end_id,
                              aclike=0.0, lmlike=float(fin_lm[j])))
             aid += 1
+
+    if max_preds > 1 and m_int.any():
+        # alternative-predecessor arcs (HLVRec lattice semantics):
+        # candidates are the records kept at each entry time, scored
+        # score(j, pt) + s*lm(j -> i) + pen + ac_seg(i, t)
+        from collections import defaultdict
+
+        MAXC = 64  # candidate predecessors examined per entry time
+        s = float(lm_scale)
+        by_t: dict = defaultdict(list)
+        for (j_, t_) in rec:
+            by_t[t_].append(j_)
+        tri = getattr(net, "xw_trigram", None) is not None
+        lmf3 = _host_lm3_lookup(net) if tri else None
+        lmf2 = _host_lm_lookup(net) if not tri else None
+        get = rec.get
+        rows_int = np.nonzero(m_int)[0]
+        by_pt: dict = defaultdict(list)
+        for r in rows_int.tolist():
+            by_pt[int(pt_a[r])].append(r)
+        for pt_, rws in by_pt.items():
+            cands = by_t.get(pt_)
+            if not cands or len(cands) < 2:
+                continue
+            if len(cands) > MAXC:
+                cands = sorted(
+                    cands, key=lambda j_: -get((j_, pt_))[0])[:MAXC]
+            cj = np.asarray(cands, np.int64)
+            c_sc = np.asarray([get((j_, pt_))[0] for j_ in cands])
+            c_pp = np.asarray([get((j_, pt_))[1] for j_ in cands],
+                              np.int64)
+            ri = np.asarray(rws, np.int64)
+            # (n_rec, n_cand) pair grid, flattened for the LM lookup
+            ii_g = np.repeat(ii[ri], len(cj))
+            cj_g = np.tile(cj, len(ri))
+            if tri:
+                lm_g = lmf3(np.tile(c_pp, len(ri)), cj_g, ii_g)
+            else:
+                lm_g = lmf2(cj_g, ii_g)
+            lm_g = lm_g.reshape(len(ri), len(cj))
+            alt = (c_sc[None, :] + s * lm_g + word_pen
+                   + ac_a[ri][:, None])
+            own = sc[ri][:, None]
+            okm = cj[None, :] != pn_a[ri][:, None]
+            if arc_beam is not None:
+                okm &= alt >= own - arc_beam
+            okm &= alt > LSMALL
+            # top (max_preds - 1) alternatives per record
+            for k_, r in enumerate(ri.tolist()):
+                cand_k = np.nonzero(okm[k_])[0]
+                if not len(cand_k):
+                    continue
+                top = cand_k[np.argsort(-alt[k_][cand_k],
+                                        kind="stable")][:max_preds - 1]
+                for q in top.tolist():
+                    arcs.append(LArc(
+                        id=aid, start=int(node_id[(int(cj[q]), pt_)]),
+                        end=int(nid_a[r]), aclike=float(ac_a[r]),
+                        lmlike=float(lm_g[k_, q])))
+                    aid += 1
     return lat
 
 
@@ -1806,6 +1883,7 @@ def generate_lattice_batch(
     k_lat: Optional[int] = None,
     state_scores_list: Optional[List[np.ndarray]] = None,
     model_params: Optional[dict] = None,
+    max_preds: int = 1,
 ):
     """Batched lattice generation — a bucket of utterances through ONE
     fused scan (the HDecode batch path; `HTKLVRec/HDecode.c` decodes its
@@ -1910,5 +1988,7 @@ def generate_lattice_batch(
 
         out.append(_lattice_from_rec(net, rec, None, tr,
                                      frame_period_s, lm_scale, word_pen,
-                                     resolve_many=resolve_many))
+                                     resolve_many=resolve_many,
+                                     max_preds=max_preds,
+                                     arc_beam=lattice_beam))
     return out

@@ -195,6 +195,10 @@ def run(argv: List[str]) -> int:
             and net.xw_trigram is None):
         max_active = -(max_active or 512)
     lat_beam = float(ta.get("n", 250.0) or 250.0)
+    # HDECODE: LATPREDS — alternative-predecessor arcs per record
+    # (HLVRec lattice semantics; 1 = HVite's single-pred lattices).
+    # Pass-2 rescoring quality depends on these alternatives.
+    lat_preds = int(cfg.flt_("LATPREDS", 8.0, module="HDECODE"))
     # Beam-cliff guardrail: BASELINE.md's lattice-quality sweep measured
     # whole-utterance search errors once genBeam drops below ~300-400
     # (the knee) — lattice rescoring cannot recover them.  Warn when -t
@@ -297,7 +301,8 @@ def run(argv: List[str]) -> int:
                     word_pen, lattice_beam=lat_beam,
                     frame_period_s=period / 1e7, beam=main_beam,
                     max_active=max_active, precision=prec,
-                    model_params=spk_params.get(spks[idx[0]]))
+                    model_params=spk_params.get(spks[idx[0]]),
+                    max_preds=lat_preds)
                 for j, lt in zip(idx, ls):
                     lats[j] = lt
     else:
@@ -307,6 +312,7 @@ def run(argv: List[str]) -> int:
                 frame_period_s=period / 1e7, beam=main_beam,
                 max_active=max_active, precision=prec,
                 model_params=spk_params.get(spks[j]),
+                max_preds=lat_preds,
             )
 
     # HFB.c-style retry escalation on the pass-1 beam (the decoder
@@ -334,7 +340,8 @@ def run(argv: List[str]) -> int:
                     net, comp, featl[j], lm_scale, word_pen,
                     lattice_beam=lat_beam, frame_period_s=period / 1e7,
                     beam=b, max_active=ma, precision=prec,
-                    model_params=spk_params.get(spks[j]))
+                    model_params=spk_params.get(spks[j]),
+                    max_preds=lat_preds)
                 if lt is not None:
                     lats[j] = lt
                     break

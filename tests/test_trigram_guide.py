@@ -293,3 +293,115 @@ class TestDecode:
         # rows: 0 = <s>, 1 = A, 2 = I, 3 = </s>
         lm3 = _host_lm3_lookup(net)
         assert lm3(0, 1, 2)[0] == pytest.approx(np.log(0.9), abs=1e-5)
+
+
+class TestMultiPredLattice:
+    def test_rescoring_recovers_offpath_trigram(self):
+        """Single-pred lattices can only rescore the words pass 1
+        chained; with max_preds > 1 (HLVRec lattice semantics) the
+        exact trigram rescore can swap in an alternative word at the
+        same boundary.
+
+        Y and W share a pronunciation (acoustics tie); the bigram pass
+        links ... -> Y -> Z (P(Y|X) > P(W|X)), but the trigram
+        (X, W, Z) is far stronger than (X, Y, Z)'s punitive back-off —
+        only the alternative-predecessor W -> Z arc makes the swap
+        reachable. (Different SEGMENTATIONS remain the job of
+        single-pass guidance — alternatives share the winner's
+        boundaries by the acoustic-invariance approximation.)"""
+        from htk_tpu.algo.latops import best_path_trigram
+
+        v = Vocab()
+        v.add_pron("X", ["aa"])
+        v.add_pron("Y", ["iy"])
+        v.add_pron("W", ["iy"])
+        v.add_pron("Z", ["sil"])
+        words = ["X", "Y", "W", "Z"]
+        lm = NGramLM(order=3)
+        for w in words:
+            lm.unigrams[w] = (np.log(0.2), np.log(0.1))
+        lm.unigrams["!ENTER"] = (-99.0, np.log(0.2))
+        lm.unigrams["!EXIT"] = (np.log(0.2), 0.0)
+        for w1 in words + ["!ENTER"]:
+            for w2 in words + ["!EXIT"]:
+                if w2 == "!ENTER" or w1 == "!EXIT":
+                    continue
+                p = 0.3 if (w1, w2) == ("X", "Y") else 0.2
+                bow = 1e-3 if (w1, w2) == ("X", "Y") else 0.7
+                lm.bigrams[(w1, w2)] = (np.log(p), np.log(bow))
+        lm.trigrams[("X", "W", "Z")] = np.log(0.9)
+        comp = separable_set()
+        net = compile_lv_loop(words, v, comp, lm=lm, factored=True)
+        feats = emit_frames(["aa", "iy", "sil"], seed=3)
+        lat1 = generate_lattice(net, comp, feats, lm_scale=8.0,
+                                lattice_beam=400.0)
+        latm = generate_lattice(net, comp, feats, lm_scale=8.0,
+                                lattice_beam=400.0, max_preds=6)
+        assert len(latm.arcs) > len(lat1.arcs)
+        _s1, p1 = best_path_trigram(lat1, lm, 8.0, 0.0)
+        _sm, pm = best_path_trigram(latm, lm, 8.0, 0.0)
+        w1 = [w for (w, _t) in p1 if w != "!NULL"]
+        wm = [w for (w, _t) in pm if w != "!NULL"]
+        assert w1 == ["X", "Y", "Z"]  # single-pred: W -> Z missing
+        assert wm == ["X", "W", "Z"]  # the alternative arc enables it
+
+    def test_default_unchanged(self):
+        words = ["A", "I", "S"]
+        comp = separable_set()
+        v = make_vocab()
+        lm = make_trilm()
+        net = compile_lv_loop(words, v, comp, lm=lm, factored=True)
+        feats = emit_frames(["aa", "iy", "aa"], seed=7)
+        la = generate_lattice(net, comp, feats, lm_scale=2.0)
+        lb = generate_lattice(net, comp, feats, lm_scale=2.0,
+                              max_preds=1)
+        assert len(la.arcs) == len(lb.arcs)
+
+    def test_batch_matches_sequential_multipred(self):
+        from htk_tpu.algo.decode import generate_lattice_batch
+        from test_lvdecode import TestLVBatch
+
+        words = ["A", "I", "S"]
+        comp = separable_set()
+        v = make_vocab()
+        lm = make_trilm(tri={("A", "I", "A"): np.log(0.9)})
+        net = compile_lv_loop(words, v, comp, lm=lm, factored=True)
+        seqs = [["sil", "aa", "iy", "aa"], ["iy", "aa", "sil"]]
+        feats = [emit_frames(s, seed=i + 1) for i, s in enumerate(seqs)]
+        latb = generate_lattice_batch(net, comp, feats, lm_scale=2.0,
+                                      lattice_beam=300.0, pad_to=16,
+                                      max_preds=4)
+        for f, lb in zip(feats, latb):
+            ls = generate_lattice(net, comp, f, 2.0,
+                                  lattice_beam=300.0, max_preds=4)
+            TestLVBatch._assert_lat_eq(lb, ls)
+
+    def test_alt_arcs_scored_consistently(self):
+        """With bigram (context-free) arc scores, alternative arcs are
+        exactly scan-consistent: same-boundary alternatives share the
+        winner's internal path, so the lattice's best (ac + s*lm + pen)
+        path still equals the 1-best decode score — alternatives widen
+        the lattice, never inflate it. (On a trigram-GUIDED lattice the
+        arc lmlike is context-dependent and this identity is not
+        defined; rescoring there goes through best_path_trigram.)"""
+        words = ["A", "I", "S"]
+        comp = separable_set()
+        v = make_vocab()
+        lm = make_trilm(tri={("A", "I", "A"): np.log(0.9)})
+        net = compile_lv_loop(words, v, comp, lm=lm, factored=True)
+        feats = emit_frames(["aa", "iy", "aa", "iy"], seed=5)
+        lat = generate_lattice(net, comp, feats, lm_scale=4.0,
+                               word_pen=-1.0, lattice_beam=400.0,
+                               max_preds=8)
+        from htk_tpu.algo.latops import best_path
+
+        lat1 = generate_lattice(net, comp, feats, lm_scale=4.0,
+                                word_pen=-1.0, lattice_beam=400.0)
+        score, _path = best_path(lat)
+        score1, _p1 = best_path(lat1)
+        r = decode(net, comp, feats, lm_scale=4.0, word_pen=-1.0)
+        # alternatives never inflate the lattice's best path...
+        assert score == pytest.approx(score1, rel=1e-6)
+        # ...which equals the decode score modulo best_path's charge of
+        # wdpenalty on the first word (decode's t=0 entry collects none)
+        assert score == pytest.approx(r.score + (-1.0), rel=1e-5)

@@ -27,6 +27,7 @@ import numpy as np  # noqa: E402
 
 VOCAB = int(os.environ.get("VOCAB", "5000"))
 N_UTT = int(os.environ.get("NUTT", "16"))
+LATPREDS = int(os.environ.get("LATPREDS", "1"))  # HLVRec alt arcs
 WORDS_PER = (6, 10)
 
 
@@ -109,11 +110,13 @@ def main():
         for tag, net_ in nets:
             generate_lattice_batch(  # warm-up: exclude compilation of
                 net_, comp, feats, lm_scale=lm_scale,  # every bucket
-                lattice_beam=lat_beam, beam=beam, max_active=top_a)
+                lattice_beam=lat_beam, beam=beam, max_active=top_a,
+                max_preds=LATPREDS)
             t0 = time.perf_counter()
             lats = generate_lattice_batch(
                 net_, comp, feats, lm_scale=lm_scale,
-                lattice_beam=lat_beam, beam=beam, max_active=top_a)
+                lattice_beam=lat_beam, beam=beam, max_active=top_a,
+                max_preds=LATPREDS)
             dt = time.perf_counter() - t0
             errs = orc = resc = diff = 0
             n_arcs = 0

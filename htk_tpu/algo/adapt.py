@@ -140,12 +140,33 @@ def fc_mu_from_means(comp: CompiledHMMSet, means: np.ndarray) -> np.ndarray:
                      comp.fc_proj.astype(np.float64)).astype(np.float32)
 
 
+def block_ranges(D: int, blocks: int):
+    """Split D dims into `blocks` contiguous equal-ish ranges (HAdapt
+    BLOCKINFO semantics; 3 blocks on a _D_A vector = statics/Δ/ΔΔ)."""
+    blocks = max(1, min(int(blocks), D))
+    base = D // blocks
+    rem = D % blocks
+    out = []
+    lo = 0
+    for b in range(blocks):
+        hi = lo + base + (1 if b < rem else 0)
+        out.append((lo, hi))
+        lo = hi
+    return out
+
+
 def estimate_mllr_mean(comp: CompiledHMMSet, accs: Accumulators,
-                       min_occ: float = 1e-2) -> Transform:
+                       min_occ: float = 1e-2,
+                       blocks: int = 1) -> Transform:
     """Global MLLR mean transform from standard FB accumulators.
 
     Full-covariance sets route to the exact coupled-row solve; diagonal
-    sets use HAdapt's row-wise closed form."""
+    sets use HAdapt's row-wise closed form. `blocks` > 1 (HADAPT:
+    BLOCKS) restricts each row to its own contiguous block of input
+    dims — HTK's answer to sparse adaptation data (a full D x (D+1)
+    transform from a few hundred frames is under-determined and can
+    actively hurt; 3 blocks on _D_A features keep statics/Δ/ΔΔ
+    separate)."""
     occ = np.asarray(accs.occ, np.float64)
     if occ.sum() < min_occ:
         HError(7440, "estimate_mllr_mean: no adaptation data")
@@ -158,12 +179,16 @@ def estimate_mllr_mean(comp: CompiledHMMSet, accs: Accumulators,
 
     xi = np.concatenate([np.ones((M, 1)), mu], axis=1)  # (M, D+1)
     W = np.zeros((D, D + 1))
-    for i in range(D):
-        w_m = occ / var[:, i]  # (M,)
-        G = (xi * w_m[:, None]).T @ xi  # (D+1, D+1)
-        k = (sum_x[:, i] / var[:, i]) @ xi  # (D+1,)
-        G += np.eye(D + 1) * 1e-6  # ridge for unseen dims
-        W[i] = np.linalg.solve(G, k)
+    ranges = block_ranges(D, blocks)
+    for lo, hi in ranges:
+        cols = np.r_[0, 1 + np.arange(lo, hi)]
+        xib = xi[:, cols]
+        for i in range(lo, hi):
+            w_m = occ / var[:, i]  # (M,)
+            G = (xib * w_m[:, None]).T @ xib
+            k = (sum_x[:, i] / var[:, i]) @ xib
+            G += np.eye(len(cols)) * 1e-6  # ridge for unseen dims
+            W[i, cols] = np.linalg.solve(G, k)
     return Transform(kind="MLLRMEAN", A=W[:, 1:].copy(), b=W[:, 0].copy())
 
 
@@ -421,22 +446,22 @@ def cmllr_stats_from_gammas(
     return CMLLRStats(G=G, k=k, beta=float(gamma.sum()))
 
 
-def estimate_cmllr(stats: CMLLRStats, n_iter: int = 20) -> Transform:
-    """Row-by-row CMLLR estimation with cofactor quadratic (HAdapt.c)."""
-    D = stats.k.shape[0]
-    W = np.concatenate([np.zeros((D, 1)), np.eye(D)], axis=1)  # init identity
-    Ginv = [np.linalg.inv(stats.G[i] + np.eye(D + 1) * 1e-6) for i in range(D)]
-    beta = stats.beta
+def _estimate_cmllr_dense(G, k, beta, n_iter: int) -> np.ndarray:
+    """Row-by-row CMLLR estimation with cofactor quadratic (HAdapt.c).
+    Returns W (D, D+1) for the given (already dimension-reduced)
+    statistics."""
+    D = k.shape[0]
+    W = np.concatenate([np.zeros((D, 1)), np.eye(D)], axis=1)
+    Ginv = [np.linalg.inv(G[i] + np.eye(D + 1) * 1e-6) for i in range(D)]
     for _ in range(n_iter):
         for i in range(D):
             A = W[:, 1:]
             cof = np.linalg.inv(A).T * np.linalg.det(A)  # cofactor matrix
             p = np.concatenate([[0.0], cof[i]])  # extended cofactor row
             pG = p @ Ginv[i]
-            kG = stats.k[i] @ Ginv[i]
             a_q = pG @ p
-            b_q = pG @ stats.k[i]
-            # solve alpha: beta/alpha... maximise Q => alpha^2 a + alpha b - beta = 0
+            b_q = pG @ k[i]
+            # maximise Q => alpha^2 a + alpha b - beta = 0
             disc = b_q * b_q + 4.0 * a_q * beta
             if a_q <= 0 or disc < 0:
                 continue
@@ -444,18 +469,44 @@ def estimate_cmllr(stats: CMLLRStats, n_iter: int = 20) -> Transform:
             alpha2 = (-b_q - np.sqrt(disc)) / (2 * a_q)
 
             def obj(alpha):
-                w = (alpha * p + stats.k[i]) @ Ginv[i]
+                w = (alpha * p + k[i]) @ Ginv[i]
                 det_term = w @ p
                 # HAdapt.c compares both quadratic roots via log|w.p|; a
-                # negative-orientation root can be the likelihood maximiser,
-                # so only det_term == 0 is invalid.
+                # negative-orientation root can be the likelihood
+                # maximiser, so only det_term == 0 is invalid.
                 if det_term == 0.0:
                     return -np.inf
-                return beta * np.log(abs(det_term)) - 0.5 * w @ stats.G[i] @ w + w @ stats.k[i]
+                return (beta * np.log(abs(det_term))
+                        - 0.5 * w @ G[i] @ w + w @ k[i])
 
             alpha = alpha1 if obj(alpha1) >= obj(alpha2) else alpha2
-            W[i] = (alpha * p + stats.k[i]) @ Ginv[i]
-    return Transform(kind="CMLLR", A=W[:, 1:].copy(), b=W[:, 0].copy())
+            W[i] = (alpha * p + k[i]) @ Ginv[i]
+    return W
+
+
+def estimate_cmllr(stats: CMLLRStats, n_iter: int = 20,
+                   blocks: int = 1) -> Transform:
+    """CMLLR from row statistics. `blocks` > 1 (HADAPT: BLOCKS)
+    estimates a block-diagonal transform — log|det A| separates over
+    the blocks exactly, so each block is an independent lower-dim
+    CMLLR on its slice of the statistics (HAdapt BLOCKINFO semantics);
+    the standard fix for sparse adaptation data, where the full-matrix
+    row solves are under-determined and produce wild transforms."""
+    D = stats.k.shape[0]
+    if blocks <= 1:
+        W = _estimate_cmllr_dense(stats.G, stats.k, stats.beta, n_iter)
+        return Transform(kind="CMLLR", A=W[:, 1:].copy(),
+                         b=W[:, 0].copy())
+    A = np.zeros((D, D))
+    b = np.zeros(D)
+    for lo, hi in block_ranges(D, blocks):
+        cols = np.r_[0, 1 + np.arange(lo, hi)]
+        Gb = stats.G[lo:hi][:, cols][:, :, cols]
+        kb = stats.k[lo:hi][:, cols]
+        Wb = _estimate_cmllr_dense(Gb, kb, stats.beta, n_iter)
+        A[lo:hi, lo:hi] = Wb[:, 1:]
+        b[lo:hi] = Wb[:, 0]
+    return Transform(kind="CMLLR", A=A, b=b)
 
 
 def estimate_cmllr_classes(

@@ -385,6 +385,11 @@ def run(argv: List[str]) -> int:
 
         kind = (cfg.str_("TRANSKIND", "MLLRMEAN", module="HADAPT")
                 or "MLLRMEAN").upper()
+        # HADAPT: BLOCKS — block-diagonal transform structure (HAdapt
+        # BLOCKINFO): the standard guard against under-determined
+        # full-matrix solves on sparse adaptation data (3 on _D_A
+        # features keeps statics/deltas/accelerations separate)
+        n_blocks = int(cfg.flt_("BLOCKS", 1.0, module="HADAPT"))
         out_xf_dir = ta.get("K")
         os.makedirs(out_xf_dir, exist_ok=True)
         mask = ta.get("h")
@@ -423,7 +428,7 @@ def run(argv: List[str]) -> int:
                     stats.G += s.G
                     stats.k += s.k
                     stats.beta += s.beta
-            return estimate_cmllr(stats)
+            return estimate_cmllr(stats, blocks=n_blocks)
 
         def mllrcov_from(uset):
             import jax.numpy as jnp
@@ -514,7 +519,8 @@ def run(argv: List[str]) -> int:
                         print(f"HERest: {len(xfs)} regression-class "
                               f"transforms for {spk} -> {tmf_path}")
                     continue
-                xf = estimate_mllr_mean(comp, spk_accs)
+                xf = estimate_mllr_mean(comp, spk_accs,
+                                        blocks=n_blocks)
                 if mllr_var:
                     from ..algo.adapt import estimate_mllr_var
 

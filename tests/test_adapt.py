@@ -359,3 +359,49 @@ class TestBaseclassHTKForm:
             '~b "g"\n<NUMCLASSES> 1\n<CLASS> 1 {*.state[2].mix[1]}\n')
         with pytest.raises(HTKError, match="7460"):
             load_baseclass(p)
+
+
+class TestBlockTransforms:
+    """HADAPT: BLOCKS — block-diagonal MLLR/CMLLR (HAdapt BLOCKINFO)."""
+
+    def test_cmllr_blocks_recover_shift_with_sparse_data(self):
+        """With data far below the full-matrix parameter count, the
+        block-diagonal CMLLR still recovers a feature shift where the
+        full solve is under-determined; off-block entries are exactly
+        zero."""
+        from htk_tpu.algo.adapt import block_ranges
+
+        comp = small_set(nmix=3, seed=12)
+        rng = np.random.default_rng(1)
+        offset = np.array([0.8, -0.5, 0.3])
+        T = 60  # << the 12 params of a full 3x4 transform per row set
+        M = comp.n_mix
+        gamma = np.zeros((T, M))
+        feats = np.zeros((T, comp.dim))
+        for t in range(T):
+            m = t % M
+            gamma[t, m] = 1.0
+            feats[t] = (comp.means[m] + offset
+                        + np.sqrt(comp.variances[m])
+                        * rng.normal(size=comp.dim))
+        stats = cmllr_stats_from_gammas(feats, gamma, comp.means,
+                                        comp.variances)
+        xf = estimate_cmllr(stats, n_iter=50, blocks=3)
+        # 3 blocks on 3 dims = per-dim scale + bias: A is diagonal
+        off = ~np.eye(3, dtype=bool)
+        np.testing.assert_array_equal(xf.A[off], 0.0)
+        np.testing.assert_allclose(np.diag(xf.A), 1.0, atol=0.3)
+        np.testing.assert_allclose(xf.b, -offset, atol=0.4)
+        assert block_ranges(39, 3) == [(0, 13), (13, 26), (26, 39)]
+
+    def test_mllr_mean_blocks_structure(self):
+        from test_fb import small_set as _ss
+
+        comp = small_set(nmix=3, seed=5)
+        shift = np.array([1.0, -0.7, 0.4])
+        accs = accs_for_shift(comp, shift, occ_per_mix=4.0)
+        xf = estimate_mllr_mean(comp, accs, blocks=3)
+        off = ~np.eye(3, dtype=bool)
+        np.testing.assert_array_equal(xf.A[off], 0.0)
+        got = xf.apply_to_means(comp.means)
+        np.testing.assert_allclose(got, comp.means + shift, atol=0.2)

@@ -41,6 +41,7 @@ import numpy as np
 LZERO = -1.0e10
 LANES = 128
 TILE = LANES * LANES  # output positions per route tile
+ROT = 37  # per-out-row transit-lane rotation stride (coprime to 128)
 
 
 @dataclass
@@ -104,12 +105,19 @@ def build_route(src: np.ndarray, tgt: np.ndarray, p: np.ndarray,
     D = -(-N2 // TILE)
     n_chunks = -(-C // LANES)
     out_tile = outpos // TILE
-    out_lane = outpos % LANES
+    # transit lane: the out column rotated per OUT ROW (stride-37).
+    # The pow2 output segments align lanes across rows, which piles a
+    # block's elements into few (block, lane) bins (measured 2x the
+    # transit rows at 20k vocab); the rotation decorrelates them while
+    # keeping per-out-row lane distinctness (it is a permutation of
+    # each row), and undoes in-kernel with one lane gather whose
+    # indices come from iota — see ROT below.
+    out_lane = (outpos % LANES + ROT * (outpos // LANES)) % LANES
     s_chunk = src_s // LANES
     s_lane = src_s % LANES
 
     # block = (out tile, src chunk); within a block, elements bin by
-    # out lane; depth within the bin = transit row offset of the block
+    # transit lane; depth within the bin = transit row offset
     bkey = out_tile * n_chunks + s_chunk
     korder = np.lexsort((np.arange(N), out_lane, bkey))
     kb = bkey[korder]
@@ -175,10 +183,22 @@ def build_route(src: np.ndarray, tgt: np.ndarray, p: np.ndarray,
                      D=D, rmax=rmax, n_chunks=n_chunks, C=C)
 
 
+def _unrotate(V):
+    """Undo the per-out-row transit-lane rotation: out[s, j] =
+    V[s, (j + ROT * (d*128 + s)) % 128], indices from iota (static)."""
+    from jax.experimental import pallas as pl
+
+    d = pl.program_id(1)
+    s = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    lm = (j + ROT * (d * LANES + s)) % LANES
+    return jnp.take_along_axis(V, lm, axis=1)
+
+
 def _route_kernel_gather0(tb_ref, lane_ref, p_ref, ir_ref, out_ref):
     """Variant (a): direct axis-0 take_along_axis for the row select."""
     g = jnp.take_along_axis(tb_ref[0, 0], lane_ref[0], axis=1) + p_ref[0]
-    out_ref[0, 0] = jnp.take_along_axis(g, ir_ref[0], axis=0)
+    out_ref[0, 0] = _unrotate(jnp.take_along_axis(g, ir_ref[0], axis=0))
 
 
 def _route_kernel_transpose(tb_ref, lane_ref, p_ref, ir_ref, out_ref):
@@ -194,7 +214,7 @@ def _route_kernel_transpose(tb_ref, lane_ref, p_ref, ir_ref, out_ref):
         got = jnp.take_along_axis(gkt, sel.T, axis=1).T
         inpiece = (ir >= k * LANES) & (ir < (k + 1) * LANES)
         acc = jnp.where(inpiece, got, acc)
-    out_ref[0, 0] = acc
+    out_ref[0, 0] = _unrotate(acc)
 
 
 def routed_explicit_leg(WE: jnp.ndarray, dev: dict,

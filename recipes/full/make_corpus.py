@@ -1,0 +1,164 @@
+"""Synthesize the full-recipe corpus: 8 words, 4 vowels, 4 speakers.
+
+The RM-recipe role (SURVEY.md L7, `HTKDemo/` + the HTKBook RM tutorial):
+a multi-speaker corpus large enough to drive the COMPLETE system-build
+recipe — monophones -> triphones -> tree-tied states -> mixtures ->
+MMI -> speaker adaptation -> bigram HVite + trigram HDecode — with a
+held-out test set per speaker and a scored WER table.
+
+Speakers differ by vocal-tract length (formant scale 0.92-1.14) and
+pitch (f0 95-180 Hz), so per-speaker CMLLR transforms have real
+structure to model. Utterances are the same Klatt-style synthesis as
+recipes/demo (tests/golden/gen_mfcc_golden.py).
+
+Sizing: N_TRAIN utterances per speaker (default 12, ~4 min of audio;
+FULL=1 sets 80 -> ~30 min) and N_TEST held out per speaker, plus
+N_ADAPT enrollment utterances per speaker for supervised adaptation.
+"""
+
+import importlib.util
+import os
+import struct
+import sys
+
+import numpy as np
+
+_here = os.path.dirname(os.path.abspath(__file__))
+_spec = importlib.util.spec_from_file_location(
+    "gen_mfcc_golden",
+    os.path.join(_here, "..", "..", "tests", "golden",
+                 "gen_mfcc_golden.py"))
+_gen = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_gen)
+
+WORDS = {
+    "ONE": ["aa", "iy"],
+    "TWO": ["iy", "uw"],
+    "THREE": ["uw", "aa", "iy"],
+    "FOUR": ["eh", "aa"],
+    "FIVE": ["iy", "eh", "uw"],
+    "SIX": ["uw", "eh"],
+    "SEVEN": ["aa", "uw", "eh"],
+    "EIGHT": ["eh", "iy", "aa", "iy"],
+}
+PHONES = ["aa", "eh", "iy", "uw"]
+
+SPEAKERS = {
+    # name: (formant scale, f0 start, f0 end)
+    "spkA": (0.96, 180.0, 140.0),
+    "spkB": (1.00, 125.0, 90.0),
+    "spkC": (1.045, 110.0, 85.0),
+    "spkD": (1.09, 95.0, 75.0),
+}
+# the test speakers are UNSEEN in training (vocal tracts outside the
+# training range): unadapted decoding genuinely degrades on them and
+# per-speaker CMLLR has something real to recover — the SI -> adapted
+# contrast every adaptation recipe is built around
+TRAIN_SPK = ("spkA", "spkB")
+TEST_SPK = ("spkC", "spkD")
+
+BASE_VOWELS = {k: ([f for f in fs], [b for b in bs])
+               for k, (fs, bs) in _gen.VOWELS.items()}
+
+
+def synth(phs, rng, fscale, f0s, f0e):
+    _gen.VOWELS = {k: ([f * fscale for f in fs], bs)
+                   for k, (fs, bs) in BASE_VOWELS.items()}
+    durs = [0.08 if p == "sil" else float(rng.uniform(0.12, 0.22))
+            for p in phs]
+    x = _gen.synth_speech(phs, dur_s=durs, f0_start=f0s, f0_end=f0e,
+                          seed=int(rng.integers(1 << 31)))
+    _gen.VOWELS = BASE_VOWELS
+    return x.astype(np.int16)
+
+
+def write_wav(path, x):
+    data = x.astype("<i2").tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    open(path, "wb").write(hdr + data)
+
+
+def main():
+    full = os.environ.get("FULL", "0") == "1"
+    n_train = int(os.environ.get("N_TRAIN", "160" if full else "24"))
+    n_test = int(os.environ.get("N_TEST", "10" if full else "6"))
+    n_adapt = int(os.environ.get("N_ADAPT", "8" if full else "4"))
+    rng = np.random.default_rng(int(os.environ.get("SEED", "33")))
+    wnames = list(WORDS)
+
+    scps = {"train": [], "adapt": [], "test": []}
+    copy_lines = []
+    words_mlf = {"train": [], "adapt": [], "test": []}
+    phones_mlf = {"train": [], "adapt": []}
+    secs = 0.0
+    for spk, (fsc, f0s, f0e) in SPEAKERS.items():
+        os.makedirs(spk, exist_ok=True)
+        sets = ({"train": n_train} if spk in TRAIN_SPK
+                else {"adapt": n_adapt, "test": n_test})
+        for part, n in sets.items():
+            for i in range(n):
+                k = int(rng.integers(3, 7))
+                ws = [wnames[int(x)] for x in rng.integers(0, len(wnames),
+                                                           size=k)]
+                phs = ["sil"]
+                for w in ws:
+                    phs += WORDS[w] + ["sil"]
+                # basenames carry the speaker (spkA_train0) so MLF
+                # patterns are collision-free and -h masks like
+                # */%%%%_* recover the speaker
+                base = f"{spk}/{spk}_{part}{i}"
+                lab = f"{spk}_{part}{i}.lab"
+                x = synth(phs, rng, fsc, f0s, f0e)
+                secs += len(x) / 16000.0
+                write_wav(base + ".wav", x)
+                copy_lines.append(f"{base}.wav {base}.mfc")
+                scps[part].append(f"{base}.mfc")
+                words_mlf[part] += [f'"*/{lab}"'] + ws + ["."]
+                if part in phones_mlf:
+                    phones_mlf[part] += [f'"*/{lab}"'] + phs + ["."]
+
+    open("copy.scp", "w").write("\n".join(copy_lines) + "\n")
+    for part in scps:
+        open(part + ".scp", "w").write("\n".join(scps[part]) + "\n")
+    # one MLF namespace per part (utterance names are distinct)
+    open("words_train.mlf", "w").write(
+        "#!MLF!#\n" + "\n".join(words_mlf["train"]) + "\n")
+    open("words_adapt.mlf", "w").write(
+        "#!MLF!#\n" + "\n".join(words_mlf["adapt"]) + "\n")
+    open("words_test.mlf", "w").write(
+        "#!MLF!#\n" + "\n".join(words_mlf["test"]) + "\n")
+    open("phones.mlf", "w").write(
+        "#!MLF!#\n" + "\n".join(phones_mlf["train"]) + "\n")
+    open("phones_adapt.mlf", "w").write(
+        "#!MLF!#\n" + "\n".join(phones_mlf["adapt"]) + "\n")
+
+    with open("dict", "w") as f:
+        for w in sorted(WORDS):
+            f.write(f"{w}  {' '.join(WORDS[w])}\n")
+        f.write("SIL []  sil\n")
+    with open("dict_hd", "w") as f:
+        for w in sorted(WORDS):
+            f.write(f"{w}  {' '.join(WORDS[w])}\n")
+            f.write(f"{w}  {' '.join(WORDS[w])} sil\n")
+        f.write("<s> []  sil\n</s> []  sil\n")
+    open("wlist", "w").write("\n".join(sorted(WORDS)) + "\nSIL\n")
+    open("monophones", "w").write("\n".join(PHONES + ["sil"]) + "\n")
+
+    # 5-state 39-dim MFCC_E_D_A proto
+    from htk_tpu.io.mmf import save_mmf
+    from htk_tpu.models.proto import make_proto
+
+    hs = make_proto(nstates=5, dim=39, parm_kind="MFCC_E_D_A")
+    save_mmf(hs, "proto")
+    n_utts = sum(len(v) for v in scps.values())
+    print(f"corpus: {n_utts} utts ({len(TRAIN_SPK)} train + "
+          f"{len(TEST_SPK)} unseen test speakers), "
+          f"{secs / 60:.1f} min audio")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -382,6 +382,95 @@ def best_path_trigram(lat: Lattice, lm, lmscale: float = 1.0,
     return score[best.id], path
 
 
+def best_path_4gram(lat: Lattice, lm, lmscale: float = 1.0,
+                    wdpenalty: float = 0.0,
+                    sent_start: str = "!ENTER"):
+    """Exact 4-gram best path over a word-on-nodes lattice.
+
+    best_path_trigram's arc-state DP carries an exact 2-word history
+    per arc (the arc fixes the last two words); a 4-gram needs three,
+    so states split by the extra history word: one DP state per
+    (arc, word-3-back). State count is bounded by each arc's
+    grandparent word diversity (small under HDECODE: LATPREDS).
+    Beyond-reference capability: `HTKLVRec` rescoring stops at
+    trigram; HDecode here picks this rescorer automatically when the
+    ARPA carries 4-grams. Returns (score, [(word, time)])."""
+    words_of = {n.id: n.word for n in lat.nodes}
+    times_of = {n.id: n.time for n in lat.nodes}
+    order = topo_order(lat)
+    pos = {nid: i for i, nid in enumerate(order)}
+    start = lat.start_node()
+    end = lat.end_node()
+
+    def word_at(nid):
+        w = words_of.get(nid)
+        return None if (w is None or w == NULL_WORD) else w
+
+    in_arcs: Dict[int, List[LArc]] = {n.id: [] for n in lat.nodes}
+    for a in lat.arcs:
+        in_arcs[a.end].append(a)
+
+    memo: Dict[tuple, float] = {}
+
+    def p4(c3, c2, c1, w):
+        k = (c3, c2, c1, w)
+        v = memo.get(k)
+        if v is None:
+            v = memo[k] = lm.logp_4(c3, c2, c1, w)
+        return v
+
+    # state = (arc id, (c1, c2, c3) history after the arc); Viterbi
+    # over states, exact in the 3-word context
+    score: Dict[tuple, float] = {}
+    back: Dict[tuple, Optional[tuple]] = {}
+    states_of: Dict[int, list] = {}
+    arcs_by_end_pos = sorted(lat.arcs, key=lambda a: pos[a.end])
+    for a in arcs_by_end_pos:
+        w = word_at(a.end)
+        preds = in_arcs[a.start]
+        cands = []  # (score, back_state, (c1, c2, c3))
+        if a.start == start or not preds:
+            c1 = c2 = c3 = sent_start
+            lmp = (0.0 if w == sent_start
+                   else p4(c3, c2, c1, w)) if w else 0.0
+            s = a.aclike + lmscale * lmp + (wdpenalty if w else 0.0)
+            nctx = (w, c1, c2) if w else (c1, c2, c3)
+            cands.append((s, None, nctx))
+        for p in preds:
+            for st in states_of.get(p.id, ()):
+                c1, c2, c3 = st[1]
+                lmp = (0.0 if w == sent_start
+                       else p4(c3, c2, c1, w)) if w else 0.0
+                s = (score[st] + a.aclike + lmscale * lmp
+                     + (wdpenalty if w else 0.0))
+                nctx = (w, c1, c2) if w else (c1, c2, c3)
+                cands.append((s, st, nctx))
+        for s, b, nctx in cands:
+            st = (a.id, nctx)
+            if st in score and score[st] >= s:
+                continue
+            if st not in score:
+                states_of.setdefault(a.id, []).append(st)
+            score[st] = s
+            back[st] = b
+
+    arcs_by_id = {a.id: a for a in lat.arcs}
+    finals = [st for st in score if arcs_by_id[st[0]].end == end]
+    if not finals:
+        return NEG, []
+    bst = max(finals, key=lambda st: score[st])
+    path = []
+    st = bst
+    while st is not None:
+        a = arcs_by_id[st[0]]
+        w = word_at(a.end)
+        if w:
+            path.append((w, times_of[a.end]))
+        st = back[st]
+    path.reverse()
+    return score[bst], path
+
+
 def apply_lm(lat: Lattice, lm, context: int = 2) -> Lattice:
     """Replace arc LM scores with a new n-gram LM (HLRescore -n role).
 

@@ -368,8 +368,18 @@ def run(argv: List[str]) -> int:
                 lat.utterance = stem
                 write_slf(lat, os.path.join(out_dir or ".",
                                             f"{stem}.{ta.get('z')}"))
-            score, path = best_path_trigram(lat, lm, lm_scale, word_pen,
-                                            sent_start=sent_start)
+            # 4-gram ARPA: the exact 4-gram arc-state rescorer (a
+            # capability the reference's trigram-only HLVRec lacks)
+            if getattr(lm, "order", 2) >= 4:
+                from ..algo.latops import best_path_4gram
+
+                score, path = best_path_4gram(lat, lm, lm_scale,
+                                              word_pen,
+                                              sent_start=sent_start)
+            else:
+                score, path = best_path_trigram(lat, lm, lm_scale,
+                                                word_pen,
+                                                sent_start=sent_start)
 
             def outsym(w):
                 wd = vocab.get(w)

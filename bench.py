@@ -501,22 +501,66 @@ def main():
     if SMOKE:
         extra["smoke"] = True
 
+    import signal
+
+    sec_s = {}
+    extra["sec_s"] = sec_s
+    state = {"xrt_1k": None}
+
+    def _emit(final=False):
+        """Print the cumulative JSON snapshot NOW (flush) — the driver
+        takes the LAST parseable line, so every completed section is
+        evidence even if the process is killed mid-run."""
+        ok_ = state["xrt_1k"] is not None and state["xrt_1k"] > 0
+        snap = dict(extra)
+        if not final:
+            snap["partial"] = True
+        print(json.dumps({
+            "metric": "hvite_1kvocab_bigram_xrt_per_chip",
+            "value": round(state["xrt_1k"], 6) if ok_ else -1.0,
+            "unit": "xRT",
+            "vs_baseline": round(target / state["xrt_1k"], 3) if ok_
+            else 0.0,
+            "extra": snap,
+        }), flush=True)
+
+    def _alarm(signum, frame):  # pragma: no cover - timing dependent
+        raise TimeoutError("section watchdog")
+
     def section(key, min_s, fn):
         """Run one guarded bench section: skip when the deadline is too
-        close, record (not raise) failures — the JSON line must always
-        come out with whatever was measured."""
+        close, bound it with a SIGALRM watchdog, record (not raise)
+        failures, and emit the cumulative JSON snapshot after — the
+        JSON line must always come out with whatever was measured."""
         if _left() < min_s:
             extra[key + "_skipped"] = True
             return None
+        # watchdog: a section may overrun its estimate but never eat
+        # the whole remaining budget (leave 30 s for later emits)
+        cap = max(30, int(min(_left(), 86400.0)) - 30)
+        t0 = time.monotonic()
+        old = None
+        try:
+            old = signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(cap)
+        except ValueError:  # not main thread; run unguarded
+            old = None
         try:
             return fn()
         except Exception as e:  # pragma: no cover - depends on backend
             extra[key + "_error"] = f"{type(e).__name__}: {e}"[:300]
             return None
+        finally:
+            if old is not None:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
+            sec_s[key] = round(time.monotonic() - t0, 1)
+            _emit()
+
+    _emit()  # first snapshot immediately: proves liveness + backend
 
     # headline first: config #4 — 1k-vocab back-off bigram, tied-state
     # 8-mix triphones (the driver's `value` field)
-    xrt_1k = None
     n1k = 100 if SMOKE else 1000
     comp1, vocab1, words1, lm1 = build_tied_triphone_system(
         n1k, n_tied=(200 if SMOKE else 2000))
@@ -524,7 +568,7 @@ def main():
     r = section("hvite_1k", 0, lambda: bench_decode_lv(
         comp1, vocab1, words1, lm1, T=T1, batch=(2 if SMOKE else 8)))
     if r:
-        xrt_1k, net1, dev_1k = r
+        state["xrt_1k"], net1, dev_1k = r
         extra["hvite_1kvocab_device_xrt"] = round(dev_1k, 6)
         extra["net_1k_states"] = int(net1.n_states)
 
@@ -632,14 +676,7 @@ def main():
     extra["note"] = ("headline = BASELINE config #4 (1k-vocab back-off "
                      "bigram, tied-state 8-mix triphones); vs_baseline = "
                      "0.01 xRT target / measured")
-    ok = xrt_1k is not None and xrt_1k > 0
-    print(json.dumps({
-        "metric": "hvite_1kvocab_bigram_xrt_per_chip",
-        "value": round(xrt_1k, 6) if ok else -1.0,
-        "unit": "xRT",
-        "vs_baseline": round(target / xrt_1k, 3) if ok else 0.0,
-        "extra": extra,
-    }))
+    _emit(final=True)
 
 
 # ---------------------------------------------------------------------------
@@ -663,9 +700,13 @@ def _probe_backend(timeout_s):
 
 
 def _run_child(env_extra, timeout_s, strip_axon=False):
-    """Run `python bench.py` as the benchmark child; returns the JSON
-    line it printed, or None. strip_axon removes PALLAS_AXON_POOL_IPS so
-    the axon sitecustomize cannot register the (dead) tunnel plugin."""
+    """Run `python bench.py` as the benchmark child, STREAMING its
+    stdout: every cumulative JSON snapshot the child prints is relayed
+    to our stdout immediately, so a timeout (ours or the driver's) can
+    never erase completed sections — the driver parses the LAST JSON
+    line it saw. Returns the last JSON line relayed, or None.
+    strip_axon removes PALLAS_AXON_POOL_IPS so the axon sitecustomize
+    cannot register the (dead) tunnel plugin."""
     import subprocess
 
     env = dict(os.environ)
@@ -674,28 +715,50 @@ def _run_child(env_extra, timeout_s, strip_axon=False):
     env.update(env_extra)
     env["_BENCH_CHILD"] = "1"
     env["_BENCH_TIME_LEFT"] = str(max(30.0, timeout_s - 20.0))
-    try:
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           capture_output=True, text=True,
-                           timeout=timeout_s, env=env,
-                           cwd=os.path.dirname(os.path.abspath(__file__)))
-    except subprocess.TimeoutExpired:
-        print(f"bench: child timed out after {timeout_s:.0f}s",
-              file=sys.stderr, flush=True)
-        return None
-    if r.stderr:
-        sys.stderr.write(r.stderr[-4000:])
-    for line in reversed((r.stdout or "").splitlines()):
-        line = line.strip()
+    deadline = time.monotonic() + timeout_s
+    proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                            stdout=subprocess.PIPE,
+                            stderr=None, text=True,  # stderr: inherit
+                            env=env,
+                            cwd=os.path.dirname(os.path.abspath(__file__)))
+    import selectors
+
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    last = None
+    buf = ""
+    timed_out = False
+    while True:
+        left = deadline - time.monotonic()
+        if left <= 0:
+            timed_out = True
+            break
+        if not sel.select(timeout=min(left, 5.0)):
+            if proc.poll() is not None:
+                break
+            continue
+        chunk = proc.stdout.readline()
+        if chunk == "":  # EOF
+            break
+        line = (buf + chunk).strip()
+        buf = ""
         if line.startswith("{"):
             try:
                 json.loads(line)
-                return line
             except Exception:
                 continue
-    print(f"bench: child rc={r.returncode}, no JSON in output",
-          file=sys.stderr, flush=True)
-    return None
+            print(line, flush=True)  # relay NOW — survives any kill
+            last = line
+    if timed_out:
+        proc.kill()
+        print(f"bench: child timed out after {timeout_s:.0f}s "
+              f"({'partial results relayed' if last else 'no results'})",
+              file=sys.stderr, flush=True)
+    proc.wait()
+    if last is None:
+        print(f"bench: child rc={proc.returncode}, no JSON in output",
+              file=sys.stderr, flush=True)
+    return last
 
 
 def orchestrate():
@@ -706,9 +769,10 @@ def orchestrate():
     def remaining():
         return budget - (time.monotonic() - t0)
 
-    # reserve for the CPU fallback (shrunk sizes compile+run well inside
-    # this on the host)
-    reserve = min(420.0, max(180.0, budget * 0.3))
+    # reserve for the CPU fallback — small: with streaming relay a TPU
+    # child that produced ANY section already satisfied the contract,
+    # and the smoke child streams its own headline row within this
+    reserve = min(180.0, max(90.0, budget * 0.12))
 
     plats = os.environ.get("JAX_PLATFORMS", "")
     cpu_only = plats and "cpu" in plats and "axon" not in plats \
@@ -728,8 +792,7 @@ def orchestrate():
     if healthy:
         line = _run_child({}, max(60.0, remaining() - reserve))
         if line:
-            print(line)
-            return
+            return  # already relayed to stdout (possibly partial)
 
     # degraded CPU fallback: shrunk sizes, always labeled
     fb_env = {"JAX_PLATFORMS": "cpu", "BENCH_SMOKE": "1",
@@ -737,8 +800,7 @@ def orchestrate():
     line = _run_child(fb_env, max(60.0, remaining() - 10.0),
                       strip_axon=True)
     if line:
-        print(line)
-        return
+        return  # already relayed
 
     # last resort: hand-built JSON so the driver always parses something
     print(json.dumps({

@@ -42,6 +42,14 @@ import numpy as np
 
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 
+# Persistent XLA compilation cache: sections are dominated by compile
+# time through the dev tunnel (observed 100-700 s/section cold), so a
+# warm cache is the difference between the driver's 1200 s budget
+# covering 3 sections or all of them. Must be set before jax imports;
+# harmless no-op if the backend doesn't support serialisation.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/htk_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 # set by main() from _BENCH_TIME_LEFT: monotonic deadline for optional
 # (big-vocab) sections so the child never overruns its parent's budget
 _DEADLINE = None
@@ -527,11 +535,14 @@ def main():
     def _alarm(signum, frame):  # pragma: no cover - timing dependent
         raise TimeoutError("section watchdog")
 
-    def section(key, min_s, fn):
+    def section(key, min_s, fn, store=None):
         """Run one guarded bench section: skip when the deadline is too
         close, bound it with a SIGALRM watchdog, record (not raise)
         failures, and emit the cumulative JSON snapshot after — the
-        JSON line must always come out with whatever was measured."""
+        JSON line must always come out with whatever was measured.
+        `store(result)` folds the section's values into `extra` BEFORE
+        that snapshot, so a kill right after a section never loses its
+        numbers."""
         if _left() < min_s:
             extra[key + "_skipped"] = True
             return None
@@ -546,7 +557,10 @@ def main():
         except ValueError:  # not main thread; run unguarded
             old = None
         try:
-            return fn()
+            r = fn()
+            if r is not None and store is not None:
+                store(r)
+            return r
         except Exception as e:  # pragma: no cover - depends on backend
             extra[key + "_error"] = f"{type(e).__name__}: {e}"[:300]
             return None
@@ -565,33 +579,40 @@ def main():
     comp1, vocab1, words1, lm1 = build_tied_triphone_system(
         n1k, n_tied=(200 if SMOKE else 2000))
     T1 = 100 if SMOKE else 500
-    r = section("hvite_1k", 0, lambda: bench_decode_lv(
-        comp1, vocab1, words1, lm1, T=T1, batch=(2 if SMOKE else 8)))
-    if r:
-        state["xrt_1k"], net1, dev_1k = r
+    def _store_1k(r):
+        state["xrt_1k"], n, dev_1k = r
         extra["hvite_1kvocab_device_xrt"] = round(dev_1k, 6)
-        extra["net_1k_states"] = int(net1.n_states)
+        extra["net_1k_states"] = int(n.n_states)
+
+    section("hvite_1k", 0, lambda: bench_decode_lv(
+        comp1, vocab1, words1, lm1, T=T1, batch=(2 if SMOKE else 8)),
+        store=_store_1k)
 
     # config #1: batched MFCC frontend
-    r = section("hcopy", 45, lambda: bench_frontend(
-        n_utts=(8 if SMOKE else 64), secs=(1.0 if SMOKE else 5.0)))
-    if r:
-        extra["hcopy_mfcc_xrt"] = round(r[0], 6)
-        extra["hcopy_kframes_per_sec"] = round(r[1], 1)
+    section("hcopy", 45, lambda: bench_frontend(
+        n_utts=(8 if SMOKE else 64), secs=(1.0 if SMOKE else 5.0)),
+        store=lambda r: extra.update(
+            hcopy_mfcc_xrt=round(r[0], 6),
+            hcopy_kframes_per_sec=round(r[1], 1)))
 
     # config #5 scale: 5k vocab with histogram pruning
     n5k = 200 if SMOKE else 5000
     comp5, vocab5, words5, lm5 = build_tied_triphone_system(
         n5k, n_tied=(200 if SMOKE else 2000), seed=7)
     net5 = None
-    r = section("hdecode_5k", 120, lambda: bench_decode_lv(
-        comp5, vocab5, words5, lm5, T=(100 if SMOKE else 500),
-        batch=(2 if SMOKE else 16), n_batches=1, max_active=128))
-    if r:
-        xrt_5k, net5, dev_5k = r
+
+    def _store_5k(r):
+        xrt_5k, n, dev_5k = r
         extra["hdecode_5kvocab_xrt"] = round(xrt_5k, 6)
         extra["hdecode_5kvocab_device_xrt"] = round(dev_5k, 6)
-        extra["net_5k_states"] = int(net5.n_states)
+        extra["net_5k_states"] = int(n.n_states)
+
+    r = section("hdecode_5k", 120, lambda: bench_decode_lv(
+        comp5, vocab5, words5, lm5, T=(100 if SMOKE else 500),
+        batch=(2 if SMOKE else 16), n_batches=1, max_active=128),
+        store=_store_5k)
+    if r:
+        net5 = r[1]
 
     # round-4: single-pass trigram guidance on the 5k config — the
     # HLVRec-LM.c role (pass 1 scores word ends under each token's
@@ -617,39 +638,37 @@ def main():
                                        net=netf)
         return x3, xf
 
-    r = section("triguide_5k", 150, _triguide)
-    if r:
-        extra["hdecode_5k_triguide_xrt"] = round(r[0], 6)
-        extra["hdecode_5k_plain_factored_xrt"] = round(r[1], 6)
+    section("triguide_5k", 150, _triguide, store=lambda r: extra.update(
+        hdecode_5k_triguide_xrt=round(r[0], 6),
+        hdecode_5k_plain_factored_xrt=round(r[1], 6)))
 
     # HDecode batch path: 64 mixed-length utterances, bucketed batched
     # lattice generation vs the per-utterance loop it replaced
-    r = section("hdecode_batch", 120, lambda: bench_hdecode_batch(
-        comp5, vocab5, words5, lm5, n_utts=(8 if SMOKE else 64), net=net5))
-    if r:
-        extra["hdecode_5k_batch64_xrt"] = round(r[0], 6)
-        extra["hdecode_5k_seq_lattice_xrt"] = round(r[1], 6)
+    section("hdecode_batch", 120, lambda: bench_hdecode_batch(
+        comp5, vocab5, words5, lm5, n_utts=(8 if SMOKE else 64), net=net5),
+        store=lambda r: extra.update(
+            hdecode_5k_batch64_xrt=round(r[0], 6),
+            hdecode_5k_seq_lattice_xrt=round(r[1], 6)))
 
     # config #5 discriminative half: MMI accumulation + EBW update
-    r = section("mmi", 120, lambda: bench_mmi(
+    section("mmi", 120, lambda: bench_mmi(
         comp5, vocab5, words5, lm5, net=net5,
-        n_utts=(1 if SMOKE else 8), T=(100 if SMOKE else 500)))
-    if r:
-        extra["mmi_utt_per_sec"] = round(r[0], 3)
-        extra["ebw_update_s"] = round(r[1], 3)
+        n_utts=(1 if SMOKE else 8), T=(100 if SMOKE else 500)),
+        store=lambda r: extra.update(
+            mmi_utt_per_sec=round(r[0], 3),
+            ebw_update_s=round(r[1], 3)))
 
     # round-1 continuity numbers (config #2: BW throughput)
     comp0, names0 = build_model()
-    r = section("hvite_100w", 90, lambda: bench_decode(
+    section("hvite_100w", 90, lambda: bench_decode(
         comp0, build_net(comp0, names0), T=(100 if SMOKE else 500),
-        batch=(2 if SMOKE else 8)))
-    if r is not None:
-        extra["hvite_100w_loop_xrt"] = round(r, 6)
-    r = section("herest", 90, lambda: bench_herest(
+        batch=(2 if SMOKE else 8)),
+        store=lambda r: extra.update(hvite_100w_loop_xrt=round(r, 6)))
+    section("herest", 90, lambda: bench_herest(
         comp0, names0, n_utts=(4 if SMOKE else 16),
-        T=(100 if SMOKE else 500)))
-    if r is not None:
-        extra["herest_bw_utt_per_sec_per_chip"] = round(r, 2)
+        T=(100 if SMOKE else 500)),
+        store=lambda r: extra.update(
+            herest_bw_utt_per_sec_per_chip=round(r, 2)))
 
     # big-vocab rows (BASELINE.md's quoted 20k/50k/100k numbers),
     # deadline-gated so the child never blows the parent's budget
@@ -659,9 +678,7 @@ def main():
         if SMOKE:
             extra[f"hdecode_{key}_skipped"] = True
             continue
-        r = section(f"hdecode_{key}", est_s + 60,
-                    lambda n=n_words, m=ma: bench_bigvocab(n, m))
-        if r:
+        def _store_big(r, key=key, ma=ma):
             for mode, label in (("topA", f"topA{ma}"),
                                 ("adaptive", f"adaptive{ma}"),
                                 ("exact", "exact"),
@@ -672,6 +689,10 @@ def main():
                 elif mode + "_error" in r:
                     extra[f"hdecode_{key}_{label}_error"] = (
                         r[mode + "_error"])
+
+        section(f"hdecode_{key}", est_s + 60,
+                lambda n=n_words, m=ma: bench_bigvocab(n, m),
+                store=_store_big)
 
     extra["note"] = ("headline = BASELINE config #4 (1k-vocab back-off "
                      "bigram, tied-state 8-mix triphones); vs_baseline = "

@@ -29,6 +29,28 @@ if [ "${RECIPE_TPU:-0}" != "1" ]; then
   unset PALLAS_AXON_POOL_IPS 2>/dev/null || true
 fi
 
+# Self-sufficient tool resolution: when the package isn't pip-installed,
+# import from the repo checkout and shim the console-script names
+# (HCopy, HERest, ...) onto PATH as `python -m` wrappers generated from
+# pyproject [project.scripts].
+REPO=$(cd "$HERE/../.." && pwd)
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+if ! command -v HCopy >/dev/null 2>&1; then
+  mkdir -p "$WORK/bin"
+  python - "$REPO" "$WORK/bin" <<'EOF'
+import os, re, sys
+repo, bindir = sys.argv[1], sys.argv[2]
+txt = open(os.path.join(repo, "pyproject.toml")).read()
+sect = re.search(r"\[project\.scripts\](.*?)(\n\[|\Z)", txt, re.S).group(1)
+for name, target in re.findall(r'(\w+)\s*=\s*"([\w\.]+):main"', sect):
+    path = os.path.join(bindir, name)
+    with open(path, "w") as f:
+        f.write(f'#!/bin/sh\nexec python -m {target} "$@"\n')
+    os.chmod(path, 0o755)
+EOF
+  export PATH="$WORK/bin:$PATH"
+fi
+
 python "$HERE/make_corpus.py"
 printf 'SOURCEFORMAT = WAV\nTARGETKIND = MFCC_E_D_A\n' > cfg_wav
 printf 'TARGETKIND = MFCC_E_D_A\n' > cfg

@@ -396,7 +396,7 @@ def bench_mmi(comp, vocab, words, lm, net=None, n_utts=8, T=500, seed=5):
     (mmi_utt_per_sec, ebw_update_s)."""
     from htk_tpu.algo.ebw import EBWConfig, ebw_update
     from htk_tpu.algo.fb import zero_accs
-    from htk_tpu.algo.decode import generate_lattice
+    from htk_tpu.algo.decode import generate_lattice_batch
     from htk_tpu.algo.lvnet import compile_lv_loop
     from htk_tpu.algo.trainer import Trainer, prepare_utterance
     from htk_tpu.tools.hmmirest import accumulate_lattice
@@ -419,16 +419,20 @@ def bench_mmi(comp, vocab, words, lm, net=None, n_utts=8, T=500, seed=5):
                         trainer.tr_flat)
         den = zero_accs(comp.n_mix, comp.dim, comp.n_states, comp.max_mix,
                         trainer.tr_flat)
+        # numerator: all transcript composite FBs in one batched call
+        # (HERest/HMMIRest batch their numerator accumulation)
+        utts = []
         for i in range(n_utts):
-            # numerator: transcript composite FB
             phones = [p for w in trans[i]
                       for p in vocab.get(w).prons[0].phones]
-            utt = prepare_utterance(comp, f"u{i}", feats[i], phones)
-            accs = trainer.accumulate([utt])
-            num = jax.tree.map(lambda a, b: a + b, num, accs)
-            # denominator: lattice generation + lattice FB
-            lat = generate_lattice(net, comp, feats[i], lm_scale=8.0,
-                                   lattice_beam=150.0)
+            utts.append(prepare_utterance(comp, f"u{i}", feats[i], phones))
+        accs = trainer.accumulate(utts, batch_size=8)
+        num = jax.tree.map(lambda a, b: a + b, num, accs)
+        # denominator: batched lattice generation (the HVite -z bucket
+        # path) + per-lattice arc FB (itself batched 16 arcs at a time)
+        lats = generate_lattice_batch(net, comp, feats, lm_scale=8.0,
+                                      lattice_beam=150.0)
+        for i, lat in enumerate(lats):
             den, _lp = accumulate_lattice(lat, vocab, comp, trainer,
                                           feats[i], period, f"u{i}", 8.0,
                                           den)
@@ -535,6 +539,9 @@ def main():
     def _alarm(signum, frame):  # pragma: no cover - timing dependent
         raise TimeoutError("section watchdog")
 
+    only = os.environ.get("BENCH_SECTIONS")
+    only = set(only.split(",")) if only else None
+
     def section(key, min_s, fn, store=None):
         """Run one guarded bench section: skip when the deadline is too
         close, bound it with a SIGALRM watchdog, record (not raise)
@@ -542,7 +549,10 @@ def main():
         JSON line must always come out with whatever was measured.
         `store(result)` folds the section's values into `extra` BEFORE
         that snapshot, so a kill right after a section never loses its
-        numbers."""
+        numbers. BENCH_SECTIONS=a,b re-measures only the named sections
+        (dev/debug knob; the driver runs everything)."""
+        if only is not None and key not in only:
+            return None
         if _left() < min_s:
             extra[key + "_skipped"] = True
             return None

@@ -892,10 +892,16 @@ def _finalize(net, WEs, pwns, pwts, WE_fin, pwn_fin, pwt_fin, T_real,
         pt = int(pwts[t + 1, node])
 
     words_rev.reverse()
+    return _result_from_chain(net, words_rev, score)
+
+
+def _result_from_chain(net, words_fwd, score) -> DecodeResult:
+    """(node, t_start, t_end) chain in forward order -> DecodeResult
+    (shared by the plane walk and the batched record-chain walk)."""
     words, nodes, times, scores = [], [], [], []
     cont = net.node_cont
     pend_t0: Optional[int] = None  # head/body spans merge into the tail
-    for node, t0, t1 in words_rev:
+    for node, t0, t1 in words_fwd:
         if cont is not None and cont[node]:
             if pend_t0 is None:
                 pend_t0 = t0
@@ -1585,37 +1591,58 @@ def generate_lattice(
         logb = jnp.asarray(state_scores, jnp.float32)
         outp_states = logb[:, jnp.asarray(net.comp_state)]
     else:
-        outp_states = _net_outp(net, comp, feats, precision)
+        mp = (None if model_params is None else
+              tuple(jnp.asarray(model_params[k], jnp.float32)
+                    for k in ("means", "variances", "gconsts")))
+        outp_states = _net_outp(net, comp, feats, precision, mp=mp)
 
     (vb, wnb, wtb), (WEb, pwnb, pwtb) = run_decode_batch(
         outp_states[None, :, :], net, lm_scale, word_pen,
         beam=beam, max_active=max_active,
     )
-    v, wn, wt = vb[0], wnb[0], wtb[0]
-    WEs = np.asarray(WEb[0])  # scan step t holds ends at time t-1
-    pwns = np.asarray(pwnb[0])
-    pwts = np.asarray(pwtb[0])
+    return _lattice_from_host_planes(
+        net, np.asarray(WEb[0]), np.asarray(pwnb[0]), np.asarray(pwtb[0]),
+        (vb[0], wnb[0], wtb[0]), None, T, lattice_beam, frame_period_s,
+        lm_scale, word_pen, want_result, max_preds)
 
-    # final-frame records
-    v = np.asarray(v)
-    wn = np.asarray(wn)
-    wt = np.asarray(wt)
-    nos = np.asarray(net.node_of_chain[net.chain_of])
-    e_state = np.asarray(v + np.asarray(net.aE), np.float64)
-    Nn = net.n_nodes
-    WE_fin = np.full(Nn, LZERO, np.float64)
-    pwn_fin = np.full(Nn, -1, np.int64)
-    pwt_fin = np.full(Nn, -1, np.int64)
-    # per-node max over states; stable sort keeps the FIRST state among
-    # equal scores, matching the former strict-greater scan
-    s_ord = np.argsort(-e_state, kind="stable")
-    i_ord = nos[s_ord]
-    _uniq, first = np.unique(i_ord, return_index=True)
-    sel = s_ord[first]
-    win = e_state[sel] > LZERO
-    WE_fin[i_ord[first][win]] = e_state[sel][win]
-    pwn_fin[i_ord[first][win]] = np.asarray(wn, np.int64)[sel][win]
-    pwt_fin[i_ord[first][win]] = np.asarray(wt, np.int64)[sel][win]
+
+def _lattice_from_host_planes(net, WEs, pwns, pwts, carry, fin, T,
+                              lattice_beam, frame_period_s, lm_scale,
+                              word_pen, want_result, max_preds):
+    """Lattice (+ optional 1-best) from host-fetched word-end planes.
+
+    `WEs/pwns/pwts` cover scan steps 0..T-1 (step t holds ends at time
+    t-1). Final-frame (T-1) records come from `fin` =
+    (WE_fin, pwn_fin, pwt_fin) when given — the padded-batch case, where
+    they are plane T of the full scan — else from `carry` = (v, wn, wt),
+    the final state vector of an unpadded scan. Shared by the sequential
+    and generic-batched generators (identical output, tested)."""
+    if fin is not None:
+        WE_fin = np.asarray(fin[0], np.float64)
+        pwn_fin = np.asarray(fin[1], np.int64)
+        pwt_fin = np.asarray(fin[2], np.int64)
+    else:
+        v, wn, wt = carry
+        # final-frame records
+        v = np.asarray(v)
+        wn = np.asarray(wn)
+        wt = np.asarray(wt)
+        nos = np.asarray(net.node_of_chain[net.chain_of])
+        e_state = np.asarray(v + np.asarray(net.aE), np.float64)
+        Nn = net.n_nodes
+        WE_fin = np.full(Nn, LZERO, np.float64)
+        pwn_fin = np.full(Nn, -1, np.int64)
+        pwt_fin = np.full(Nn, -1, np.int64)
+        # per-node max over states; stable sort keeps the FIRST state
+        # among equal scores, matching the former strict-greater scan
+        s_ord = np.argsort(-e_state, kind="stable")
+        i_ord = nos[s_ord]
+        _uniq, first = np.unique(i_ord, return_index=True)
+        sel = s_ord[first]
+        win = e_state[sel] > LZERO
+        WE_fin[i_ord[first][win]] = e_state[sel][win]
+        pwn_fin[i_ord[first][win]] = np.asarray(wn, np.int64)[sel][win]
+        pwt_fin[i_ord[first][win]] = np.asarray(wt, np.int64)[sel][win]
 
     # records table: rec[(node, t)] = (score, pred_node, pred_t) — one
     # vectorised pass over the (T-1, Nn) plane (the per-frame per-node
@@ -1884,6 +1911,7 @@ def generate_lattice_batch(
     state_scores_list: Optional[List[np.ndarray]] = None,
     model_params: Optional[dict] = None,
     max_preds: int = 1,
+    want_results: bool = False,
 ):
     """Batched lattice generation — a bucket of utterances through ONE
     fused scan (the HDecode batch path; `HTKLVRec/HDecode.c` decodes its
@@ -1894,16 +1922,18 @@ def generate_lattice_batch(
     `k_lat` covers every in-beam record per frame (tested); by default
     k_lat=LAT_TOPK caps each frame's records at the 256 best, a width
     cap alongside the lattice beam.
+
+    `want_results=True` returns (lattice, DecodeResult) pairs — the
+    1-best is walked from the same compacted record planes (best final
+    record among the top-K compaction + end node exit LM, then the
+    predecessor chain; beam-pruned chain records resurrect from the
+    on-device planes), so HVite -z needs one scan per bucket, not two.
     """
     if not net.uniform_width:
-        return [generate_lattice(
-            net, comp, f, lm_scale, word_pen, lattice_beam,
-            frame_period_s, precision,
-            state_scores=(state_scores_list[i] if state_scores_list
-                          else None),
-            beam=beam, max_active=max_active,
-            model_params=model_params)
-            for i, f in enumerate(feats_list)]
+        return _generate_lattice_batch_generic(
+            net, comp, feats_list, lm_scale, word_pen, lattice_beam,
+            frame_period_s, precision, beam, max_active, pad_to,
+            state_scores_list, model_params, max_preds, want_results)
 
     B = len(feats_list)
     state_mode = state_scores_list is not None
@@ -1970,7 +2000,7 @@ def generate_lattice_batch(
                 rec[(int(ixf_k[b, k]), tr - 1)] = (
                     float(row_sc[k]), int(pnf_k[b, k]), int(ptf_k[b, k]))
         if not rec:
-            out.append(None)
+            out.append((None, None) if want_results else None)
             continue
 
         def resolve_many(pairs, b=b):
@@ -1986,9 +2016,94 @@ def generate_lattice_batch(
             return [None if s <= LSMALL else (float(s), int(a), int(c))
                     for s, a, c in zip(*trip)]
 
-        out.append(_lattice_from_rec(net, rec, None, tr,
-                                     frame_period_s, lm_scale, word_pen,
-                                     resolve_many=resolve_many,
-                                     max_preds=max_preds,
-                                     arc_beam=lattice_beam))
+        res = None
+        if want_results:
+            # best COMPLETE path among the top-K final records (the
+            # compaction is by raw word-end score, not lattice-beam
+            # filtered, so the argmax matches _finalize whenever K
+            # covers the live final rows — the lattice caveat already)
+            end_exit = np.asarray(net.end_exit, np.float64)
+            fsc = (scf_k[b].astype(np.float64)
+                   + end_exit[ixf_k[b]] * float(lm_scale))
+            j = int(np.argmax(np.where(scf_k[b] > LSMALL, fsc, LZERO)))
+            if scf_k[b, j] > LSMALL and fsc[j] > LSMALL:
+                node, t = int(ixf_k[b, j]), tr - 1
+                pn, pt = int(pnf_k[b, j]), int(ptf_k[b, j])
+                chain = []
+                while True:
+                    chain.append((node, pt + 1, t))
+                    if pn < 0 or pt < 0:
+                        break
+                    node, t = pn, pt
+                    got = rec.get((node, t))
+                    if got is None:
+                        got = resolve_many([(node, t)])[0]
+                    if got is None:  # pragma: no cover - planes hold preds
+                        break
+                    _s, pn, pt = got
+                    pn, pt = int(pn), int(pt)
+                chain.reverse()
+                res = _result_from_chain(net, chain, float(fsc[j]))
+        lat = _lattice_from_rec(net, rec, None, tr,
+                                frame_period_s, lm_scale, word_pen,
+                                resolve_many=resolve_many,
+                                max_preds=max_preds,
+                                arc_beam=lattice_beam)
+        out.append((lat, res) if want_results else lat)
     return out
+
+
+def _generate_lattice_batch_generic(net, comp, feats_list, lm_scale,
+                                    word_pen, lattice_beam,
+                                    frame_period_s, precision, beam,
+                                    max_active, pad_to,
+                                    state_scores_list, model_params,
+                                    max_preds, want_results):
+    """Batched lattice generation for GENERAL (non-uniform) networks —
+    the HVite -z bucket path: one padded scan for the whole bucket, then
+    the shared per-utterance plane walk. Identical output to sequential
+    generate_lattice (the plane slices at each utterance's own t_real
+    are exactly the unpadded planes; tested)."""
+    B = len(feats_list)
+    state_mode = state_scores_list is not None
+    src = state_scores_list if state_mode else feats_list
+    lens = [int(f.shape[0]) for f in src]
+    T = ((max(lens) + pad_to - 1) // pad_to) * pad_to
+    mp = (None if model_params is None else
+          tuple(jnp.asarray(model_params[k], jnp.float32)
+                for k in ("means", "variances", "gconsts")))
+    if state_mode:
+        Ns = len(np.asarray(net.comp_state))
+        ob = np.full((B, T, Ns), LZERO, np.float32)
+        cs = np.asarray(net.comp_state)
+        for b, s in enumerate(state_scores_list):
+            ob[b, : lens[b]] = np.asarray(s, np.float32)[:, cs]
+        outp = jnp.asarray(ob)
+    else:
+        D = src[0].shape[1]
+        fb = np.zeros((B, T, D), np.float32)
+        for b, f in enumerate(src):
+            fb[b, : lens[b]] = f
+        outp = jax.vmap(
+            lambda x: _net_outp(net, comp, x, precision, mp=mp))(
+            jnp.asarray(fb))
+    (vb, wnb, wtb), (WEb, pwnb, pwtb) = run_decode_batch(
+        outp, net, lm_scale, word_pen, beam=beam, max_active=max_active)
+    WEb = np.asarray(WEb)
+    pwnb = np.asarray(pwnb)
+    pwtb = np.asarray(pwtb)
+    out = []
+    for b in range(B):
+        tr = lens[b]
+        if tr == T:
+            carry, fin = (vb[b], wnb[b], wtb[b]), None
+        else:
+            # ends at time tr-1 were emitted by scan step tr
+            carry, fin = None, (WEb[b, tr], pwnb[b, tr], pwtb[b, tr])
+        out.append(_lattice_from_host_planes(
+            net, WEb[b, :tr], pwnb[b, :tr], pwtb[b, :tr], carry, fin,
+            tr, lattice_beam, frame_period_s, lm_scale, word_pen,
+            want_results, max_preds))
+    if not want_results:
+        return out
+    return [(r if isinstance(r, tuple) else (r, None)) for r in out]

@@ -328,11 +328,18 @@ def run(argv: List[str]) -> int:
         # with per-utterance model state (adaptation, lattices, n-best,
         # hybrid, discrete) stay sequential
         feature_only_xf = bool(xforms) and not any_model_xf
-        use_batch = ((not xforms or feature_only_xf) and not lat_ext
+        # -z lattices batch too: one scan per bucket yields the lattice
+        # records AND the 1-best (generate_lattice_batch want_results;
+        # uniform nets ride the compacted-record pipeline, general nets
+        # the padded generic batch)
+        batch_z = bool(lat_ext) and not ta.has("n")
+        use_batch = ((not xforms or feature_only_xf)
+                     and (not lat_ext or batch_z)
                      and not ta.has("n") and ann is None
                      and not comp.discrete and len(files) > 1)
         if use_batch:
-            from ..algo.decode import decode_batch
+            from ..algo.decode import decode_batch, generate_lattice_batch
+            from ..io.slf import write_slf
             from ..utils.metrics import maybe_profile
 
             entries, featl = [], []
@@ -352,11 +359,30 @@ def run(argv: List[str]) -> int:
             with maybe_profile(cfg, "HVite"):
                 for i0 in range(0, len(order), bsz):
                     idx = order[i0 : i0 + bsz]
-                    rs = decode_batch(net, comp, [featl[j] for j in idx],
-                                      lm_scale, word_pen, precision=prec,
-                                      beam=gen_beam, max_active=max_act)
-                    for j, r in zip(idx, rs):
-                        results[j] = r
+                    if lat_ext:
+                        prs = generate_lattice_batch(
+                            net, comp, [featl[j] for j in idx],
+                            lm_scale, word_pen, lattice_beam=lat_beam,
+                            frame_period_s=period / 1e7, precision=prec,
+                            beam=gen_beam, max_active=max_act,
+                            want_results=True)
+                        for j, (lt, r) in zip(idx, prs):
+                            results[j] = r
+                            if lt is not None:
+                                stem = os.path.splitext(os.path.basename(
+                                    entries[j].logical))[0]
+                                lt.utterance = stem
+                                write_slf(lt, os.path.join(
+                                    out_dir or ".", f"{stem}.{lat_ext}"))
+                    else:
+                        rs = decode_batch(net, comp,
+                                          [featl[j] for j in idx],
+                                          lm_scale, word_pen,
+                                          precision=prec,
+                                          beam=gen_beam,
+                                          max_active=max_act)
+                        for j, r in zip(idx, rs):
+                            results[j] = r
             # retry escalation (HFB.c ladder, decoder-side): a pruned-out
             # utterance re-decodes with the beam widened twice, then
             # unpruned, before "no tokens survived" is final

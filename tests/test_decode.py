@@ -254,3 +254,61 @@ class TestGenerateLattice:
         # the lattice keeps the S word nodes, so drop them for comparison
         words = [w for (w, _t, _a) in path if w not in ("!NULL", "", "S")]
         assert words == list(res.words)
+
+
+class TestGenericLatticeBatch:
+    """Batched -z on GENERAL (non-uniform) nets: one padded scan per
+    bucket must reproduce the sequential generate_lattice exactly."""
+
+    @staticmethod
+    def _assert_lat_eq(la, lb):
+        assert la is not None and lb is not None
+        assert len(la.nodes) == len(lb.nodes)
+        assert len(la.arcs) == len(lb.arcs)
+        for na, nb in zip(la.nodes, lb.nodes):
+            assert na.word == nb.word
+            assert na.time == pytest.approx(nb.time, abs=1e-9)
+        for aa, ab in zip(la.arcs, lb.arcs):
+            assert (aa.start, aa.end) == (ab.start, ab.end)
+            assert aa.aclike == pytest.approx(ab.aclike, rel=1e-5,
+                                              abs=1e-4)
+            assert aa.lmlike == pytest.approx(ab.lmlike, rel=1e-5,
+                                              abs=1e-4)
+
+    def test_batch_equals_sequential_with_results(self):
+        from htk_tpu.algo.decode import (generate_lattice,
+                                         generate_lattice_batch)
+
+        comp = separable_set()
+        net = TestDecode().make_net(comp)
+        seqs = [["sil", "aa", "iy", "sil"],
+                ["sil", "iy", "aa", "iy", "aa", "sil"],
+                ["aa", "iy"]]
+        feats = [emit_frames(s, seed=30 + i) for i, s in enumerate(seqs)]
+        prs = generate_lattice_batch(net, comp, feats, lm_scale=2.0,
+                                     word_pen=-1.0, lattice_beam=300.0,
+                                     pad_to=16, want_results=True)
+        assert len(prs) == len(feats)
+        for f, (lb, rb) in zip(feats, prs):
+            ls, rs = generate_lattice(net, comp, f, 2.0, -1.0,
+                                      lattice_beam=300.0,
+                                      want_result=True)
+            self._assert_lat_eq(lb, ls)
+            assert rb is not None and rs is not None
+            assert rb.words == rs.words and rb.times == rs.times
+            assert rb.score == pytest.approx(rs.score, rel=1e-6)
+
+    def test_batch_tight_beam_equals_sequential(self):
+        from htk_tpu.algo.decode import (generate_lattice,
+                                         generate_lattice_batch)
+
+        comp = separable_set()
+        net = TestDecode().make_net(comp)
+        seqs = [["sil", "aa", "iy", "aa", "sil"], ["iy", "aa", "sil"]]
+        feats = [emit_frames(s, seed=40 + i) for i, s in enumerate(seqs)]
+        for lbeam in (5.0, 50.0):
+            latb = generate_lattice_batch(net, comp, feats,
+                                          lattice_beam=lbeam, pad_to=16)
+            for f, lb in zip(feats, latb):
+                ls = generate_lattice(net, comp, f, lattice_beam=lbeam)
+                self._assert_lat_eq(lb, ls)

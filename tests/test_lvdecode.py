@@ -192,6 +192,31 @@ class TestLVBatch:
                 ls = generate_lattice(net, comp, f, lattice_beam=lbeam)
                 self._assert_lat_eq(lb, ls)
 
+    def test_lattice_batch_want_results(self):
+        """want_results: the batched 1-best (walked from the compacted
+        record planes) equals sequential want_result exactly."""
+        from htk_tpu.algo.decode import (generate_lattice,
+                                         generate_lattice_batch)
+
+        comp = separable_set()
+        net = compile_lv_loop(["A", "I", "S"], make_vocab(), comp,
+                              lm=make_lm())
+        seqs = [["sil", "aa", "iy", "aa", "sil"],
+                ["sil", "iy", "sil"],
+                ["aa", "iy", "aa", "iy"]]
+        feats = [emit_frames(s, seed=i + 1) for i, s in enumerate(seqs)]
+        prs = generate_lattice_batch(net, comp, feats, lm_scale=2.0,
+                                     word_pen=-1.0, lattice_beam=300.0,
+                                     pad_to=16, want_results=True)
+        for f, (lb, rb) in zip(feats, prs):
+            ls, rs = generate_lattice(net, comp, f, 2.0, -1.0,
+                                      lattice_beam=300.0,
+                                      want_result=True)
+            self._assert_lat_eq(lb, ls)
+            assert rb is not None and rs is not None
+            assert rb.words == rs.words and rb.times == rs.times
+            assert rb.score == pytest.approx(rs.score, rel=1e-5)
+
     def test_lattice_batch_topk_cap(self):
         """k_lat below the row count still produces a usable lattice
         whose best path equals the 1-best decode."""

@@ -116,7 +116,10 @@ def score_lattice_arcs(lat, vocab, comp, trainer, feats, period, stem):
     arc_ll = {}
     params = trainer.params()
     for batch in make_batches(utts, 16):
-        arrs = pad_batch(batch, comp.n_states)
+        # B padded to the full batch width: arc mini-batches are small
+        # and ragged (per-lattice), and every distinct B is a fresh
+        # compile — padded rows are all-masked and sliced off below
+        arrs = pad_batch(batch, comp.n_states, pad_to=16)
         lls = loglik_batch(
             jnp.asarray(arrs["feats"]), jnp.asarray(arrs["t_real"]),
             jnp.asarray(arrs["comp_state"]), jnp.asarray(arrs["q_mask"]),
@@ -143,7 +146,8 @@ def accumulate_arcs(utts, name_to_arc, arc_weights, comp, trainer, total):
 
     params = trainer.params()
     for batch in make_batches(utts, 16):
-        arrs = pad_batch(batch, comp.n_states)
+        # B padded like score_lattice_arcs: padded rows carry weight 0
+        arrs = pad_batch(batch, comp.n_states, pad_to=16)
         weights = np.zeros(arrs["feats"].shape[0], np.float32)
         any_w = False
         for i, u in enumerate(batch):

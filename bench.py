@@ -380,11 +380,13 @@ def bench_hdecode_batch(comp, vocab, words, lm, n_utts=64, seed=3, reps=3,
         t0 = time.perf_counter()
         run_batched()
         tb.append(time.perf_counter() - t0)
-    # sequential loop: one rep (it is the slow side being replaced)
+    # sequential loop: 4 utterances, one rep (it is the slow side being
+    # replaced, and every distinct length is a fresh compile — the very
+    # cost bucketed batching removes; 4 utts bound the section's time)
     t0 = time.perf_counter()
-    for f in feats[:16]:
+    for f in feats[:4]:
         generate_lattice(net, comp, f, lm_scale=8.0, lattice_beam=150.0)
-    seq_audio = float(sum(f.shape[0] for f in feats[:16])) * 0.01
+    seq_audio = float(sum(f.shape[0] for f in feats[:4])) * 0.01
     seq_xrt = (time.perf_counter() - t0) / seq_audio
     return statistics.median(tb) / audio, seq_xrt
 
@@ -542,7 +544,7 @@ def main():
     only = os.environ.get("BENCH_SECTIONS")
     only = set(only.split(",")) if only else None
 
-    def section(key, min_s, fn, store=None):
+    def section(key, min_s, fn, store=None, max_s=None):
         """Run one guarded bench section: skip when the deadline is too
         close, bound it with a SIGALRM watchdog, record (not raise)
         failures, and emit the cumulative JSON snapshot after — the
@@ -550,7 +552,9 @@ def main():
         `store(result)` folds the section's values into `extra` BEFORE
         that snapshot, so a kill right after a section never loses its
         numbers. BENCH_SECTIONS=a,b re-measures only the named sections
-        (dev/debug knob; the driver runs everything)."""
+        (dev/debug knob; the driver runs everything). `max_s` caps a
+        section known to degrade badly (e.g. launch-latency-bound
+        through a slow tunnel) so it can never starve later sections."""
         if only is not None and key not in only:
             return None
         if _left() < min_s:
@@ -559,6 +563,8 @@ def main():
         # watchdog: a section may overrun its estimate but never eat
         # the whole remaining budget (leave 30 s for later emits)
         cap = max(30, int(min(_left(), 86400.0)) - 30)
+        if max_s is not None:
+            cap = min(cap, max_s)
         t0 = time.monotonic()
         old = None
         try:
@@ -652,21 +658,17 @@ def main():
         hdecode_5k_triguide_xrt=round(r[0], 6),
         hdecode_5k_plain_factored_xrt=round(r[1], 6)))
 
-    # HDecode batch path: 64 mixed-length utterances, bucketed batched
-    # lattice generation vs the per-utterance loop it replaced
-    section("hdecode_batch", 120, lambda: bench_hdecode_batch(
-        comp5, vocab5, words5, lm5, n_utts=(8 if SMOKE else 64), net=net5),
-        store=lambda r: extra.update(
-            hdecode_5k_batch64_xrt=round(r[0], 6),
-            hdecode_5k_seq_lattice_xrt=round(r[1], 6)))
-
-    # config #5 discriminative half: MMI accumulation + EBW update
+    # config #5 discriminative half: MMI accumulation + EBW update.
+    # Hard 480 s cap: the arc-FB accumulation is launch-latency-bound
+    # through the dev tunnel (hundreds of fb_batch launches per
+    # utterance at lattice_beam 150), and an overrun here must never
+    # starve the big-vocab rows
     section("mmi", 120, lambda: bench_mmi(
         comp5, vocab5, words5, lm5, net=net5,
-        n_utts=(1 if SMOKE else 8), T=(100 if SMOKE else 500)),
+        n_utts=(1 if SMOKE else 4), T=(100 if SMOKE else 500)),
         store=lambda r: extra.update(
             mmi_utt_per_sec=round(r[0], 3),
-            ebw_update_s=round(r[1], 3)))
+            ebw_update_s=round(r[1], 3)), max_s=480)
 
     # round-1 continuity numbers (config #2: BW throughput)
     comp0, names0 = build_model()
@@ -679,6 +681,16 @@ def main():
         T=(100 if SMOKE else 500)),
         store=lambda r: extra.update(
             herest_bw_utt_per_sec_per_chip=round(r, 2)))
+
+    # HDecode batch path: 64 mixed-length utterances, bucketed batched
+    # lattice generation vs the per-utterance loop it replaced (late in
+    # the order: the sequential leg's per-length compiles make it the
+    # most expensive cold section)
+    section("hdecode_batch", 120, lambda: bench_hdecode_batch(
+        comp5, vocab5, words5, lm5, n_utts=(8 if SMOKE else 64), net=net5),
+        store=lambda r: extra.update(
+            hdecode_5k_batch64_xrt=round(r[0], 6),
+            hdecode_5k_seq_lattice_xrt=round(r[1], 6)))
 
     # big-vocab rows (BASELINE.md's quoted 20k/50k/100k numbers),
     # deadline-gated so the child never blows the parent's budget

@@ -100,25 +100,23 @@ def lattice_arc_utts(lat, vocab, comp, feats, period, stem):
     return utts, arc_ids
 
 
-def score_lattice_arcs(lat, vocab, comp, trainer, feats, period, stem):
-    """Pass 1: expand word arcs, rescore acoustics with current models.
+def score_arc_utts(utts, comp, trainer):
+    """Batched per-arc acoustic log-likelihoods: {utt name: ll}.
 
-    Returns (utts, name_to_arc); arc aclike fields are updated in place.
-    """
+    Takes arc mini-utterances from ANY number of lattices (names are
+    stem-qualified, so cross-lattice batching is safe) — one length-
+    bucketed loglik_batch launch per 16 arcs instead of one per
+    lattice-local group."""
     import jax.numpy as jnp
     from ..algo.fb import loglik_batch
     from ..algo.trainer import make_batches
 
-    utts, arc_ids = lattice_arc_utts(lat, vocab, comp, feats, period, stem)
-    if not utts:
-        return [], {}
-    name_to_arc = dict(zip([u.name for u in utts], arc_ids))
     arc_ll = {}
     params = trainer.params()
     for batch in make_batches(utts, 16):
         # B padded to the full batch width: arc mini-batches are small
-        # and ragged (per-lattice), and every distinct B is a fresh
-        # compile — padded rows are all-masked and sliced off below
+        # and ragged, and every distinct B is a fresh compile — padded
+        # rows are all-masked and sliced off below
         arrs = pad_batch(batch, comp.n_states, pad_to=16)
         lls = loglik_batch(
             jnp.asarray(arrs["feats"]), jnp.asarray(arrs["t_real"]),
@@ -130,10 +128,24 @@ def score_lattice_arcs(lat, vocab, comp, trainer, feats, period, stem):
             state_sw=params[5], slot_blocks=tuple(comp.slot_blocks) or None,
         )
         for u, ll in zip(batch, np.asarray(lls)[: len(batch)]):
-            arc_ll[name_to_arc[u.name]] = float(ll)
+            arc_ll[u.name] = float(ll)
+    return arc_ll
+
+
+def score_lattice_arcs(lat, vocab, comp, trainer, feats, period, stem):
+    """Pass 1: expand word arcs, rescore acoustics with current models.
+
+    Returns (utts, name_to_arc); arc aclike fields are updated in place.
+    """
+    utts, arc_ids = lattice_arc_utts(lat, vocab, comp, feats, period, stem)
+    if not utts:
+        return [], {}
+    name_to_arc = dict(zip([u.name for u in utts], arc_ids))
+    arc_ll = score_arc_utts(utts, comp, trainer)
+    by_id = {name_to_arc[n]: v for n, v in arc_ll.items()}
     for a in lat.arcs:
-        if a.id in arc_ll:
-            a.aclike = arc_ll[a.id]
+        if a.id in by_id:
+            a.aclike = by_id[a.id]
     return utts, name_to_arc
 
 
@@ -225,6 +237,94 @@ def run(argv: List[str]) -> int:
     mode = (cfg.str_("DISCRMODE", "MMI", module="HMMIREST") or "MMI").upper()
     period = int(cfg.flt_("TARGETRATE", 100000.0, module="HPARM"))
     total_acc_exp = 0.0
+    null_words = (set() if vocab is None else {
+        w.name for w in vocab.words.values() if w.prons[0].out_sym == ""})
+
+    # Utterances accumulate in BLOCKS (HMMIREST: ACCBLOCK, default 8):
+    # arc mini-utterances from every lattice in the block share one
+    # length-bucketed scoring pass and one accumulation pass, cutting
+    # kernel-launch count ~ACCBLOCK-fold (each launch pays fixed
+    # dispatch latency on an accelerator). Per-lattice posterior math
+    # is unchanged — only the device batching crosses utterances.
+    acc_block = int(cfg.int_("ACCBLOCK", 8, module="HMMIREST") or 8)
+    pend: List[dict] = []
+
+    def flush():
+        nonlocal num_total, den_total, total_acc_exp
+        if not pend:
+            return
+        from ..algo.latops import arc_mpe_weights
+
+        # 1) expand every lattice in the block (host only); role tags
+        # keep numerator/denominator arc names distinct per utterance
+        jobs = []
+        all_utts = []
+        for it in pend:
+            for role, tag in (("num_lat", "#n"), ("den_lat", "#d")):
+                lat = it.get(role)
+                if lat is None:
+                    continue
+                utts, arc_ids = lattice_arc_utts(
+                    lat, vocab, comp, it["data"], period, it["stem"] + tag)
+                if not utts:
+                    continue
+                jobs.append((role, lat, utts,
+                             dict(zip([u.name for u in utts], arc_ids)),
+                             it))
+                all_utts.extend(utts)
+        # 2) ONE blocked scoring pass for every arc in the block
+        arc_ll = score_arc_utts(all_utts, comp, trainer) if all_utts else {}
+        num_utts: List = []
+        den_utts: List = []
+        num_w: dict = {}
+        den_w: dict = {}
+        for role, lat, utts, n2a, it in jobs:
+            by_id = {n2a[n]: arc_ll[n] for n in n2a if n in arc_ll}
+            for a in lat.arcs:
+                if a.id in by_id:
+                    a.aclike = by_id[a.id]
+            if it.get("mpe_ref") is not None:
+                weights, c_avg = arc_mpe_weights(
+                    lat, it["mpe_ref"], lmscale=lm_scale, wdpenalty=0.0,
+                    null_words=null_words)
+                num_utts.extend(utts)
+                den_utts.extend(utts)
+                for n in n2a:
+                    w = weights.get(n2a[n], 0.0)
+                    num_w[n] = w if w > 0 else 0.0
+                    den_w[n] = -w if w < 0 else 0.0
+                total_acc_exp += c_avg
+                if ta.trace >= 2:
+                    print(f"  {it['stem']}: expected accuracy {c_avg:.3f}")
+                continue
+            logp, post = arc_posteriors(lat, lmscale=lm_scale,
+                                        wdpenalty=0.0)
+            gam = {aid: (float(np.exp(min(g, 0.0))) if g > -30 else 0.0)
+                   for aid, g in post.items()}
+            t_utts, t_w = ((num_utts, num_w) if role == "num_lat"
+                           else (den_utts, den_w))
+            t_utts.extend(utts)
+            for n in n2a:
+                t_w[n] = gam.get(n2a[n], 0.0)
+            if role == "den_lat" and ta.trace >= 2:
+                print(f"  {it['stem']}: den logP {logp:.2f}")
+        # 3) ONE blocked accumulation pass per side (weights keyed by
+        # arc-utterance name — arc ids collide across lattices)
+        if num_utts:
+            num_total = accumulate_arcs(
+                num_utts, {n: n for n in num_w}, num_w, comp, trainer,
+                num_total)
+        if den_utts:
+            den_total = accumulate_arcs(
+                den_utts, {n: n for n in den_w}, den_w, comp, trainer,
+                den_total)
+        # 4) transcript numerators: one batched composite-FB call
+        tutts = [it["num_utt"] for it in pend if it.get("num_utt")]
+        if tutts:
+            accs = trainer.accumulate(tutts, batch_size=acc_block)
+            num_total = jax.tree.map(lambda a, b: a + b, num_total, accs)
+        pend.clear()
+
     pre = preload_corpus(files, cfg)
     for fn in files:
         data, _p, _k, e = pre.get(fn) or open_speech_file(fn, cfg)
@@ -237,13 +337,13 @@ def run(argv: List[str]) -> int:
         den_lat = read_slf(den_path, ta.config)
         if vocab is None:
             HError(1030, "HMMIRest: word lattices need a dictionary (-d)")
+        item = {"stem": stem, "data": data, "den_lat": den_lat}
 
         if mode in ("MPE", "MWE"):
-            # MPE/MWE: positive/negative accuracy-weighted arc occupancies
-            # from the same lattice (algo/latops.arc_mpe_weights); needs a
-            # *timed* word reference (e.g. HVite -a output).
-            from ..algo.latops import arc_mpe_weights
-
+            # MPE/MWE: positive/negative accuracy-weighted arc
+            # occupancies from the same lattice
+            # (algo/latops.arc_mpe_weights); needs a *timed* word
+            # reference (e.g. HVite -a output).
             tr = find_labels(e.logical, mlfs, ta.get("L"), ta.get("X", "lab"))
             ref = [
                 (l.name, (l.start or 0) / 1e7, (l.end or 0) / 1e7)
@@ -252,50 +352,18 @@ def run(argv: List[str]) -> int:
             if not any(r[2] > r[1] for r in ref):
                 HError(12040, "HMMIRest MPE: reference MLF for %s has no "
                               "times (align with HVite -a first)", stem)
-            utts, name_to_arc = score_lattice_arcs(
-                den_lat, vocab, comp, trainer, data, period, stem
-            )
-            if not utts:
-                continue
-            null_words = {
-                w.name for w in vocab.words.values()
-                if w.prons[0].out_sym == ""
-            }
-            weights, c_avg = arc_mpe_weights(den_lat, ref, lmscale=lm_scale,
-                                             wdpenalty=0.0,
-                                             null_words=null_words)
-            pos = {aid: w for aid, w in weights.items() if w > 0}
-            neg = {aid: -w for aid, w in weights.items() if w < 0}
-            num_total = accumulate_arcs(utts, name_to_arc, pos, comp,
-                                        trainer, num_total)
-            den_total = accumulate_arcs(utts, name_to_arc, neg, comp,
-                                        trainer, den_total)
-            total_acc_exp += c_avg
-            if ta.trace >= 2:
-                print(f"  {stem}: expected accuracy {c_avg:.3f}")
-            continue
-
-        # MMI numerator
-        if ta.has("q"):
-            num_lat = read_slf(os.path.join(ta.get("q"), f"{stem}.lat"), ta.config)
-            num_total, _ = accumulate_lattice(
-                num_lat, vocab, comp, trainer, data, period, stem, lm_scale,
-                num_total,
-            )
+            item["mpe_ref"] = ref
+        elif ta.has("q"):
+            item["num_lat"] = read_slf(
+                os.path.join(ta.get("q"), f"{stem}.lat"), ta.config)
         else:
             tr = find_labels(e.logical, mlfs, ta.get("L"), ta.get("X", "lab"))
             names = [l.name for l in tr.labels]
-            utt = prepare_utterance(comp, stem, data, names)
-            accs = trainer.accumulate([utt])
-            num_total = jax.tree.map(lambda a, b: a + b, num_total, accs)
-
-        # MMI denominator
-        den_total, den_lp = accumulate_lattice(
-            den_lat, vocab, comp, trainer, data, period, stem, lm_scale,
-            den_total,
-        )
-        if ta.trace >= 2:
-            print(f"  {stem}: den logP {den_lp:.2f}")
+            item["num_utt"] = prepare_utterance(comp, stem, data, names)
+        pend.append(item)
+        if len(pend) >= acc_block:
+            flush()
+    flush()
 
     num_lp = float(np.asarray(num_total.total_logp))
     den_occ = float(np.asarray(den_total.occ).sum())

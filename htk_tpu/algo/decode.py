@@ -1163,8 +1163,21 @@ def _lv_lattice_pipeline(net, comp, precision, max_active, k_lat,
             ix_k = ix_k.astype(jnp.int32)
             pn_k = jnp.take_along_axis(pwns, ix_k, axis=2)
             pt_k = jnp.take_along_axis(pwts, ix_k, axis=2)
-            scf_k, ixf_k = jax.lax.top_k(WE_fin, K)  # (B, K)
+            # final records rank by the COMPLETE path score (word-end +
+            # end-node exit LM): ranking by raw score could drop the true
+            # 1-best from the top-K under tight k_lat, silently changing
+            # HVite -z output. Rows with no exit transition (end_exit
+            # LZERO) can never be lattice final nodes (same as the
+            # sequential path's end_exit > LSMALL filter) so masking
+            # them out here loses nothing.
+            tot_fin = jnp.where(
+                (WE_fin > LSMALL) & (d["end_exit"][None] > LSMALL),
+                WE_fin + d["end_exit"][None] * lm_scale, LZERO)
+            _tot_k, ixf_k = jax.lax.top_k(tot_fin, K)  # (B, K)
             ixf_k = ixf_k.astype(jnp.int32)
+            scf_k = jnp.where(
+                _tot_k > LSMALL,
+                jnp.take_along_axis(WE_fin, ixf_k, axis=1), LZERO)
             pnf_k = jnp.take_along_axis(pwn_fin, ixf_k, axis=1)
             ptf_k = jnp.take_along_axis(pwt_fin, ixf_k, axis=1)
             compact = (sc_k, ix_k, pn_k, pt_k, scf_k, ixf_k, pnf_k, ptf_k)
@@ -1991,7 +2004,9 @@ def generate_lattice_batch(
                     pt_k[b, tt + 1, kk].tolist()):
                 rec[(i_, t_)] = (s_, pn_, pt_)
         row_sc = scf_k[b]
-        bestf = row_sc[0]
+        # final compaction is ranked by raw+exit-LM total, so the raw
+        # max may sit anywhere among the kept K
+        bestf = row_sc.max()
         if bestf > LSMALL:
             keep = np.nonzero((row_sc > LSMALL)
                               & (row_sc >= bestf - lattice_beam))[0]
@@ -2018,10 +2033,10 @@ def generate_lattice_batch(
 
         res = None
         if want_results:
-            # best COMPLETE path among the top-K final records (the
-            # compaction is by raw word-end score, not lattice-beam
-            # filtered, so the argmax matches _finalize whenever K
-            # covers the live final rows — the lattice caveat already)
+            # best COMPLETE path: the device compaction ranks final
+            # records by word-end + exit-LM total, so the true 1-best is
+            # always inside the top-K and this argmax matches the
+            # sequential _finalize exactly (ADVICE r4 item 2)
             end_exit = np.asarray(net.end_exit, np.float64)
             fsc = (scf_k[b].astype(np.float64)
                    + end_exit[ixf_k[b]] * float(lm_scale))

@@ -400,9 +400,28 @@ def run(argv: List[str]) -> int:
                                       "pruning; retrying at %s",
                                 entries[j].logical,
                                 "unpruned" if b is None else f"beam {b:.0f}")
-                        r = decode(net, comp, featl[j], lm_scale,
-                                   word_pen, precision=prec, beam=b,
-                                   max_active=ma)
+                        if lat_ext:
+                            # -z: the widened-beam retry must also yield
+                            # the lattice — a recovered 1-best with no
+                            # .lat file breaks downstream HMMIRest -r
+                            from ..algo.decode import generate_lattice
+
+                            lt, r = generate_lattice(
+                                net, comp, featl[j], lm_scale, word_pen,
+                                lattice_beam=lat_beam,
+                                frame_period_s=period / 1e7,
+                                want_result=True, precision=prec,
+                                beam=b, max_active=ma)
+                            if r is not None and lt is not None:
+                                stem = os.path.splitext(os.path.basename(
+                                    entries[j].logical))[0]
+                                lt.utterance = stem
+                                write_slf(lt, os.path.join(
+                                    out_dir or ".", f"{stem}.{lat_ext}"))
+                        else:
+                            r = decode(net, comp, featl[j], lm_scale,
+                                       word_pen, precision=prec, beam=b,
+                                       max_active=ma)
                         if r is not None:
                             results[j] = r
                             break
@@ -474,9 +493,29 @@ def run(argv: List[str]) -> int:
                     HRError(8525, "HVite: no tokens for %s under pruning; "
                                   "retrying at %s", e.logical,
                             "unpruned" if b is None else f"beam {b:.0f}")
-                    res = decode(net, comp, data, lm_scale, word_pen,
-                                 state_scores=state_scores, precision=prec,
-                                 beam=b, max_active=ma)
+                    if lat_ext or nbest > 1:
+                        # a recovered utterance must also recover its
+                        # lattice (and n-best source) — otherwise
+                        # downstream HMMIRest -r fails on a missing .lat
+                        from ..algo.decode import generate_lattice
+                        from ..io.slf import write_slf
+
+                        lat, res = generate_lattice(
+                            net, comp, data, lm_scale, word_pen,
+                            lattice_beam=lat_beam,
+                            frame_period_s=period / 1e7,
+                            state_scores=state_scores, want_result=True,
+                            precision=prec, beam=b, max_active=ma)
+                        if lat_ext and lat is not None and res is not None:
+                            stem = os.path.splitext(
+                                os.path.basename(e.logical))[0]
+                            lat.utterance = stem
+                            write_slf(lat, os.path.join(
+                                out_dir or ".", f"{stem}.{lat_ext}"))
+                    else:
+                        res = decode(net, comp, data, lm_scale, word_pen,
+                                     state_scores=state_scores,
+                                     precision=prec, beam=b, max_active=ma)
                     if res is not None:
                         break
             tr = Transcription(alternatives=[[]])

@@ -298,6 +298,37 @@ class TestGenericLatticeBatch:
             assert rb.words == rs.words and rb.times == rs.times
             assert rb.score == pytest.approx(rs.score, rel=1e-6)
 
+    def test_batch_exact_pad_multiple_uses_carry(self):
+        """ADVICE r4: when the longest utterance's length is an exact
+        multiple of pad_to, the final records come from the scan CARRY
+        instead of plane T — a branch arbitrary emit_frames lengths
+        never hit. Trim the longest utterance to a multiple of 16 and
+        assert batch == sequential including the 1-best."""
+        from htk_tpu.algo.decode import (generate_lattice,
+                                         generate_lattice_batch)
+
+        comp = separable_set()
+        net = TestDecode().make_net(comp)
+        seqs = [["sil", "aa", "iy", "sil"], ["iy", "aa", "sil"]]
+        feats = [emit_frames(s, seed=50 + i) for i, s in enumerate(seqs)]
+        # longest exactly tr == T (= k * pad_to): trailing sil frames
+        # trim safely
+        longest = max(range(len(feats)), key=lambda i: feats[i].shape[0])
+        tlong = (feats[longest].shape[0] // 16) * 16
+        feats[longest] = feats[longest][:tlong]
+        assert max(f.shape[0] for f in feats) % 16 == 0
+        prs = generate_lattice_batch(net, comp, feats, lm_scale=2.0,
+                                     word_pen=-1.0, lattice_beam=300.0,
+                                     pad_to=16, want_results=True)
+        for f, (lb, rb) in zip(feats, prs):
+            ls, rs = generate_lattice(net, comp, f, 2.0, -1.0,
+                                      lattice_beam=300.0,
+                                      want_result=True)
+            self._assert_lat_eq(lb, ls)
+            assert rb is not None and rs is not None
+            assert rb.words == rs.words and rb.times == rs.times
+            assert rb.score == pytest.approx(rs.score, rel=1e-6)
+
     def test_batch_tight_beam_equals_sequential(self):
         from htk_tpu.algo.decode import (generate_lattice,
                                          generate_lattice_batch)

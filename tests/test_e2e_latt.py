@@ -69,6 +69,87 @@ def test_lattice_rescore_mmi_chain(trained, capsys):
     assert "WORD: %Corr=100.00" in out
 
 
+def test_mpe_and_numlat_modes(trained, capsys):
+    """ADVICE r4 (medium): the MPE path (timed reference) and the -q
+    numerator-lattice path run end-to-end and keep the model decodable.
+
+    With -q pointing at the SAME lattices as -r, EBW's numerator and
+    denominator statistics cancel exactly, so the updated means must
+    stay (numerically) where they were — a strong wiring invariant."""
+    import numpy as np
+
+    from htk_tpu.io.mmf import load_mmf
+    from htk_tpu.models.hmmset import compile_hmmset
+
+    os.makedirs("lats", exist_ok=True)
+    # -z decode gives both the lattices and a TIMED word-level MLF
+    # (the HVite -a style timing MPE's reference needs)
+    assert hvite.run(
+        ["-w", "wdnet.slf", "-p", "-8", "-z", "lat", "-l", "lats",
+         "-i", "rec.mlf", "-H", "hmm2/hmmdefs", "-S", "train.scp",
+         "dict", "monophones"]) == 0
+
+    # MPE: accuracy-weighted occupancies from the same lattices
+    open("cfg_mpe", "w").write(
+        "TARGETKIND = MFCC_E_D_A\nHMMIREST: DISCRMODE = MPE\n")
+    os.makedirs("mpe", exist_ok=True)
+    assert hmmirest.run(
+        ["-C", "cfg_mpe", "-I", "rec.mlf", "-X", "rec", "-r", "lats",
+         "-d", "dict", "-H", "hmm2/hmmdefs", "-M", "mpe", "-S",
+         "train.scp", "monophones"]) == 0
+    assert hvite.run(
+        ["-w", "wdnet.slf", "-p", "-8", "-i", "recmpe.mlf",
+         "-H", "mpe/hmmdefs", "-S", "train.scp", "dict", "monophones"]) == 0
+    assert hresults.run(["-I", "words.mlf", "monophones", "recmpe.mlf"]) == 0
+    assert "WORD: %Corr=100.00" in capsys.readouterr().out
+
+    # -q numerator lattices: num == den -> EBW is an exact no-op on the
+    # Gaussians (mu = (x - x + D mu0)/(0 + D) = mu0)
+    os.makedirs("qmmi", exist_ok=True)
+    assert hmmirest.run(
+        ["-q", "lats", "-r", "lats", "-d", "dict",
+         "-H", "hmm2/hmmdefs", "-M", "qmmi", "-S", "train.scp",
+         "monophones"]) == 0
+    c0 = compile_hmmset(load_mmf("hmm2/hmmdefs"))
+    c1 = compile_hmmset(load_mmf("qmmi/hmmdefs"))
+    np.testing.assert_allclose(c1.means, c0.means, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(c1.variances, c0.variances,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_z_retry_ladder_writes_lattice(trained, monkeypatch, capsys):
+    """ADVICE r4: a pruned-out utterance recovered by the retry ladder
+    must get its .lat file too — downstream HMMIRest -r fails on a
+    missing lattice. Force the prune-out by making the batched pass
+    return nothing, so every utterance goes through the ladder."""
+    from htk_tpu.algo import decode as dmod
+
+    real_batch = dmod.generate_lattice_batch
+
+    def all_pruned(net, comp, feats_list, *a, **kw):
+        if kw.get("want_results"):
+            return [(None, None)] * len(feats_list)
+        return [None] * len(feats_list)
+
+    monkeypatch.setattr(dmod, "generate_lattice_batch", all_pruned)
+    os.makedirs("rlats", exist_ok=True)
+    assert hvite.run(
+        ["-w", "wdnet.slf", "-p", "-8", "-t", "400.0", "-z", "lat",
+         "-l", "rlats", "-i", "recr.mlf", "-H", "hmm2/hmmdefs",
+         "-S", "train.scp", "dict", "monophones"]) == 0
+    monkeypatch.setattr(dmod, "generate_lattice_batch", real_batch)
+    lats = sorted(os.listdir("rlats"))
+    assert len(lats) == 6, f"retry ladder lost lattices: {lats}"
+    assert hresults.run(["-I", "words.mlf", "monophones", "recr.mlf"]) == 0
+    assert "WORD: %Corr=100.00" in capsys.readouterr().out
+    # the recovered lattices feed HMMIRest exactly like first-pass ones
+    os.makedirs("rmmi", exist_ok=True)
+    assert hmmirest.run(
+        ["-I", "phones.mlf", "-r", "rlats", "-d", "dict",
+         "-H", "hmm2/hmmdefs", "-M", "rmmi", "-S", "train.scp",
+         "monophones"]) == 0
+
+
 def test_nbest_to_hresults_d(trained, capsys):
     """HVite -n N-best MLF (/// alternatives) -> HResults -d oracle
     scoring consumes it; oracle %Corr >= 1-best %Corr."""

@@ -409,17 +409,38 @@ def bench_mmi(comp, vocab, words, lm, net=None, n_utts=8, T=500, seed=5):
     if net is None:
         net = compile_lv_loop(words, vocab, comp, lm=lm)
     rng = np.random.default_rng(seed)
-    dim = comp.means.shape[1]
     trainer = Trainer(comp)
     arcfb = ArcFB(trainer, comp)
     period = 100000
     n_arcs = [0, 0]  # [lattice arcs, unique mini-utterances after dedup]
 
-    # synthetic corpus: features + "true" word transcript
+    # corpus synthesized FROM the model (state-mean walks + noise, as
+    # benchmarks/lattice_quality.py): pure-noise features make every
+    # word equally likely, so latBeam-150 lattices blow up to ~30k
+    # arcs/utt with near-flat posteriors — 8x denser than the
+    # BASELINE.md lattice table's 3.8k arcs/utt at the same beam. MMI
+    # throughput is only meaningful at realistic lattice density.
+    from htk_tpu.algo.composite import build_composite
+
+    def synth_utt(seq):
+        frames = []
+        for w in seq:
+            for ph in vocab.get(w).prons[0].phones:
+                ch = build_composite(comp, [comp.model_id(ph)])
+                for s in np.asarray(ch.comp_state):
+                    mixes = np.asarray(comp.state_mix[int(s)])
+                    m0 = int(mixes[mixes >= 0][0])
+                    mu = np.asarray(comp.means[m0])
+                    for _ in range(3):
+                        frames.append(mu + 4.0 * rng.normal(size=mu.shape))
+        return np.stack(frames).astype(np.float32)
+
     feats, trans = [], []
+    n_words_per = max(3, T // 40)
     for _ in range(n_utts):
-        feats.append(rng.normal(size=(T, dim)).astype(np.float32))
-        trans.append([words[j] for j in rng.integers(0, len(words), 8)])
+        seq = [words[j] for j in rng.integers(0, len(words), n_words_per)]
+        trans.append(seq)
+        feats.append(synth_utt(seq))
 
     def mmi_pass():
         num = zero_accs(comp.n_mix, comp.dim, comp.n_states, comp.max_mix,
@@ -439,16 +460,16 @@ def bench_mmi(comp, vocab, words, lm, net=None, n_utts=8, T=500, seed=5):
         # path) + blocked arc FB exactly as HMMIRest's flush() runs it
         lats = generate_lattice_batch(net, comp, feats, lm_scale=8.0,
                                       lattice_beam=150.0)
+        fbank = arcfb.load_block(feats)
         all_utts, per_lat = [], []
         for i, lat in enumerate(lats):
             utts_i, a2n = lattice_arc_utts(
-                lat, vocab, comp, feats[i], period, f"u{i}",
-                cache=arcfb.composite_cache)
+                lat, vocab, comp, feats[i], period, f"u{i}", arcfb, utt=i)
             per_lat.append((lat, a2n))
             all_utts.extend(utts_i)
         n_arcs[0] = sum(len(a2n) for _l, a2n in per_lat)
         n_arcs[1] = len(all_utts)
-        arc_ll = arcfb.score(all_utts)
+        arc_ll = arcfb.score(fbank, all_utts)
         wts = {}
         for lat, a2n in per_lat:
             for a in lat.arcs:
@@ -460,7 +481,7 @@ def bench_mmi(comp, vocab, words, lm, net=None, n_utts=8, T=500, seed=5):
                    for aid, g in post.items()}
             for aid, nm in a2n.items():
                 wts[nm] = wts.get(nm, 0.0) + gam.get(aid, 0.0)
-        den = arcfb.accumulate(all_utts, wts, den)
+        den = arcfb.accumulate(fbank, all_utts, wts, den)
         return num, den
 
     num, den = mmi_pass()  # warm up / compile
@@ -471,7 +492,8 @@ def bench_mmi(comp, vocab, words, lm, net=None, n_utts=8, T=500, seed=5):
     t1 = time.perf_counter()
     ebw_update(comp, num, den, EBWConfig())
     ebw_s = time.perf_counter() - t1
-    return n_utts / dt, ebw_s, n_arcs[0], n_arcs[1]
+    audio_s = sum(f.shape[0] for f in feats) * 0.01
+    return n_utts / dt, ebw_s, n_arcs[0], n_arcs[1], dt / audio_s
 
 
 def bench_bigvocab(n_words, max_active, seed=11, reps=3, B=8, T=500):
@@ -665,7 +687,8 @@ def main():
             mmi_utt_per_sec=round(r[0], 3),
             ebw_update_s=round(r[1], 3),
             mmi_den_arcs=int(r[2]),
-            mmi_unique_arc_utts=int(r[3])), max_s=420)
+            mmi_unique_arc_utts=int(r[3]),
+            mmi_xrt=round(r[4], 5)), max_s=420)
 
     # big-vocab rows (BASELINE.md's quoted 20k/50k/100k numbers) with
     # the adaptive-exact and routed-exact legs — the round-4 kernels

@@ -556,7 +556,11 @@ def fb_batch(
     Q = comp_state.shape[1]
     D2 = sum_x_qm.shape[-1]
 
-    ok = (logps > LZERO / 2).astype(feats.dtype)  # drop failed utterances
+    # drop failed utterances AND all-padding rows (t_real == 0): a
+    # padded row that carries a real composite id (the device-resident
+    # arc path pads with composite 0) would otherwise contribute a real
+    # logp to total_logp/n_utts
+    ok = ((logps > LZERO / 2) & (t_real > 0)).astype(feats.dtype)
     w = ok * weights  # (B,)
 
     st_mix = state_mix[comp_state]  # (B, Q, maxmix)

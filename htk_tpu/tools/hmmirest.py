@@ -33,7 +33,7 @@ Usage: HMMIRest [options] hmmList trainFiles...
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import numpy as np
 
@@ -41,7 +41,7 @@ from ..algo.composite import build_composite
 from ..algo.ebw import EBWConfig, ebw_update
 from ..algo.fb import zero_accs
 from ..algo.latops import arc_posteriors
-from ..algo.trainer import Trainer, UttData, pad_batch, prepare_utterance
+from ..algo.trainer import Trainer, prepare_utterance
 from ..io.dictionary import read_dict
 from ..io.mlf import MLF, find_labels
 from ..io.mmf import load_hmm_list, load_mmf, save_mmf
@@ -68,20 +68,28 @@ OPTS = {
 }
 
 
-def lattice_arc_utts(lat, vocab, comp, feats, period, stem, cache=None):
-    """Word arcs -> (unique mini-utterance list, {arc id: utt name}).
+class ArcUtt(NamedTuple):
+    """One unique arc mini-utterance, by reference into the block's
+    feature bank — no per-arc host arrays at all."""
+
+    name: str
+    utt: int  # index into the current block's feature bank
+    t0: int
+    t1: int
+    ids: tuple  # phone-id tuple (composite registry key)
+
+
+def lattice_arc_utts(lat, vocab, comp, feats, period, stem, arcfb, utt=0):
+    """Word arcs -> (unique ArcUtt list, {arc id: utt name}).
 
     Arcs sharing (pronunciation, start frame, end frame) collapse to ONE
     mini-utterance (the `HArc.c` arc-sharing role): identical FB
     problems score identically, and their posterior weights sum linearly
     into the accumulators. Dense HVite/HDecode lattices repeat the same
-    word over the same span under many predecessor contexts, so this
-    cuts device work several-fold at no accuracy cost.
+    word over the same span under many predecessor contexts.
 
-    `cache` (optional dict) memoises composite HMMs per phone-id tuple:
-    every arc carrying the same word shares one CompositeHMM, so at WSJ
-    lattice densities (~thousands of arcs per utterance) the host builds
-    ~vocab-many composites per run instead of ~arcs-many.
+    Composites register with `arcfb` (device composite bank); the
+    returned ArcUtts carry only (utt index, frame span, registry key).
     """
     words_of = {n.id: n.word for n in lat.nodes}
     times_of = {n.id: n.time for n in lat.nodes}
@@ -106,11 +114,9 @@ def lattice_arc_utts(lat, vocab, comp, feats, period, stem, cache=None):
             ids = tuple(comp.model_id(p) for p in phones)
         except Exception:
             continue
-        hmm = cache.get(ids) if cache is not None else None
+        hmm = arcfb.composite(ids)
         if hmm is None:
-            hmm = build_composite(comp, list(ids))
-            if cache is not None:
-                cache[ids] = hmm
+            continue
         if t1 - t0 < hmm.n_states // max(len(phones), 1):
             t1 = min(T, t0 + max(hmm.n_states, 1))
         key = (ids, t0, t1)
@@ -118,62 +124,183 @@ def lattice_arc_utts(lat, vocab, comp, feats, period, stem, cache=None):
         if nm is None:
             nm = f"{stem}:{a.id}"
             seen[key] = nm
-            utts.append(UttData(name=nm, feats=feats[t0:t1], hmm=hmm))
+            utts.append(ArcUtt(name=nm, utt=utt, t0=t0, t1=t1, ids=ids))
         arc2name[a.id] = nm
     return utts, arc2name
+
+
+def _bucket(n: int, base: int = 32) -> int:
+    b = base
+    while b < n:
+        b = b * 2 if b < 512 else b + 256
+    return b
 
 
 class ArcFB:
     """Device-resident arc scoring/accumulation — the `HFBLat.c : DoFBLat`
     role, TPU-shaped (SURVEY §2.5 row 6).
 
-    Arc mini-utterances are tiny (one word: ~9-15 composite states,
-    ~10-100 frames), so they batch WIDE: bucketed by padded (T, Q) and
-    padded to a fixed batch width (`batch`, default 256), each bucket one
-    JITTED launch. The previous design ran eager (unjitted) 16-arc
-    mini-batches — hundreds of op-by-op dispatches per utterance, which
-    is what kept BASELINE config #5's MMI half unmeasured for four
-    rounds (VERDICT r4 missing #1). fb_batch's global scatter keeps the
-    accumulator intermediates at (B*Q*maxmix), not (B, M, D), so width
-    256 costs ~MBs, not ~GBs.
+    Three design layers, each removing a host<->device cliff measured on
+    v5e (benchmarks/mmi_profile.py):
+
+    1. JITTED wide batches (not eager 16-arc dispatch loops): arcs are
+       tiny (one word: ~9-15 composite states, ~10-100 frames), bucketed
+       by padded (T, Q) and launched ~1024 wide.
+    2. Per-launch transfer is FOUR int32 vectors (utt index, start
+       frame, frame count, composite id). The block's feature matrices
+       upload ONCE as a (U, Tmax+pad, D) bank; every distinct composite
+       uploads ONCE into a per-Q-bucket device bank. The previous design
+       shipped (B, T, D) frame slices + (B, Q, Q) transition planes per
+       launch — 81% of the MMI pass was that scoring transfer.
+    3. fb_batch's global scatter keeps accumulator intermediates at
+       (B*Q*maxmix), not (B, M, D), and gather_outp scores only the
+       ~Q*maxmix Gaussians an arc touches (all-M scoring at width 1024
+       is a multi-GB (B, T, M) plane — RESOURCE_EXHAUSTED on v5e).
     """
 
-    def __init__(self, trainer, comp, batch: int = 256):
-        import jax
-
-        from ..algo.fb import fb_batch, loglik_batch
-
+    def __init__(self, trainer, comp, batch: int = 1024):
         self.trainer = trainer
         self.comp = comp
         self.batch = int(batch)
-        self.composite_cache: dict = {}
+        self.composite_cache: dict = {}  # ids -> CompositeHMM
+        self._members: dict = {}  # qb -> [ids] in bank order
+        self._comp_idx: dict = {}  # ids -> (qb, index)
+        self._banks: dict = {}  # qb -> dict of device arrays
+        self._dirty: set = set()
         self._params = trainer.params()
-        slot_blocks = tuple(comp.slot_blocks) or None
-        n_states, tr_flat = comp.n_states, trainer.tr_flat
+        self._score_steps: dict = {}  # (Tb, Qb) -> jitted fn
+        self._acc_steps: dict = {}
 
-        # gather_outp: an arc touches ~Q*maxmix Gaussians of M physical
-        # — scoring all M per arc at width 256 is a (B, T, M) plane of
-        # gigabytes (RESOURCE_EXHAUSTED on v5e); gathering first keeps
-        # it at (B, T, Q*maxmix) megabytes
+    # -- composite registry / device banks --------------------------------
+    def composite(self, ids):
+        hmm = self.composite_cache.get(ids)
+        if hmm is None:
+            try:
+                hmm = build_composite(self.comp, list(ids))
+            except Exception:
+                return None
+            self.composite_cache[ids] = hmm
+            qb = _bucket(hmm.n_states, 16)
+            mem = self._members.setdefault(qb, [])
+            self._comp_idx[ids] = (qb, len(mem))
+            mem.append(ids)
+            self._dirty.add(qb)
+        return hmm
+
+    def _bank(self, qb):
+        if qb in self._dirty or qb not in self._banks:
+            import jax.numpy as jnp
+
+            from ..utils.logmath import LZERO
+
+            mem = self._members[qb]
+            N = len(mem)
+            S = self.comp.n_states
+            comp_state = np.full((N, qb), S, np.int32)
+            q_mask = np.zeros((N, qb), bool)
+            logA = np.full((N, qb, qb), LZERO, np.float32)
+            a0 = np.full((N, qb), LZERO, np.float32)
+            aE = np.full((N, qb), LZERO, np.float32)
+            tr_seg = np.full((N, qb, qb), -1, np.int32)
+            entry_seg = np.full((N, qb), -1, np.int32)
+            exit_seg = np.full((N, qb), -1, np.int32)
+            for i, ids in enumerate(mem):
+                h = self.composite_cache[ids]
+                q = h.n_states
+                comp_state[i, :q] = np.minimum(h.comp_state, S)
+                q_mask[i, :q] = True
+                logA[i, :q, :q] = h.logA
+                a0[i, :q] = h.a0
+                aE[i, :q] = h.aE
+                tr_seg[i, :q, :q] = h.tr_seg
+                entry_seg[i, :q] = h.entry_seg
+                exit_seg[i, :q] = h.exit_seg
+            self._banks[qb] = {
+                "comp_state": jnp.asarray(comp_state),
+                "q_mask": jnp.asarray(q_mask),
+                "logA": jnp.asarray(logA),
+                "a0": jnp.asarray(a0), "aE": jnp.asarray(aE),
+                "tr_seg": jnp.asarray(tr_seg),
+                "entry_seg": jnp.asarray(entry_seg),
+                "exit_seg": jnp.asarray(exit_seg),
+            }
+            self._dirty.discard(qb)
+        return self._banks[qb]
+
+    def load_block(self, feats_list):
+        """Upload a block's feature matrices as one padded device bank.
+
+        The bank carries `pad = bucket(Tmax)` zero frames at the end so
+        any (t0, t0+Tb) dynamic slice is in bounds."""
+        import jax.numpy as jnp
+
+        U = len(feats_list)
+        D = self.comp.dim
+        Tmax = max(int(f.shape[0]) for f in feats_list)
+        pad = _bucket(Tmax)
+        bank = np.zeros((U, Tmax + pad, D), np.float32)
+        for u, f in enumerate(feats_list):
+            bank[u, : f.shape[0]] = f
+        return jnp.asarray(bank)
+
+    # -- jitted steps ------------------------------------------------------
+    def _make_score_step(self, Tb):
+        import functools
+
+        import jax
+
+        from ..algo.fb import loglik_batch
+
+        comp = self.comp
+        slot_blocks = tuple(comp.slot_blocks) or None
+        D = comp.dim
+
         @jax.jit
-        def score_step(params, b):
+        def step(params, fbank, cbank, utt_idx, t0, t_real, cidx):
             means, variances, gconsts, state_mix, state_logw, state_sw = params
+
+            def slice_one(u, s0):
+                return jax.lax.dynamic_slice(fbank, (u, s0, 0),
+                                             (1, Tb, D))[0]
+
+            feats = jax.vmap(slice_one)(utt_idx, t0)
             return loglik_batch(
-                b["feats"], b["t_real"], b["comp_state"], b["q_mask"],
-                b["logA"], b["a0"], b["aE"],
+                feats, t_real, cbank["comp_state"][cidx],
+                cbank["q_mask"][cidx], cbank["logA"][cidx],
+                cbank["a0"][cidx], cbank["aE"][cidx],
                 means=means, variances=variances, gconsts=gconsts,
                 state_mix=state_mix, state_logw=state_logw,
                 state_sw=state_sw, slot_blocks=slot_blocks,
                 gather_outp=True,
             )
 
+        return step
+
+    def _make_acc_step(self, Tb):
+        import jax
+
+        from ..algo.fb import fb_batch
+
+        comp = self.comp
+        slot_blocks = tuple(comp.slot_blocks) or None
+        D = comp.dim
+        n_states, tr_flat = comp.n_states, self.trainer.tr_flat
+
         @jax.jit
-        def acc_step(params, b, weights):
+        def step(params, fbank, cbank, utt_idx, t0, t_real, cidx, weights):
             means, variances, gconsts, state_mix, state_logw, state_sw = params
+
+            def slice_one(u, s0):
+                return jax.lax.dynamic_slice(fbank, (u, s0, 0),
+                                             (1, Tb, D))[0]
+
+            feats = jax.vmap(slice_one)(utt_idx, t0)
             return fb_batch(
-                b["feats"], b["t_real"], b["comp_state"], b["q_mask"],
-                b["logA"], b["a0"], b["aE"], b["tr_seg"], b["entry_seg"],
-                b["exit_seg"], weights,
+                feats, t_real, cbank["comp_state"][cidx],
+                cbank["q_mask"][cidx], cbank["logA"][cidx],
+                cbank["a0"][cidx], cbank["aE"][cidx],
+                cbank["tr_seg"][cidx], cbank["entry_seg"][cidx],
+                cbank["exit_seg"][cidx], weights,
                 means=means, variances=variances, gconsts=gconsts,
                 state_mix=state_mix, state_logw=state_logw,
                 state_sw=state_sw, slot_blocks=slot_blocks,
@@ -181,32 +308,59 @@ class ArcFB:
                 gather_outp=True,
             )
 
-        self._score_step = score_step
-        self._acc_step = acc_step
+        return step
 
-    def _batches(self, utts):
-        from ..algo.trainer import make_batches
+    def _buckets(self, utts):
+        """Group ArcUtts by (Tb, Qb); width scales down with Tb so the
+        per-launch activation footprint stays roughly constant."""
+        groups: dict = {}
+        for u in utts:
+            qb, _i = self._comp_idx[u.ids]
+            tb = _bucket(u.t1 - u.t0)
+            groups.setdefault((tb, qb), []).append(u)
+        out = []
+        for (tb, qb), us in sorted(groups.items()):
+            bw = max(32, (self.batch * 32) // tb)
+            for i0 in range(0, len(us), bw):
+                out.append((tb, qb, bw, us[i0:i0 + bw]))
+        return out
 
-        return make_batches(utts, self.batch)
+    def _idx_arrays(self, batch, bw):
+        utt_idx = np.zeros(bw, np.int32)
+        t0 = np.zeros(bw, np.int32)
+        t_real = np.zeros(bw, np.int32)  # 0 = padding (fb_batch drops)
+        cidx = np.zeros(bw, np.int32)
+        for i, u in enumerate(batch):
+            utt_idx[i] = u.utt
+            t0[i] = u.t0
+            t_real[i] = u.t1 - u.t0
+            cidx[i] = self._comp_idx[u.ids][1]
+        return utt_idx, t0, t_real, cidx
 
-    def score(self, utts) -> dict:
+    def score(self, fbank, utts) -> dict:
         """Batched per-arc acoustic log-likelihoods: {utt name: ll}."""
         import jax.numpy as jnp
 
         arc_ll = {}
         pending = []
-        for batch in self._batches(utts):
-            arrs = pad_batch(batch, self.comp.n_states, pad_to=self.batch)
-            jb = {k: jnp.asarray(v) for k, v in arrs.items()}
+        for tb, qb, bw, batch in self._buckets(utts):
+            step = self._score_steps.get((tb,))
+            if step is None:
+                step = self._score_steps[(tb,)] = self._make_score_step(tb)
+            cbank = self._bank(qb)
+            utt_idx, t0, t_real, cidx = self._idx_arrays(batch, bw)
+            lls = step(self._params, fbank, cbank,
+                       jnp.asarray(utt_idx), jnp.asarray(t0),
+                       jnp.asarray(t_real), jnp.asarray(cidx))
             # collect device arrays; materialise after all dispatches so
-            # host padding overlaps device compute
-            pending.append((batch, self._score_step(self._params, jb)))
+            # host index prep overlaps device compute
+            pending.append((batch, lls))
         for batch, lls in pending:
             for u, ll in zip(batch, np.asarray(lls)[: len(batch)]):
                 arc_ll[u.name] = float(ll)
         return arc_ll
 
-    def accumulate(self, utts, weights_by_name, total):
+    def accumulate(self, fbank, utts, weights_by_name, total):
         """Weight-scaled FB accumulation over arc mini-utterances.
 
         `weights_by_name[u.name]` carries each mini-utterance's summed
@@ -214,8 +368,8 @@ class ArcFB:
         import jax
         import jax.numpy as jnp
 
-        for batch in self._batches(utts):
-            weights = np.zeros(self.batch, np.float32)
+        for tb, qb, bw, batch in self._buckets(utts):
+            weights = np.zeros(bw, np.float32)
             any_w = False
             for i, u in enumerate(batch):
                 w = float(weights_by_name.get(u.name, 0.0))
@@ -223,10 +377,15 @@ class ArcFB:
                 any_w = any_w or w > 0
             if not any_w:
                 continue
-            arrs = pad_batch(batch, self.comp.n_states, pad_to=self.batch)
-            jb = {k: jnp.asarray(v) for k, v in arrs.items()}
-            _logps, accs = self._acc_step(self._params, jb,
-                                          jnp.asarray(weights))
+            step = self._acc_steps.get((tb,))
+            if step is None:
+                step = self._acc_steps[(tb,)] = self._make_acc_step(tb)
+            cbank = self._bank(qb)
+            utt_idx, t0, t_real, cidx = self._idx_arrays(batch, bw)
+            _logps, accs = step(self._params, fbank, cbank,
+                                jnp.asarray(utt_idx), jnp.asarray(t0),
+                                jnp.asarray(t_real), jnp.asarray(cidx),
+                                jnp.asarray(weights))
             total = jax.tree.map(lambda a, b: a + b, total, accs)
         return total
 
@@ -236,11 +395,12 @@ def accumulate_lattice(lat, vocab, comp, trainer, feats, period, stem,
     """MMI denominator: arc-posterior-weighted accumulation (HFBLat role)."""
     if arcfb is None:
         arcfb = ArcFB(trainer, comp)
+    fbank = arcfb.load_block([feats])
     utts, arc2name = lattice_arc_utts(lat, vocab, comp, feats, period, stem,
-                                      cache=arcfb.composite_cache)
+                                      arcfb, utt=0)
     if not utts:
         return total, 0.0
-    arc_ll = arcfb.score(utts)
+    arc_ll = arcfb.score(fbank, utts)
     for a in lat.arcs:
         nm = arc2name.get(a.id)
         if nm is not None:
@@ -251,7 +411,7 @@ def accumulate_lattice(lat, vocab, comp, trainer, feats, period, stem,
         nm = arc2name.get(aid)
         if nm is not None and g > -30:
             wname[nm] = wname.get(nm, 0.0) + float(np.exp(min(g, 0.0)))
-    total = arcfb.accumulate(utts, wname, total)
+    total = arcfb.accumulate(fbank, utts, wname, total)
     return total, logp
 
 
@@ -315,24 +475,26 @@ def run(argv: List[str]) -> int:
             return
         from ..algo.latops import arc_mpe_weights
 
-        # 1) expand every lattice in the block (host only); role tags
-        # keep numerator/denominator arc names distinct per utterance
+        # 1) upload the block's feature bank, expand every lattice
+        # (host builds only index tuples); role tags keep numerator/
+        # denominator arc names distinct per utterance
+        fbank = arcfb.load_block([it["data"] for it in pend])
         jobs = []
         all_utts = []
-        for it in pend:
+        for ui, it in enumerate(pend):
             for role, tag in (("num_lat", "#n"), ("den_lat", "#d")):
                 lat = it.get(role)
                 if lat is None:
                     continue
                 utts, a2n = lattice_arc_utts(
                     lat, vocab, comp, it["data"], period, it["stem"] + tag,
-                    cache=arcfb.composite_cache)
+                    arcfb, utt=ui)
                 if not utts:
                     continue
                 jobs.append((role, lat, utts, a2n, it))
                 all_utts.extend(utts)
         # 2) ONE blocked scoring pass for every arc in the block
-        arc_ll = arcfb.score(all_utts) if all_utts else {}
+        arc_ll = arcfb.score(fbank, all_utts) if all_utts else {}
         num_utts: List = []
         den_utts: List = []
         num_w: dict = {}
@@ -372,9 +534,9 @@ def run(argv: List[str]) -> int:
         # 3) ONE blocked accumulation pass per side (weights keyed by
         # arc-utterance name — arc ids collide across lattices)
         if num_utts:
-            num_total = arcfb.accumulate(num_utts, num_w, num_total)
+            num_total = arcfb.accumulate(fbank, num_utts, num_w, num_total)
         if den_utts:
-            den_total = arcfb.accumulate(den_utts, den_w, den_total)
+            den_total = arcfb.accumulate(fbank, den_utts, den_w, den_total)
         # 4) transcript numerators: one batched composite-FB call
         tutts = [it["num_utt"] for it in pend if it.get("num_utt")]
         if tutts:

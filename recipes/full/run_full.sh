@@ -168,7 +168,11 @@ echo "== MMI"
 mkdir -p lats mmi1
 HVite -w wdnet.slf -p -12 -z lat -l lats -i rec_tr.mlf -H mix3/hmmdefs \
       -S train.scp dict tiedlist
-HMMIRest -I tri.mlf -r lats -d dict -H mix3/hmmdefs -M mmi1 \
+# I-smoothing tau 100 (the HTKBook's discriminative-training default):
+# an unsmoothed EBW step on a small corpus over-sharpens train-speaker
+# boundaries and measurably hurts the unseen test speakers
+printf 'TARGETKIND = MFCC_E_D_A\nHMMIREST: ISMOOTHTAU = 100\n' > cfg_mmi
+HMMIRest -C cfg_mmi -I tri.mlf -r lats -d dict -H mix3/hmmdefs -M mmi1 \
          -S train.scp tiedlist
 HVite -w wdnet.slf -p -12 -i rec_mmi.mlf -H mmi1/hmmdefs \
       -S test.scp dict tiedlist

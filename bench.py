@@ -189,6 +189,45 @@ def build_tied_triphone_system(n_words, n_phones=40, n_tied=2000, nmix=8,
     return comp, vocab, words, lm
 
 
+def synth_corpus(comp, vocab, words, n_utts, words_per, rng, noise=4.0):
+    """Features synthesized FROM the model (state-mean walks + noise,
+    as benchmarks/lattice_quality.py): pure-noise features make every
+    word equally likely, so beam-pruned lattices blow up ~8x denser
+    than the BASELINE lattice table at the same beam — lattice-path
+    throughput is only meaningful at realistic density. Returns
+    (feats list, transcript list)."""
+    from htk_tpu.algo.composite import build_composite
+
+    mu_of = {}
+
+    def state_mean(s):
+        m = mu_of.get(int(s))
+        if m is None:
+            mixes = np.asarray(comp.state_mix[int(s)])
+            m0 = int(mixes[mixes >= 0][0])
+            m = np.asarray(comp.means[m0])
+            mu_of[int(s)] = m
+        return m
+
+    feats, trans = [], []
+    for _ in range(n_utts):
+        k = int(words_per) if np.isscalar(words_per) else int(
+            rng.integers(*words_per))
+        seq = [words[j] for j in rng.integers(0, len(words), k)]
+        frames = []
+        for w in seq:
+            for ph in vocab.get(w).prons[0].phones:
+                ch = build_composite(comp, [comp.model_id(ph)])
+                for s in np.asarray(ch.comp_state):
+                    mu = state_mean(s)
+                    for _ in range(3):
+                        frames.append(mu + noise * rng.normal(
+                            size=mu.shape))
+        trans.append(seq)
+        feats.append(np.stack(frames).astype(np.float32))
+    return feats, trans
+
+
 def bench_frontend(n_utts=64, secs=5.0, reps=3):
     """BASELINE config #1: batched waveform -> MFCC_E_D_A 39-dim
     extraction (25 ms window / 10 ms shift, 16 kHz). Returns
@@ -360,10 +399,10 @@ def bench_hdecode_batch(comp, vocab, words, lm, n_utts=64, seed=3, reps=3,
     if net is None:
         net = compile_lv_loop(words, vocab, comp, lm=lm)
     rng = np.random.default_rng(seed)
-    dim = comp.means.shape[1]
-    lens = rng.integers(300, 700, size=n_utts)
-    feats = [rng.normal(size=(int(t), dim)).astype(np.float32)
-             for t in lens]
+    # mixed-length utterances synthesized FROM the model — realistic
+    # lattice density (the host record walk is proportional to arcs)
+    feats, _trans = synth_corpus(comp, vocab, words, n_utts, (8, 19), rng)
+    lens = np.asarray([f.shape[0] for f in feats])
     audio = float(lens.sum()) * 0.01
     order = sorted(range(n_utts), key=lambda i: int(lens[i]))
     bsz = 16
@@ -414,33 +453,8 @@ def bench_mmi(comp, vocab, words, lm, net=None, n_utts=8, T=500, seed=5):
     period = 100000
     n_arcs = [0, 0]  # [lattice arcs, unique mini-utterances after dedup]
 
-    # corpus synthesized FROM the model (state-mean walks + noise, as
-    # benchmarks/lattice_quality.py): pure-noise features make every
-    # word equally likely, so latBeam-150 lattices blow up to ~30k
-    # arcs/utt with near-flat posteriors — 8x denser than the
-    # BASELINE.md lattice table's 3.8k arcs/utt at the same beam. MMI
-    # throughput is only meaningful at realistic lattice density.
-    from htk_tpu.algo.composite import build_composite
-
-    def synth_utt(seq):
-        frames = []
-        for w in seq:
-            for ph in vocab.get(w).prons[0].phones:
-                ch = build_composite(comp, [comp.model_id(ph)])
-                for s in np.asarray(ch.comp_state):
-                    mixes = np.asarray(comp.state_mix[int(s)])
-                    m0 = int(mixes[mixes >= 0][0])
-                    mu = np.asarray(comp.means[m0])
-                    for _ in range(3):
-                        frames.append(mu + 4.0 * rng.normal(size=mu.shape))
-        return np.stack(frames).astype(np.float32)
-
-    feats, trans = [], []
-    n_words_per = max(3, T // 40)
-    for _ in range(n_utts):
-        seq = [words[j] for j in rng.integers(0, len(words), n_words_per)]
-        trans.append(seq)
-        feats.append(synth_utt(seq))
+    feats, trans = synth_corpus(comp, vocab, words, n_utts,
+                                max(3, T // 40), rng)
 
     def mmi_pass():
         num = zero_accs(comp.n_mix, comp.dim, comp.n_states, comp.max_mix,

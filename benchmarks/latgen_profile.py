@@ -24,8 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(batch=16, k_lat=None):
-    from bench import build_tied_triphone_system
+def main(batch=16, k_lat=None, corpus="model"):
+    from bench import build_tied_triphone_system, synth_corpus
 
     import jax
     import jax.numpy as jnp
@@ -39,10 +39,15 @@ def main(batch=16, k_lat=None):
     net = compile_lv_loop(words, vocab, comp, lm=lm)
     rng = np.random.default_rng(3)
     dim = comp.means.shape[1]
-    T = 500
-    feats = [rng.normal(size=(T, dim)).astype(np.float32)
-             for _ in range(batch)]
-    audio = batch * T * 0.01
+    if corpus == "noise":
+        T = 500
+        feats = [rng.normal(size=(T, dim)).astype(np.float32)
+                 for _ in range(batch)]
+    else:
+        feats, _ = synth_corpus(comp, vocab, words, batch, 12, rng)
+        feats = [f[:500] for f in feats]
+        T = max(f.shape[0] for f in feats)
+    audio = sum(f.shape[0] for f in feats) * 0.01
     K = k_lat or LAT_TOPK
 
     # full tool-level pass
@@ -62,12 +67,15 @@ def main(batch=16, k_lat=None):
     # device leg: the jitted pipeline with resident operands
     fn = dmod._lv_lattice_pipeline(net, comp, "highest", None,
                                    min(K, net.n_chains), False)
-    fb = np.zeros((batch, T, dim), np.float32)
+    Tp = ((T + 127) // 128) * 128
+    fb = np.zeros((batch, Tp, dim), np.float32)
     for b, f in enumerate(feats):
-        fb[b] = f
+        fb[b, : f.shape[0]] = f
     xb = jnp.asarray(fb)
-    args = (xb, dmod._dev_lens([T] * batch), dmod._dev_scalar(8.0),
-            dmod._dev_scalar(0.0), dmod._dev_scalar(dmod._BEAM_OFF), None)
+    args = (xb, dmod._dev_lens([f.shape[0] for f in feats]),
+            dmod._dev_scalar(8.0),
+            dmod._dev_scalar(0.0), dmod._dev_scalar(dmod._BEAM_OFF),
+            dmod._dev_scalar(150.0), None)
     compact, planes = fn(*args)
     jax.block_until_ready(compact)
     ds = []

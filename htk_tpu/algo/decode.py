@@ -30,7 +30,7 @@ import numpy as np
 
 from ..models.hmmset import CompiledHMMSet
 from ..ops.outp import all_state_outp
-from ..utils.errors import HError
+from ..utils.errors import HError, HRError
 from ..utils.logmath import LZERO, LSMALL
 
 from .net import DecodeNetwork
@@ -1105,27 +1105,33 @@ def _lv_pipeline(net, comp, precision, max_active, state_mode=False):
 
 
 def _lv_lattice_pipeline(net, comp, precision, max_active, k_lat,
-                         state_mode=False):
+                         state_mode=False, k_rec=16384):
     """Jitted batched lattice front half: fused scan + device-side
-    top-K record compaction.
+    top-K record compaction + in-beam RAGGED compaction.
 
     Shipping the full (B, T, C) word-end planes to the host costs
-    ~30 MB/utterance at LV sizes; lattices only need the records within
-    the lattice beam of each frame's best. The device emits the top
-    `k_lat` records per (utterance, frame) — scores, row ids and packed
-    predecessors — so the host fetch shrinks by C/k_lat (~20x at 5k).
-    The full planes stay resident on device for the rare transitive
-    predecessor resurrections (see generate_lattice_batch).
+    ~30 MB/utterance at LV sizes; even the per-frame top-`k_lat`
+    compaction still ships (B, T, K) mostly-empty slots — 34 MB at
+    (16, 512, 256), which the dev tunnel moves at ~15-20 MB/s (2+ s,
+    measured round 5). Lattices only need the records inside the
+    lattice beam (~13/frame at 5k/latBeam 150), so a second device
+    stage selects ALL in-beam records into a fixed (B, min(T*K, k_rec))
+    buffer: scores f32, row ids int32, flat (frame, slot) index int32,
+    and (pred row, pred time) packed into one uint32 — 16 B/record,
+    ~50x less wire. `counts` flags budget overflow (weakest records
+    drop first, a global-beam-style degradation). The full planes stay
+    resident on device for the rare transitive predecessor
+    resurrections (see generate_lattice_batch).
     """
     d = _net_dev(net)
-    key = ("latpipe", precision, max_active, state_mode, k_lat,
+    key = ("latpipe", precision, max_active, state_mode, k_lat, k_rec,
            id(comp) if comp is not None else None)
     _retain_comp(d, comp)
     fn = d["jits"].get(key)
     if fn is None:
         S = net.uniform_width
 
-        def pipe(x, t_reals, lm_scale, word_pen, beam, mp=None):
+        def pipe(x, t_reals, lm_scale, word_pen, beam, lat_beam, mp=None):
             (v, rec), WEs, pwns, pwts = _lv_scan_body(
                 net, comp, d, precision, max_active, state_mode,
                 x, lm_scale, word_pen, beam, mp=mp)
@@ -1163,6 +1169,31 @@ def _lv_lattice_pipeline(net, comp, precision, max_active, k_lat,
             ix_k = ix_k.astype(jnp.int32)
             pn_k = jnp.take_along_axis(pwns, ix_k, axis=2)
             pt_k = jnp.take_along_axis(pwts, ix_k, axis=2)
+
+            # ragged in-beam compaction: ALL records inside the lattice
+            # beam, selected strongest-first into M fixed slots
+            fidx = jnp.arange(T)
+            valid_f = (fidx[None, :] >= 1) & (fidx[None, :] < t_reals[:, None])
+            best = sc_k[:, :, 0]  # top_k sorts descending
+            in_beam = (valid_f[:, :, None] & (sc_k > LSMALL)
+                       & (best[:, :, None] > LSMALL)
+                       & (sc_k >= best[:, :, None] - lat_beam))
+            M = min(T * K, k_rec)
+            skey = jnp.where(in_beam, sc_k, jnp.float32(LZERO))
+            rec_sc, rec_idx = jax.lax.top_k(skey.reshape(B, T * K), M)
+            rec_idx = rec_idx.astype(jnp.int32)
+            bi2 = jnp.arange(B)[:, None]
+            rec_ix = ix_k.reshape(B, T * K)[bi2, rec_idx]
+            sel_pn = pn_k.reshape(B, T * K)[bi2, rec_idx]
+            sel_pt = pt_k.reshape(B, T * K)[bi2, rec_idx]
+            # (pn+1) needs <= 17 bits (rows < 2^17, the packed-record
+            # constraint), (pt+1) 15 bits — exactly one uint32
+            rec_pred = (
+                jnp.left_shift((sel_pn + 1).astype(jnp.uint32),
+                               REC_TBITS)
+                | (sel_pt + 1).astype(jnp.uint32))
+            counts = jnp.sum(in_beam.reshape(B, -1), axis=1,
+                             dtype=jnp.int32)
             # final records rank by the COMPLETE path score (word-end +
             # end-node exit LM): ranking by raw score could drop the true
             # 1-best from the top-K under tight k_lat, silently changing
@@ -1180,7 +1211,8 @@ def _lv_lattice_pipeline(net, comp, precision, max_active, k_lat,
                 jnp.take_along_axis(WE_fin, ixf_k, axis=1), LZERO)
             pnf_k = jnp.take_along_axis(pwn_fin, ixf_k, axis=1)
             ptf_k = jnp.take_along_axis(pwt_fin, ixf_k, axis=1)
-            compact = (sc_k, ix_k, pn_k, pt_k, scf_k, ixf_k, pnf_k, ptf_k)
+            compact = (rec_sc, rec_ix, rec_idx, rec_pred, counts,
+                       scf_k, ixf_k, pnf_k, ptf_k)
             return compact, (WEs, pwns, pwts)
 
         fn = jax.jit(pipe)
@@ -1921,6 +1953,7 @@ def generate_lattice_batch(
     max_active: Optional[int] = None,
     pad_to: int = 128,
     k_lat: Optional[int] = None,
+    k_rec: int = 16384,
     state_scores_list: Optional[List[np.ndarray]] = None,
     model_params: Optional[dict] = None,
     max_preds: int = 1,
@@ -1965,72 +1998,115 @@ def generate_lattice_batch(
     C = net.n_chains
     K = min(k_lat if k_lat is not None else LAT_TOPK, C)
     fn = _lv_lattice_pipeline(net, comp if not state_mode else None,
-                              precision, max_active, K, state_mode)
+                              precision, max_active, K, state_mode,
+                              k_rec=k_rec)
     mp = (None if model_params is None else
           tuple(jnp.asarray(model_params[k], jnp.float32)
                 for k in ("means", "variances", "gconsts")))
     compact, planes = fn(
         jnp.asarray(fb), _dev_lens(lens), _dev_scalar(lm_scale),
         _dev_scalar(word_pen),
-        _dev_scalar(_BEAM_OFF if beam is None else beam), mp)
-    # ONE stacked fetch for the compacted records (f32 view of the int
-    # planes is safe: rows < 2^17, frames < 2^15 are exact in f32)
-    sc_k, ix_k, pn_k, pt_k, scf_k, ixf_k, pnf_k, ptf_k = [
-        np.asarray(a) for a in compact]
+        _dev_scalar(_BEAM_OFF if beam is None else beam),
+        _dev_scalar(lattice_beam), mp)
+    # ONE stacked fetch of the ragged-compacted in-beam records: the
+    # (B, T, K) per-frame planes were 34 MB at (16, 512, 256) and the
+    # dev tunnel moves ~15-20 MB/s — fetching only in-beam records
+    # (16 B each) cut the wire ~50x (round-5 latgen_profile evidence)
+    rec_sc, rec_ix, rec_idx, rec_pred, counts, scf_k, ixf_k, pnf_k, \
+        ptf_k = [np.asarray(a) for a in compact]
+    M = rec_sc.shape[1]
     WEs_d, pwns_d, pwts_d = planes  # stay on device
 
-    out = []
+    # pass 1: decode the ragged records into per-utterance rec dicts
+    # (plane t+1 holds ends at time t; the final frame tr-1 comes from
+    # the per-utterance final records). Insertion order (t asc, row asc,
+    # compaction slot asc) matches the former per-frame loop exactly.
+    recs: List[dict] = []
     for b in range(B):
         tr = lens[b]
-        rec = {}
-        # plane t+1 holds ends at time t; the final frame tr-1 comes from
-        # the compacted per-utterance final records (plane tr or carry).
-        # One vectorised pass over the (tr-1, K) compacted planes — the
-        # per-frame nonzero/argsort loop was the dominant host cost of
-        # batch lattice generation. Insertion order (t asc, row asc,
-        # compaction slot asc) matches the former per-frame loop exactly.
-        sc = sc_k[b, 1:tr]
-        best = sc[:, :1]
-        mask = (best > LSMALL) & (sc > LSMALL) & (sc >= best - lattice_beam)
-        tt, kk = np.nonzero(mask)
-        if len(tt):
-            ixs = ix_k[b, tt + 1, kk]
+        rec: dict = {}
+        if counts[b] > M:
+            HRError(8523, "generate_lattice_batch: %d in-beam records "
+                          "exceed the device budget %d — weakest "
+                          "dropped (raise k_rec or tighten "
+                          "lattice_beam)", int(counts[b]), M)
+        keep = rec_sc[b] > LSMALL
+        if keep.any():
+            idxs = rec_idx[b][keep]
+            tt = idxs // K - 1  # plane index - 1 = end time
+            kk = idxs % K
+            ixs = rec_ix[b][keep]
+            scs = rec_sc[b][keep].astype(np.float64)
+            pred = rec_pred[b][keep]
+            pns = (pred >> REC_TBITS).astype(np.int64) - 1
+            pts = (pred & REC_TMASK).astype(np.int64) - 1
             order = np.lexsort((kk, ixs, tt))
-            tt, kk, ixs = tt[order], kk[order], ixs[order]
             for i_, t_, s_, pn_, pt_ in zip(
-                    ixs.tolist(), tt.tolist(),
-                    sc[tt, kk].astype(np.float64).tolist(),
-                    pn_k[b, tt + 1, kk].tolist(),
-                    pt_k[b, tt + 1, kk].tolist()):
+                    ixs[order].tolist(), tt[order].tolist(),
+                    scs[order].tolist(), pns[order].tolist(),
+                    pts[order].tolist()):
                 rec[(i_, t_)] = (s_, pn_, pt_)
         row_sc = scf_k[b]
         # final compaction is ranked by raw+exit-LM total, so the raw
         # max may sit anywhere among the kept K
         bestf = row_sc.max()
         if bestf > LSMALL:
-            keep = np.nonzero((row_sc > LSMALL)
-                              & (row_sc >= bestf - lattice_beam))[0]
-            keep = keep[np.argsort(ixf_k[b, keep], kind="stable")]
-            for k in keep:
+            keepf = np.nonzero((row_sc > LSMALL)
+                               & (row_sc >= bestf - lattice_beam))[0]
+            keepf = keepf[np.argsort(ixf_k[b, keepf], kind="stable")]
+            for k in keepf:
                 rec[(int(ixf_k[b, k]), tr - 1)] = (
                     float(row_sc[k]), int(pnf_k[b, k]), int(ptf_k[b, k]))
+        recs.append(rec)
+
+    # pass 2: transitively resurrect beam-dropped predecessors for the
+    # WHOLE batch — one stacked device gather per wave (per-utterance
+    # waves each paid a ~25 ms tunnel round-trip)
+    frontier = [(b, key) for b, rec in enumerate(recs) for key in rec]
+    while frontier:
+        need = []
+        referrers: dict = {}
+        for b, key in frontier:
+            _s, pn, pt = recs[b][key]
+            if pn < 0 or (pn, pt) in recs[b]:
+                continue
+            k2 = (b, pn, pt)
+            if k2 not in referrers:
+                referrers[k2] = []
+                need.append(k2)
+            referrers[k2].append(key)
+        if not need:
+            break
+        bs = np.asarray([k[0] for k in need], np.int32)
+        pns = np.asarray([k[1] for k in need], np.int32)
+        pts = np.asarray([k[2] for k in need], np.int32)
+        trip = np.asarray(jnp.stack([
+            WEs_d[bs, pts + 1, pns].astype(jnp.float32),
+            pwns_d[bs, pts + 1, pns].astype(jnp.float32),
+            pwts_d[bs, pts + 1, pns].astype(jnp.float32)]))
+        frontier = []
+        for (b, pn, pt), s, a, c in zip(need, *trip):
+            if s <= LSMALL:
+                # genuinely unavailable: sever so the arc is dropped,
+                # not misattached to the utterance start
+                for key in referrers[(b, pn, pt)]:
+                    recs[b][key] = (recs[b][key][0], -1, -2)
+                continue
+            recs[b][(pn, pt)] = (float(s), int(a), int(c))
+            frontier.append((b, (pn, pt)))
+
+    def _severed(pairs):
+        # every resolvable record is already in rec (pass 2)
+        return [None] * len(pairs)
+
+    # pass 3: lattices (+ 1-bests) from the completed record sets
+    out = []
+    for b in range(B):
+        tr = lens[b]
+        rec = recs[b]
         if not rec:
             out.append((None, None) if want_results else None)
             continue
-
-        def resolve_many(pairs, b=b):
-            # predecessor times are < tr-1, so always in the planes;
-            # rare (beam-pruned) records gather straight from device —
-            # ONE stacked gather per resurrection wave
-            pns = np.asarray([p for p, _ in pairs], np.int32)
-            pts = np.asarray([t for _, t in pairs], np.int32)
-            trip = np.asarray(jnp.stack([
-                WEs_d[b, pts + 1, pns].astype(jnp.float32),
-                pwns_d[b, pts + 1, pns].astype(jnp.float32),
-                pwts_d[b, pts + 1, pns].astype(jnp.float32)]))
-            return [None if s <= LSMALL else (float(s), int(a), int(c))
-                    for s, a, c in zip(*trip)]
-
         res = None
         if want_results:
             # best COMPLETE path: the device compaction ranks final
@@ -2051,9 +2127,7 @@ def generate_lattice_batch(
                         break
                     node, t = pn, pt
                     got = rec.get((node, t))
-                    if got is None:
-                        got = resolve_many([(node, t)])[0]
-                    if got is None:  # pragma: no cover - planes hold preds
+                    if got is None:  # pragma: no cover - resolved above
                         break
                     _s, pn, pt = got
                     pn, pt = int(pn), int(pt)
@@ -2061,7 +2135,7 @@ def generate_lattice_batch(
                 res = _result_from_chain(net, chain, float(fsc[j]))
         lat = _lattice_from_rec(net, rec, None, tr,
                                 frame_period_s, lm_scale, word_pen,
-                                resolve_many=resolve_many,
+                                resolve_many=_severed,
                                 max_preds=max_preds,
                                 arc_beam=lattice_beam)
         out.append((lat, res) if want_results else lat)

@@ -159,7 +159,7 @@ def prune(lat: Lattice, beam: float, lmscale: Optional[float] = None,
 def arc_mpe_weights(lat: Lattice, ref: List[Tuple[str, float, float]],
                     lmscale: Optional[float] = None,
                     wdpenalty: Optional[float] = None,
-                    null_words=()):
+                    null_words=(), acscale: float = 1.0):
     """MPE/MWE arc weights gamma_q * (c(q) - c_avg) (HFBLat.c role).
 
     `ref` is the timed reference: [(word, t_start_s, t_end_s)]. Per-arc
@@ -176,7 +176,7 @@ def arc_mpe_weights(lat: Lattice, ref: List[Tuple[str, float, float]],
     wdpenalty = lat.wdpenalty if wdpenalty is None else wdpenalty
     words_of = {nd.id: nd.word for nd in lat.nodes}
     times_of = {nd.id: nd.time for nd in lat.nodes}
-    total, post = arc_posteriors(lat, lmscale, wdpenalty)
+    total, post = arc_posteriors(lat, lmscale, wdpenalty, acscale=acscale)
     order = topo_order(lat)
     start = lat.start_node()
     end = lat.end_node()

@@ -109,7 +109,11 @@ def lattice_arc_utts(lat, vocab, comp, feats, period, stem, arcfb, utt=0):
         if wd is None:
             HRError(8621, "HMMIRest: word %s not in dictionary", w)
             continue
-        phones = wd.prons[0].phones
+        # word-internal context expansion (HNet.c FindModel order): on a
+        # triphone set, raw monophone prons would score STALE monophone
+        # models — the den statistics then systematically disagree with
+        # the (triphone) numerator and the EBW update corrupts the set
+        phones = arcfb.phone_map(wd.prons[0].phones)
         try:
             ids = tuple(comp.model_id(p) for p in phones)
         except Exception:
@@ -159,9 +163,12 @@ class ArcFB:
     """
 
     def __init__(self, trainer, comp, batch: int = 1024):
+        from ..algo.net import word_internal_phone_map
+
         self.trainer = trainer
         self.comp = comp
         self.batch = int(batch)
+        self.phone_map = word_internal_phone_map(comp.names)
         self.composite_cache: dict = {}  # ids -> CompositeHMM
         self._members: dict = {}  # qb -> [ids] in bank order
         self._comp_idx: dict = {}  # ids -> (qb, index)
@@ -441,6 +448,11 @@ def run(argv: List[str]) -> int:
         tau_i=cfg.flt_("ISMOOTHTAU", 0.0, module="HMMIREST"),
         min_var=cfg.flt_("MINVAR", 1e-6, module="HMMIREST"),
     )
+    # LATPROBSCALE (HFBLat.c probScale, typically 1/grammar-scale):
+    # scales the WHOLE lattice score exponent before posteriors, so the
+    # denominator's occupancy mass spreads over competitors instead of
+    # sitting one-hot on the best path — without it EBW over-sharpens
+    kappa = cfg.flt_("LATPROBSCALE", 1.0, module="HMMIREST")
 
     trainer = Trainer(comp)
     num_total = zero_accs(comp.n_mix, comp.dim, comp.n_states, comp.max_mix,
@@ -506,8 +518,8 @@ def run(argv: List[str]) -> int:
                     a.aclike = arc_ll[nm]
             if it.get("mpe_ref") is not None:
                 weights, c_avg = arc_mpe_weights(
-                    lat, it["mpe_ref"], lmscale=lm_scale, wdpenalty=0.0,
-                    null_words=null_words)
+                    lat, it["mpe_ref"], lmscale=lm_scale * kappa,
+                    wdpenalty=0.0, null_words=null_words, acscale=kappa)
                 num_utts.extend(utts)
                 den_utts.extend(utts)
                 # duplicate arcs fold linearly; positive parts feed the
@@ -520,8 +532,8 @@ def run(argv: List[str]) -> int:
                 if ta.trace >= 2:
                     print(f"  {it['stem']}: expected accuracy {c_avg:.3f}")
                 continue
-            logp, post = arc_posteriors(lat, lmscale=lm_scale,
-                                        wdpenalty=0.0)
+            logp, post = arc_posteriors(lat, lmscale=lm_scale * kappa,
+                                        wdpenalty=0.0, acscale=kappa)
             gam = {aid: (float(np.exp(min(g, 0.0))) if g > -30 else 0.0)
                    for aid, g in post.items()}
             t_utts, t_w = ((num_utts, num_w) if role == "num_lat"

@@ -561,6 +561,13 @@ def run(argv: List[str]) -> int:
         label_dir = ta.get("L")
         label_ext = ta.get("X", "lab")
         bound = ta.get("b")
+        lat_ext = ta.get("z")  # -a -z: aligned numerator lattices
+        # word-internal context expansion, as the recognition network
+        # compiler applies (HNet.c FindModel): on a triphone set a raw
+        # monophone pron would align against stale monophone models
+        from ..algo.net import word_internal_phone_map
+
+        pron_map = word_internal_phone_map(comp.names)
         pre = preload_corpus(files, cfg)
         for fn in files:
             data, _p, _k, e = pre.get(fn) or open_speech_file(fn, cfg)
@@ -576,7 +583,8 @@ def run(argv: List[str]) -> int:
                 wd = vocab.get(w)
                 if wd is None:
                     HError(8621, "HVite: word %s not in dictionary", w)
-                phs = wd.prons[0].phones  # first pronunciation for alignment
+                # first pronunciation, word-internally context-expanded
+                phs = pron_map(wd.prons[0].phones)
                 phones.extend(phs)
                 word_of_phone.extend([w] * len(phs))
                 occ_of_phone.extend([oi] * len(phs))
@@ -618,6 +626,38 @@ def run(argv: List[str]) -> int:
                     tr.alternatives[0].append(Label(
                         name=words[cur_occ], start=w0 * period, end=w1 * period,
                     ))
+            if lat_ext:
+                # -a -z: the aligned 1-best as a LINEAR word lattice —
+                # the NUMERATOR lattice HTK MMI recipes feed HMMIRest -q.
+                # Crucially this puts the numerator through the same
+                # arc-FB machinery as the denominator, so the word-
+                # boundary bias of fixed arc spans cancels between the
+                # two sides instead of leaking into the EBW update.
+                from ..io.slf import Lattice, LArc, LNode, write_slf
+                from ..io.slf import NULL_WORD as _NULL
+
+                segs = []  # (word occ, first frame, end frame, score)
+                for inst, t0, t1, sc in res.model_seq:
+                    occ = occ_of_phone[inst]
+                    if segs and segs[-1][0] == occ:
+                        segs[-1][2] = t1
+                        segs[-1][3] += sc
+                    else:
+                        segs.append([occ, t0, t1, sc])
+                lt = Lattice(lmscale=1.0, wdpenalty=0.0)
+                lt.nodes.append(LNode(id=0, time=0.0, word=_NULL))
+                prev = 0
+                for k, (occ, w0, w1, sc) in enumerate(segs):
+                    lt.nodes.append(LNode(
+                        id=k + 1, time=w1 * period / 1e7,
+                        word=words[occ]))
+                    lt.arcs.append(LArc(id=k, start=prev, end=k + 1,
+                                        aclike=float(sc), lmlike=0.0))
+                    prev = k + 1
+                stem = os.path.splitext(os.path.basename(e.logical))[0]
+                lt.utterance = stem
+                write_slf(lt, os.path.join(out_dir or ".",
+                                           f"{stem}.{lat_ext}"))
             if ta.trace:
                 print(f"{e.logical}: aligned {len(phones)} phones, "
                       f"score {res.score:.2f}")

@@ -419,13 +419,13 @@ def bench_hdecode_batch(comp, vocab, words, lm, n_utts=64, seed=3, reps=3,
         t0 = time.perf_counter()
         run_batched()
         tb.append(time.perf_counter() - t0)
-    # sequential loop: 4 utterances, one rep (it is the slow side being
+    # sequential loop: 2 utterances, one rep (it is the slow side being
     # replaced, and every distinct length is a fresh compile — the very
-    # cost bucketed batching removes; 4 utts bound the section's time)
+    # cost bucketed batching removes; 2 utts bound the section's time)
     t0 = time.perf_counter()
-    for f in feats[:4]:
+    for f in feats[:2]:
         generate_lattice(net, comp, f, lm_scale=8.0, lattice_beam=150.0)
-    seq_audio = float(sum(f.shape[0] for f in feats[:4])) * 0.01
+    seq_audio = float(sum(f.shape[0] for f in feats[:2])) * 0.01
     seq_xrt = (time.perf_counter() - t0) / seq_audio
     return statistics.median(tb) / audio, seq_xrt
 
@@ -784,7 +784,7 @@ def main():
         comp5, vocab5, words5, lm5, n_utts=(8 if SMOKE else 64), net=net5),
         store=lambda r: extra.update(
             hdecode_5k_batch64_xrt=round(r[0], 6),
-            hdecode_5k_seq_lattice_xrt=round(r[1], 6)), max_s=300)
+            hdecode_5k_seq_lattice_xrt=round(r[1], 6)), max_s=480)
 
     extra["note"] = ("headline = BASELINE config #4 (1k-vocab back-off "
                      "bigram, tied-state 8-mix triphones); vs_baseline = "

@@ -80,10 +80,41 @@ def main():
           f"({'factored' if net.xw_backoff is not None else 'dense'}), "
           f"LM order {lm_order}", flush=True)
 
+    # reference transcripts: for trigram sweeps, SAMPLE FROM THE LM —
+    # uniform-random refs make trigram context uninformative about the
+    # truth, so guided and bigram pass-1 decode identically and the
+    # sweep cannot show what guidance protects (round-5 finding; the
+    # earlier table's identical triguide/bigram columns were this)
+    tri_succ = {}
+    bi_succ = {}
+    if lm_order >= 3:
+        for (u, v, w) in lm.trigrams:
+            tri_succ.setdefault((u, v), []).append(w)
+        for (u, v) in lm.bigrams:
+            bi_succ.setdefault(u, []).append(v)
+
+    def sample_seq(k):
+        seq = [words[int(rng.integers(0, len(words)))]]
+        while len(seq) < k:
+            u = seq[-2] if len(seq) >= 2 else None
+            v = seq[-1]
+            r = rng.random()
+            cands = tri_succ.get((u, v)) if u is not None else None
+            if cands and r < 0.7:
+                seq.append(cands[int(rng.integers(len(cands)))])
+                continue
+            cands = bi_succ.get(v)
+            if cands and r < 0.9:
+                seq.append(cands[int(rng.integers(len(cands)))])
+                continue
+            seq.append(words[int(rng.integers(0, len(words)))])
+        return seq
+
     refs, feats = [], []
     for _ in range(N_UTT):
         k = int(rng.integers(*WORDS_PER))
-        seq = [words[int(i)] for i in rng.integers(0, len(words), k)]
+        seq = (sample_seq(k) if lm_order >= 3 else
+               [words[int(i)] for i in rng.integers(0, len(words), k)])
         refs.append(seq)
         feats.append(synth_utt(comp, vocab, seq, rng))
     n_ref = sum(len(r) for r in refs)

@@ -194,6 +194,13 @@ def run(argv: List[str]) -> int:
             and net.xw_backoff is not None
             and net.xw_trigram is None):
         max_active = -(max_active or 512)
+    # trigram-guided pass 1 pairs with top-A by default: the guided
+    # cross-word leg over ALL rows costs ~11x, while guided + top-A is
+    # both more accurate AND faster than the bigram pass (BASELINE.md
+    # round-5 quality sweep). -u 0 keeps it off explicitly.
+    if (getattr(net, "xw_trigram", None) is not None
+            and max_active is None and ta.get("u") is None):
+        max_active = 512
     lat_beam = float(ta.get("n", 250.0) or 250.0)
     # HDECODE: LATPREDS — alternative-predecessor arcs per record
     # (HLVRec lattice semantics; 1 = HVite's single-pred lattices).

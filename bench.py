@@ -546,8 +546,12 @@ def bench_bigvocab(n_words, max_active, seed=11, reps=3, B=8, T=500):
     run("topA", max_active, net)
     run("adaptive", -max_active, net)
     run("exact", None, net)
-    if jax.default_backend() == "tpu" and os.environ.get(
-            "BENCH_XW_ROUTE", "1") != "0":
+    # routed leg only at <=20k by default: it stays opt-in (BASELINE.md
+    # round-5 decision — wins 3% at 20k, loses 30% at 50k, exceeds the
+    # tunnel compile payload at 100k) and its 50k compile alone can eat
+    # a whole section budget
+    if (jax.default_backend() == "tpu" and n_words <= 20000
+            and os.environ.get("BENCH_XW_ROUTE", "1") != "0"):
         # routed exact leg: a fresh net so its device cache is built
         # with HTKTPU_XW_ROUTE in force (the env is read at first use)
         os.environ["HTKTPU_XW_ROUTE"] = "1"
@@ -727,7 +731,7 @@ def main():
 
         section(f"hdecode_{key}", est_s + 60,
                 lambda n=n_words, m=ma: bench_bigvocab(n, m),
-                store=_store_big)
+                store=_store_big, max_s=est_s + 240)
 
     # round-4: single-pass trigram guidance on the 5k config — the
     # HLVRec-LM.c role (pass 1 scores word ends under each token's

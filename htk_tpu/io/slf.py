@@ -23,7 +23,7 @@ from ..utils.errors import HError, contained
 NULL_WORD = "!NULL"
 
 
-@dataclass
+@dataclass(slots=True)
 class LNode:
     id: int
     time: float = 0.0
@@ -31,7 +31,7 @@ class LNode:
     var: int = 0  # pronunciation variant
 
 
-@dataclass
+@dataclass(slots=True)
 class LArc:
     id: int
     start: int

@@ -408,10 +408,13 @@ def bench_hdecode_batch(comp, vocab, words, lm, n_utts=64, seed=3, reps=3,
     bsz = 16
 
     def run_batched():
+        # pad_to 256: mixed lengths land in ~3 padded shapes instead of
+        # ~5 — cold compiles through the tunnel dominate this section
         for i0 in range(0, n_utts, bsz):
             idx = order[i0:i0 + bsz]
             generate_lattice_batch(net, comp, [feats[j] for j in idx],
-                                   lm_scale=8.0, lattice_beam=150.0)
+                                   lm_scale=8.0, lattice_beam=150.0,
+                                   pad_to=256)
 
     run_batched()  # compile
     tb = []

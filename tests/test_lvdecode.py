@@ -217,6 +217,32 @@ class TestLVBatch:
             assert rb.words == rs.words and rb.times == rs.times
             assert rb.score == pytest.approx(rs.score, rel=1e-5)
 
+    def test_lattice_batch_k_rec_overflow_degrades_gracefully(self, capsys):
+        """A record budget below the in-beam count drops the WEAKEST
+        records (global-beam-style degradation), warns 8523, and the
+        lattice's best path still equals the 1-best decode."""
+        from htk_tpu.algo.decode import generate_lattice_batch
+        from htk_tpu.algo.latops import best_path
+
+        comp = separable_set()
+        net = compile_lv_loop(["A", "I", "S"], make_vocab(), comp,
+                              lm=make_lm())
+        feats = [emit_frames(["sil", "aa", "iy", "aa", "sil"], seed=9)]
+        full = generate_lattice_batch(net, comp, feats, pad_to=16,
+                                      lattice_beam=400.0)
+        n_full = len(full[0].arcs)
+        budget = max(4, n_full // 3)
+        latb = generate_lattice_batch(net, comp, feats, pad_to=16,
+                                      lattice_beam=400.0, k_rec=budget)
+        err = capsys.readouterr().err
+        assert "WARNING [-8523]" in err
+        assert latb[0] is not None
+        assert len(latb[0].arcs) < n_full
+        r = decode(net, comp, feats[0])
+        _score, path = best_path(latb[0])
+        words = [w for (w, _t, _a) in path if w not in ("!NULL", "", "S")]
+        assert words == list(r.words)
+
     def test_lattice_batch_topk_cap(self):
         """k_lat below the row count still produces a usable lattice
         whose best path equals the 1-best decode."""

@@ -1524,11 +1524,14 @@ def _host_lm_lookup(net):
         trans_np = np.asarray(net.trans, np.float64)
         return lambda pn, i: trans_np[pn, i]
     x = net.xw_backoff
-    pairs = getattr(net, "_xw_pairs", None)
-    if pairs is None:
+    cached = getattr(net, "_xw_pairs_arr", None)
+    if cached is None:
         # one vectorised pass per bucket (the per-slot loop was
-        # multi-second at 100k vocab / 2M explicit-bigram slots)
-        pairs = {}
+        # multi-second at 100k vocab / 2M explicit-bigram slots);
+        # (pred, row) pairs pack into sorted int64 keys so each lookup
+        # is a binary search, not a dict walk (row/pred indices are
+        # bounded by the 17-bit word-link row space, < 2^21)
+        kparts, vparts = [], []
         perm = np.argsort(np.asarray(x["inv"]))
         pos = 0
         for preds, scores in x["buckets"]:
@@ -1536,10 +1539,16 @@ def _host_lm_lookup(net):
             rows = np.repeat(perm[pos:pos + nrows], fb)
             pos += nrows
             m = (scores > LSMALL).ravel()
-            pairs.update(zip(zip(preds.ravel()[m].tolist(),
-                                 rows[m].tolist()),
-                             scores.ravel()[m].astype(np.float64).tolist()))
-        net._xw_pairs = pairs
+            kparts.append(preds.ravel()[m].astype(np.int64) * _REC_PK
+                          + rows[m].astype(np.int64))
+            vparts.append(scores.ravel()[m].astype(np.float64))
+        ks = (np.concatenate(kparts) if kparts
+              else np.empty(0, np.int64))
+        vs = (np.concatenate(vparts) if vparts
+              else np.empty(0, np.float64))
+        o = np.argsort(ks, kind="stable")
+        cached = net._xw_pairs_arr = (ks[o], vs[o])
+    ks, vs = cached
     bow = np.asarray(x["bow"], np.float64)
     uni = np.asarray(x["uni"], np.float64)
 
@@ -1547,12 +1556,15 @@ def _host_lm_lookup(net):
         scalar = np.ndim(pn) == 0
         pn_a = np.atleast_1d(np.asarray(pn, np.int64))
         i_a = np.atleast_1d(np.asarray(i, np.int64))
-        backoff = bow[pn_a] + uni[i_a]
-        get = pairs.get
-        expl = np.fromiter(
-            (get(k, -np.inf) for k in zip(pn_a.tolist(), i_a.tolist())),
-            np.float64, len(pn_a))
-        out = np.maximum(expl, backoff)
+        out = bow[pn_a] + uni[i_a]
+        if ks.size:
+            q = pn_a * _REC_PK + i_a
+            # rightmost match = last inserted among duplicates (the
+            # former dict's last-wins), though keys are in fact unique
+            pos = np.searchsorted(ks, q, side="right") - 1
+            psafe = np.maximum(pos, 0)
+            hit = (pos >= 0) & (ks[psafe] == q)
+            out = np.maximum(out, np.where(hit, vs[psafe], -np.inf))
         return float(out[0]) if scalar else out
 
     return lm_of
@@ -1568,12 +1580,26 @@ def _host_lm3_lookup(net):
     lm2 = _host_lm_lookup(net)
     ctx = np.asarray(x3["ctx_word"], np.int64)
     C = len(ctx) - 1
-    seg = np.asarray(x3["seg_start"], np.int64)
-    pu = np.asarray(x3["pair_u"], np.int64)
+    cached = getattr(net, "_lm3_host_arr", None)
+    if cached is None:
+        # global packed keys over the segmented tables so the per-arc
+        # segment binary searches vectorise into two np.searchsorted
+        # calls: pairs are stored (v_row asc, u_word asc), so
+        # v_row * 2^22 + u_word is globally sorted; each pair's
+        # trigram CSR range tiles tri_j in pair order with targets
+        # ascending, so pair_idx * 2^22 + tri_j is globally sorted too
+        seg = np.asarray(x3["seg_start"], np.int64)
+        pu = np.asarray(x3["pair_u"], np.int64)
+        pcn = np.asarray(x3["pair_tcnt"], np.int64)
+        tj = np.asarray(x3["tri_j"], np.int64)
+        p_vrow = np.repeat(np.arange(seg.size - 1, dtype=np.int64),
+                           np.diff(seg))
+        pair_key = p_vrow * _REC_PK + pu
+        tri_key = (np.repeat(np.arange(pu.size, dtype=np.int64), pcn)
+                   * _REC_PK + tj)
+        cached = net._lm3_host_arr = (pair_key, tri_key)
+    pair_key, tri_key = cached
     pbow = np.asarray(x3["pair_bow"], np.float64)
-    pst = np.asarray(x3["pair_tstart"], np.int64)
-    pcn = np.asarray(x3["pair_tcnt"], np.int64)
-    tj = np.asarray(x3["tri_j"], np.int64)
     tp = np.asarray(x3["tri_p"], np.float64)
 
     def lm3(ppn, pn, i):
@@ -1582,19 +1608,20 @@ def _host_lm3_lookup(net):
         i_a = np.atleast_1d(np.asarray(i, np.int64))
         uw = ctx[np.where(ppn_a >= 0, ppn_a, C)]
         out = np.asarray(lm2(pn_a, i_a), np.float64).copy()
-        lo = seg[pn_a]
-        hi = seg[pn_a + 1]
-        for q in range(len(pn_a)):
-            j = lo[q] + np.searchsorted(pu[lo[q]:hi[q]], uw[q])
-            if j >= hi[q] or pu[j] != uw[q]:
-                continue  # no (u, v) context: plain bigram score
-            v = pbow[j] + out[q]
-            s, c = pst[j], pcn[j]
-            k = s + np.searchsorted(tj[s:s + c], i_a[q])
-            if k < s + c and tj[k] == i_a[q] and tp[k] > v:
-                v = tp[k]
-            out[q] = v
-        return out
+        q = pn_a * _REC_PK + uw
+        j = np.searchsorted(pair_key, q)
+        js = np.minimum(j, pair_key.size - 1)
+        has = (j < pair_key.size) & (pair_key[js] == q)
+        # (u, v) context present: trigram back-off v = bow + bigram,
+        # overridden by an explicit trigram when it scores higher
+        v = pbow[js] + out
+        if tri_key.size:
+            tq = js * _REC_PK + i_a
+            k = np.searchsorted(tri_key, tq)
+            ksafe = np.minimum(k, tri_key.size - 1)
+            thit = has & (k < tri_key.size) & (tri_key[ksafe] == tq)
+            v = np.where(thit & (tp[ksafe] > v), tp[ksafe], v)
+        return np.where(has, v, out)
 
     return lm3
 
@@ -1699,11 +1726,11 @@ def _lattice_from_host_planes(net, WEs, pwns, pwts, carry, fin, T,
     best = rows.max(axis=1, keepdims=True) if T > 1 else rows
     mask = (best > LSMALL) & (rows > LSMALL) & (rows >= best - lattice_beam)
     tt, ii = np.nonzero(mask)
-    for i_, t_, s_, pn_, pt_ in zip(
-            ii.tolist(), tt.tolist(), rows[tt, ii].tolist(),
+    rec.update(zip(
+        zip(ii.tolist(), tt.tolist()),
+        zip(rows[tt, ii].tolist(),
             np.asarray(pwns)[tt + 1, ii].tolist(),
-            np.asarray(pwts)[tt + 1, ii].tolist()):
-        rec[(i_, t_)] = (s_, pn_, pt_)
+            np.asarray(pwts)[tt + 1, ii].tolist())))
     bestf = WE_fin.max()
     fkeep = np.nonzero((WE_fin > LSMALL)
                        & (WE_fin >= bestf - lattice_beam))[0]
@@ -1730,6 +1757,14 @@ def _lattice_from_host_planes(net, WEs, pwns, pwts, carry, fin, T,
                             lm_scale, word_pen, max_preds=max_preds,
                             arc_beam=lattice_beam)
     return (lat, res) if want_result else lat
+
+
+# (node, t) record keys pack into one int64 so record lookups become
+# sorted-array searches instead of dict walks: t is bounded by the
+# 15-bit traceback field (auto-chunked above 32767 frames) and node ids
+# by the 17+4-bit word-link row space, so node * 2^22 + (t + 2) cannot
+# collide or overflow
+_REC_PK = np.int64(1) << 22
 
 
 def _lattice_from_rec(net, rec, resolve, T_real, frame_period_s,
@@ -1759,39 +1794,78 @@ def _lattice_from_rec(net, rec, resolve, T_real, frame_period_s,
     """
     from ..io.slf import Lattice, LArc, LNode, NULL_WORD
 
+    _PK = _REC_PK
+
+    def _rec_arrays():
+        # rec INSERTION order — it defines arc emission order
+        ka = np.asarray(list(rec), np.int64).reshape(len(rec), 2)
+        va = np.asarray(list(rec.values()), np.float64).reshape(
+            len(rec), 3)
+        return (ka[:, 0], ka[:, 1], va[:, 0],
+                va[:, 1].astype(np.int64), va[:, 2].astype(np.int64))
+
+    ii, tt_, sc, pn_a, pt_a = _rec_arrays()
+    n = ii.size
+    pk = ii * _PK + (tt_ + 2)
+    srt = np.argsort(pk, kind="stable")
+    pks = pk[srt]
+
+    def _pred_rows(m):
+        # rows (in rec insertion order) holding each m-row's (pn, pt)
+        pos = np.searchsorted(pks, pn_a[m] * _PK + (pt_a[m] + 2))
+        return pos, srt
+
     # Transitively retain predecessor records referenced by survivors:
     # a beam keeps the best ends per frame, but a kept record's traceback
     # may point at a pruned (pn, pt) — HTK's LatFromPaths never emits arcs
     # to pruned predecessors, so resurrect them from the word-end planes
     # (their scores are still there) rather than rerouting to the start.
     # Breadth-first waves: each wave's missing predecessors resolve in
-    # one call, then their own predecessors form the next wave.
-    frontier = list(rec)
-    while frontier:
-        need = []
-        referrers: dict = {}
-        for key in frontier:
-            _, pn, pt = rec[key]
-            if pn < 0 or (pn, pt) in rec:
-                continue
-            if (pn, pt) not in referrers:
-                referrers[(pn, pt)] = []
-                need.append((pn, pt))
-            referrers[(pn, pt)].append(key)
-        if not need:
-            break
-        got_all = (resolve_many(need) if resolve_many is not None
-                   else [resolve(pn, pt) for pn, pt in need])
-        frontier = []
-        for (pn, pt), got in zip(need, got_all):
-            if got is None:
-                # genuinely unavailable: sever so the arc is dropped,
-                # not misattached to the utterance start
-                for key in referrers[(pn, pt)]:
-                    rec[key] = (rec[key][0], -1, -2)
-                continue
-            rec[(pn, pt)] = got
-            frontier.append((pn, pt))
+    # one call, then their own predecessors form the next wave. The
+    # seed wave is found vectorised (callers that pre-resolve — the
+    # batched pipeline's pass 2 — make this whole block a no-op).
+    m_ref = pn_a >= 0
+    if m_ref.any():
+        pos, _ = _pred_rows(m_ref)
+        ok = (pos < n) & (pks[np.minimum(pos, n - 1)]
+                          == pn_a[m_ref] * _PK + (pt_a[m_ref] + 2))
+        miss = np.nonzero(m_ref)[0][~ok]
+    else:
+        miss = np.empty(0, np.int64)
+    if miss.size:
+        keys0 = list(rec)
+        frontier = [keys0[j] for j in miss.tolist()]
+        while frontier:
+            need = []
+            referrers: dict = {}
+            for key in frontier:
+                _, pn, pt = rec[key]
+                if pn < 0 or (pn, pt) in rec:
+                    continue
+                if (pn, pt) not in referrers:
+                    referrers[(pn, pt)] = []
+                    need.append((pn, pt))
+                referrers[(pn, pt)].append(key)
+            if not need:
+                break
+            got_all = (resolve_many(need) if resolve_many is not None
+                       else [resolve(pn, pt) for pn, pt in need])
+            frontier = []
+            for (pn, pt), got in zip(need, got_all):
+                if got is None:
+                    # genuinely unavailable: sever so the arc is dropped,
+                    # not misattached to the utterance start
+                    for key in referrers[(pn, pt)]:
+                        rec[key] = (rec[key][0], -1, -2)
+                    continue
+                rec[(pn, pt)] = got
+                frontier.append((pn, pt))
+        # resurrection extended/rewrote rec — rebuild the arrays
+        ii, tt_, sc, pn_a, pt_a = _rec_arrays()
+        n = ii.size
+        pk = ii * _PK + (tt_ + 2)
+        srt = np.argsort(pk, kind="stable")
+        pks = pk[srt]
 
     lat = Lattice(lmscale=lm_scale, wdpenalty=word_pen)
     start_id = 0
@@ -1799,27 +1873,21 @@ def _lattice_from_rec(net, rec, resolve, T_real, frame_period_s,
     end_id = 1
     lat.nodes.append(
         LNode(id=1, time=T_real * frame_period_s, word=NULL_WORD))
-    node_id = {}
-    for (i, t) in sorted(rec, key=lambda k: (k[1], k[0])):
-        nid = len(lat.nodes)
-        node_id[(i, t)] = nid
-        lat.nodes.append(
-            LNode(id=nid, time=(t + 1) * frame_period_s,
-                  word=net.node_words[i])
-        )
+    # nodes in (t, i) order, ids assigned by rank (same order the former
+    # sorted() loop produced); node_id lookups become array indexing
+    nsort = np.lexsort((ii, tt_))
+    nid_a = np.empty(n, np.int64)
+    nid_a[nsort] = 2 + np.arange(n, dtype=np.int64)
+    node_words = net.node_words
+    nodes = lat.nodes
+    for nid0, (i_, t_) in enumerate(zip(ii[nsort].tolist(),
+                                        tt_[nsort].tolist())):
+        nodes.append(LNode(id=nid0 + 2, time=(t_ + 1) * frame_period_s,
+                           word=node_words[i_]))
     # arcs: all score/LM arithmetic vectorised over the record arrays,
     # one lean loop only for LArc construction (same arc order and f64
     # arithmetic as the former per-record loop)
     end_exit = np.asarray(net.end_exit, np.float64)
-    n = len(rec)
-    keys = list(rec)
-    vals = list(rec.values())
-    ii = np.fromiter((k[0] for k in keys), np.int64, n)
-    tt_ = np.fromiter((k[1] for k in keys), np.int64, n)
-    sc = np.fromiter((v[0] for v in vals), np.float64, n)
-    pn_a = np.fromiter((v[1] for v in vals), np.int64, n)
-    pt_a = np.fromiter((v[2] for v in vals), np.int64, n)
-    nid_a = np.fromiter((node_id[k] for k in keys), np.int64, n)
     m_start = pn_a < 0
     m_sever = m_start & (pt_a == -2)
     m_int = ~m_start
@@ -1832,43 +1900,35 @@ def _lattice_from_rec(net, rec, resolve, T_real, frame_period_s,
         lm_a[m_start] = start_entry[ii[m_start]]
         ac_a[m_start] = sc[m_start] - lm_a[m_start] * lm_scale
     if m_int.any():
-        get = rec.get
+        pos, _ = _pred_rows(m_int)
+        prow = srt[pos]  # every m_int predecessor is present by now
         if getattr(net, "xw_trigram", None) is not None:
             # pass 1 scored pn -> i under pn's token's own trigram
             # context — its record's predecessor names that context
-            ppn_a = np.fromiter(
-                (get(k)[1] for k in zip(pn_a[m_int].tolist(),
-                                        pt_a[m_int].tolist())),
-                np.int64, int(m_int.sum()))
             lm_a[m_int] = _host_lm3_lookup(net)(
-                ppn_a, pn_a[m_int], ii[m_int])
+                pn_a[prow], pn_a[m_int], ii[m_int])
         else:
             lm_of = _host_lm_lookup(net)
             lm_a[m_int] = lm_of(pn_a[m_int], ii[m_int])
-        prev = np.fromiter(
-            (get(k)[0] for k in zip(pn_a[m_int].tolist(),
-                                    pt_a[m_int].tolist())),
-            np.float64, int(m_int.sum()))
-        ac_a[m_int] = (sc[m_int] - prev - lm_a[m_int] * lm_scale
+        ac_a[m_int] = (sc[m_int] - sc[prow] - lm_a[m_int] * lm_scale
                        - word_pen)
-        src_a[m_int] = np.fromiter(
-            (node_id[k] for k in zip(pn_a[m_int].tolist(),
-                                     pt_a[m_int].tolist())),
-            np.int64, int(m_int.sum()))
+        src_a[m_int] = nid_a[prow]
     m_fin = (tt_ == T_real - 1) & (end_exit[ii] > LSMALL)
     fin_lm = end_exit[ii]
 
     aid = 0
     arcs = lat.arcs
-    for j in range(n):
-        if not m_sever[j]:
-            arcs.append(LArc(id=aid, start=int(src_a[j]),
-                             end=int(nid_a[j]), aclike=float(ac_a[j]),
-                             lmlike=float(lm_a[j])))
+    for sev_j, fin_j, src_j, nid_j, ac_j, lm_j, flm_j in zip(
+            m_sever.tolist(), m_fin.tolist(), src_a.tolist(),
+            nid_a.tolist(), ac_a.tolist(), lm_a.tolist(),
+            fin_lm.tolist()):
+        if not sev_j:
+            arcs.append(LArc(id=aid, start=src_j, end=nid_j,
+                             aclike=ac_j, lmlike=lm_j))
             aid += 1
-        if m_fin[j]:
-            arcs.append(LArc(id=aid, start=int(nid_a[j]), end=end_id,
-                             aclike=0.0, lmlike=float(fin_lm[j])))
+        if fin_j:
+            arcs.append(LArc(id=aid, start=nid_j, end=end_id,
+                             aclike=0.0, lmlike=flm_j))
             aid += 1
 
     if max_preds > 1 and m_int.any():
@@ -1879,6 +1939,8 @@ def _lattice_from_rec(net, rec, resolve, T_real, frame_period_s,
 
         MAXC = 64  # candidate predecessors examined per entry time
         s = float(lm_scale)
+        node_id = dict(zip(zip(ii.tolist(), tt_.tolist()),
+                           nid_a.tolist()))
         by_t: dict = defaultdict(list)
         for (j_, t_) in rec:
             by_t[t_].append(j_)
@@ -2041,11 +2103,10 @@ def generate_lattice_batch(
             pns = (pred >> REC_TBITS).astype(np.int64) - 1
             pts = (pred & REC_TMASK).astype(np.int64) - 1
             order = np.lexsort((kk, ixs, tt))
-            for i_, t_, s_, pn_, pt_ in zip(
-                    ixs[order].tolist(), tt[order].tolist(),
-                    scs[order].tolist(), pns[order].tolist(),
-                    pts[order].tolist()):
-                rec[(i_, t_)] = (s_, pn_, pt_)
+            rec.update(zip(
+                zip(ixs[order].tolist(), tt[order].tolist()),
+                zip(scs[order].tolist(), pns[order].tolist(),
+                    pts[order].tolist())))
         row_sc = scf_k[b]
         # final compaction is ranked by raw+exit-LM total, so the raw
         # max may sit anywhere among the kept K
@@ -2061,8 +2122,27 @@ def generate_lattice_batch(
 
     # pass 2: transitively resurrect beam-dropped predecessors for the
     # WHOLE batch — one stacked device gather per wave (per-utterance
-    # waves each paid a ~25 ms tunnel round-trip)
-    frontier = [(b, key) for b, rec in enumerate(recs) for key in rec]
+    # waves each paid a ~25 ms tunnel round-trip). The seed wave (which
+    # records point at a pruned predecessor) is found vectorised with
+    # one packed-key membership test per utterance; usually it is empty
+    # and the whole wave loop is skipped.
+    frontier = []
+    for b, rec in enumerate(recs):
+        if not rec:
+            continue
+        ka = np.asarray(list(rec), np.int64).reshape(len(rec), 2)
+        va = np.asarray(list(rec.values()), np.float64).reshape(
+            len(rec), 3)
+        pn_b = va[:, 1].astype(np.int64)
+        pt_b = va[:, 2].astype(np.int64)
+        pks = np.sort(ka[:, 0] * _REC_PK + (ka[:, 1] + 2))
+        m = pn_b >= 0
+        pp = pn_b[m] * _REC_PK + (pt_b[m] + 2)
+        pos = np.searchsorted(pks, pp)
+        nb = pks.size
+        ok = (pos < nb) & (pks[np.minimum(pos, nb - 1)] == pp)
+        for j in np.nonzero(m)[0][~ok].tolist():
+            frontier.append((b, (int(ka[j, 0]), int(ka[j, 1]))))
     while frontier:
         need = []
         referrers: dict = {}

@@ -1211,9 +1211,20 @@ def _lv_lattice_pipeline(net, comp, precision, max_active, k_lat,
                 jnp.take_along_axis(WE_fin, ixf_k, axis=1), LZERO)
             pnf_k = jnp.take_along_axis(pwn_fin, ixf_k, axis=1)
             ptf_k = jnp.take_along_axis(pwt_fin, ixf_k, axis=1)
-            compact = (rec_sc, rec_ix, rec_idx, rec_pred, counts,
-                       scf_k, ixf_k, pnf_k, ptf_k)
-            return compact, (WEs, pwns, pwts)
+            # wire format: every per-call fetch through the dev tunnel
+            # pays ~0.25 s regardless of size (round-5 latgen cProfile:
+            # nine per-array fetches cost 2.4 s for ~4 MB), so the
+            # compaction packs ONE record-major int32 buffer (score,
+            # row, flat idx, packed pred bitcast side-by-side) the host
+            # fetches with a single (and ragged-prefix-sliceable) call,
+            # plus one small finals+counts buffer
+            bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+            wire_rec = jnp.stack(
+                [bc(rec_sc), rec_ix, rec_idx, bc(rec_pred)], axis=2)
+            wire_fin = jnp.concatenate(
+                [bc(scf_k), ixf_k, pnf_k, ptf_k, counts[:, None]],
+                axis=1)
+            return (wire_rec, wire_fin), (WEs, pwns, pwts)
 
         fn = jax.jit(pipe)
         d["jits"][key] = fn
@@ -2065,18 +2076,33 @@ def generate_lattice_batch(
     mp = (None if model_params is None else
           tuple(jnp.asarray(model_params[k], jnp.float32)
                 for k in ("means", "variances", "gconsts")))
-    compact, planes = fn(
+    (wire_rec, wire_fin), planes = fn(
         jnp.asarray(fb), _dev_lens(lens), _dev_scalar(lm_scale),
         _dev_scalar(word_pen),
         _dev_scalar(_BEAM_OFF if beam is None else beam),
         _dev_scalar(lattice_beam), mp)
-    # ONE stacked fetch of the ragged-compacted in-beam records: the
-    # (B, T, K) per-frame planes were 34 MB at (16, 512, 256) and the
-    # dev tunnel moves ~15-20 MB/s — fetching only in-beam records
-    # (16 B each) cut the wire ~50x (round-5 latgen_profile evidence)
-    rec_sc, rec_ix, rec_idx, rec_pred, counts, scf_k, ixf_k, pnf_k, \
-        ptf_k = [np.asarray(a) for a in compact]
-    M = rec_sc.shape[1]
+    # TWO fetches total (each tunnel call costs ~0.25 s flat — round-5
+    # latgen cProfile): the small finals+counts buffer first, then only
+    # the occupied prefix of the record buffer (in-beam records sort
+    # first; prefix rounded to 1024 slots so the eager device slice
+    # compiles at most M/1024 distinct programs). The (B, T, K)
+    # per-frame planes this replaces were 34 MB at (16, 512, 256) and
+    # the dev tunnel moves ~15-20 MB/s.
+    wf = np.asarray(wire_fin)
+    K_f = (wf.shape[1] - 1) // 4
+    scf_k = wf[:, :K_f].copy().view(np.float32)
+    ixf_k = wf[:, K_f:2 * K_f]
+    pnf_k = wf[:, 2 * K_f:3 * K_f]
+    ptf_k = wf[:, 3 * K_f:4 * K_f]
+    counts = wf[:, 4 * K_f]
+    M = int(wire_rec.shape[1])
+    m_need = int(min(M, max(1, counts.max())))
+    m_slice = min(M, -(-m_need // 1024) * 1024)
+    wr = np.asarray(wire_rec[:, :m_slice] if m_slice < M else wire_rec)
+    rec_sc = wr[:, :, 0].copy().view(np.float32)
+    rec_ix = wr[:, :, 1]
+    rec_idx = wr[:, :, 2]
+    rec_pred = wr[:, :, 3].copy().view(np.uint32)
     WEs_d, pwns_d, pwts_d = planes  # stay on device
 
     # pass 1: decode the ragged records into per-utterance rec dicts

@@ -386,11 +386,15 @@ def bench_herest(comp, names, n_utts=16, T=500, dim=39, seed=3):
     return n_pass * n_utts / dt
 
 
-def bench_hdecode_batch(comp, vocab, words, lm, n_utts=64, seed=3, reps=3,
+def bench_hdecode_batch(comp, vocab, words, lm, n_utts=64, seed=3, reps=2,
                         net=None):
     """HDecode pass-1 throughput: 64 mixed-length utterances through the
     bucketed batched lattice generator vs the per-utterance loop.
-    Returns (batched_xrt, sequential_xrt)."""
+    Returns (batched_xrt, sequential_xrt). The sequential leg is
+    measured (10.8 xRT, round 4 — every distinct length is a fresh
+    compile) and recorded in BASELINE.md; re-proving it costs ~290 s of
+    tunnel time per run, so it only runs under BENCH_SEQ_LEG=1 and
+    sequential_xrt is None otherwise."""
     import statistics
 
     from htk_tpu.algo.decode import generate_lattice, generate_lattice_batch
@@ -425,11 +429,14 @@ def bench_hdecode_batch(comp, vocab, words, lm, n_utts=64, seed=3, reps=3,
     # sequential loop: 2 utterances, one rep (it is the slow side being
     # replaced, and every distinct length is a fresh compile — the very
     # cost bucketed batching removes; 2 utts bound the section's time)
-    t0 = time.perf_counter()
-    for f in feats[:2]:
-        generate_lattice(net, comp, f, lm_scale=8.0, lattice_beam=150.0)
-    seq_audio = float(sum(f.shape[0] for f in feats[:2])) * 0.01
-    seq_xrt = (time.perf_counter() - t0) / seq_audio
+    seq_xrt = None
+    if os.environ.get("BENCH_SEQ_LEG") == "1":
+        t0 = time.perf_counter()
+        for f in feats[:2]:
+            generate_lattice(net, comp, f, lm_scale=8.0,
+                             lattice_beam=150.0)
+        seq_audio = float(sum(f.shape[0] for f in feats[:2])) * 0.01
+        seq_xrt = (time.perf_counter() - t0) / seq_audio
     return statistics.median(tb) / audio, seq_xrt
 
 
@@ -513,9 +520,12 @@ def bench_mmi(comp, vocab, words, lm, net=None, n_utts=8, T=500, seed=5):
     return n_utts / dt, ebw_s, n_arcs[0], n_arcs[1], dt / audio_s
 
 
-def bench_bigvocab(n_words, max_active, seed=11, reps=3, B=8, T=500):
+def bench_bigvocab(n_words, max_active, seed=11, reps=3, B=8, T=500,
+                   on_leg=None):
     """50k/100k-vocab factored cross-word LV decode (exact and top-A)
-    at BASELINE.md's quoted scales. Returns dict of xRT values."""
+    at BASELINE.md's quoted scales. Returns dict of xRT values.
+    `on_leg(partial_dict)` is called after EVERY leg so results survive
+    a section-watchdog kill mid-function."""
     import statistics
 
     from htk_tpu.algo.decode import decode_batch
@@ -534,17 +544,33 @@ def bench_bigvocab(n_words, max_active, seed=11, reps=3, B=8, T=500):
     # noise corpus the certificate usually trips, so it measures the
     # fallback machinery's overhead vs plain exact)
     def run(name, ma, nt):
-        try:
-            decode_batch(nt, comp, feats, lm_scale=12.0, max_active=ma)
-            ts = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
+        # per-leg deadline guard: returning early keeps the legs already
+        # measured instead of dying on the section watchdog mid-leg
+        if _left() < 75:
+            out[name + "_skipped"] = True
+        else:
+            try:
                 decode_batch(nt, comp, feats, lm_scale=12.0,
                              max_active=ma)
-                ts.append(time.perf_counter() - t0)
-            out[name] = statistics.median(ts) / audio
-        except Exception as e:  # pragma: no cover - backend-specific
-            out[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
+                ts = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    decode_batch(nt, comp, feats, lm_scale=12.0,
+                                 max_active=ma)
+                    ts.append(time.perf_counter() - t0)
+                out[name] = statistics.median(ts) / audio
+            except TimeoutError:
+                # the section watchdog fired mid-leg: the alarm is
+                # one-shot, so swallowing it would leave the rest of the
+                # section unguarded — surface the partials and re-raise
+                out[name + "_error"] = "TimeoutError: section watchdog"
+                if on_leg is not None:
+                    on_leg(out)
+                raise
+            except Exception as e:  # pragma: no cover - backend-specific
+                out[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
+        if on_leg is not None:
+            on_leg(out)
 
     run("topA", max_active, net)
     run("adaptive", -max_active, net)
@@ -711,6 +737,20 @@ def main():
             mmi_unique_arc_utts=int(r[3]),
             mmi_xrt=round(r[4], 5)), max_s=420)
 
+    # HDecode batch path: 64 mixed-length utterances through the
+    # bucketed batched lattice generator (the packed-wire-format path —
+    # VERDICT r4 item 6's ≤0.03 xRT target). Runs right after mmi: it
+    # reuses net5 and its number changed this round, so it must capture
+    # before the long big-vocab sections can starve it. The sequential
+    # leg (measured 10.8 xRT r4, recorded) is env-gated off.
+    section("hdecode_batch", 120, lambda: bench_hdecode_batch(
+        comp5, vocab5, words5, lm5, n_utts=(8 if SMOKE else 64), net=net5),
+        store=lambda r: extra.update(
+            {"hdecode_5k_batch64_xrt": round(r[0], 6)} | (
+                {} if r[1] is None else
+                {"hdecode_5k_seq_lattice_xrt": round(r[1], 6)})),
+        max_s=360)
+
     # big-vocab rows (BASELINE.md's quoted 20k/50k/100k numbers) with
     # the adaptive-exact and routed-exact legs — the round-4 kernels
     # that shipped unmeasured; deadline-gated per section
@@ -733,7 +773,8 @@ def main():
                         r[mode + "_error"])
 
         section(f"hdecode_{key}", est_s + 60,
-                lambda n=n_words, m=ma: bench_bigvocab(n, m),
+                lambda n=n_words, m=ma, s=_store_big: bench_bigvocab(
+                    n, m, on_leg=s),
                 store=_store_big, max_s=est_s + 240)
 
     # round-4: single-pass trigram guidance on the 5k config — the
@@ -782,16 +823,6 @@ def main():
         T=(100 if SMOKE else 500)),
         store=lambda r: extra.update(
             herest_bw_utt_per_sec_per_chip=round(r, 2)))
-
-    # HDecode batch path: 64 mixed-length utterances, bucketed batched
-    # lattice generation vs the per-utterance loop it replaced. Last +
-    # hard-capped: its sequential leg recompiles per length and it has
-    # been measured (0.107 xRT, r4) — it must never starve new rows.
-    section("hdecode_batch", 120, lambda: bench_hdecode_batch(
-        comp5, vocab5, words5, lm5, n_utts=(8 if SMOKE else 64), net=net5),
-        store=lambda r: extra.update(
-            hdecode_5k_batch64_xrt=round(r[0], 6),
-            hdecode_5k_seq_lattice_xrt=round(r[1], 6)), max_s=480)
 
     extra["note"] = ("headline = BASELINE config #4 (1k-vocab back-off "
                      "bigram, tied-state 8-mix triphones); vs_baseline = "

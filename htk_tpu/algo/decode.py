@@ -1212,19 +1212,30 @@ def _lv_lattice_pipeline(net, comp, precision, max_active, k_lat,
             pnf_k = jnp.take_along_axis(pwn_fin, ixf_k, axis=1)
             ptf_k = jnp.take_along_axis(pwt_fin, ixf_k, axis=1)
             # wire format: every per-call fetch through the dev tunnel
-            # pays ~0.25 s regardless of size (round-5 latgen cProfile:
-            # nine per-array fetches cost 2.4 s for ~4 MB), so the
-            # compaction packs ONE record-major int32 buffer (score,
-            # row, flat idx, packed pred bitcast side-by-side) the host
-            # fetches with a single (and ragged-prefix-sliceable) call,
-            # plus one small finals+counts buffer
+            # pays a flat ~0.25-0.5 s regardless of size (round-5 latgen
+            # cProfile: nine per-array fetches cost 2.4 s for ~4 MB), so
+            # the compaction packs EVERYTHING into ONE record-major
+            # int32 buffer the host fetches with a single call: the
+            # finals+counts block first (padded to record width 4),
+            # then the in-beam records (score, row, flat idx, packed
+            # pred — floats bitcast side-by-side). At the default
+            # k_rec the record block is ~4 MB for B=16 — cheaper to
+            # ship whole than to pay a second flat-cost fetch for a
+            # count-bounded prefix.
             bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
             wire_rec = jnp.stack(
                 [bc(rec_sc), rec_ix, rec_idx, bc(rec_pred)], axis=2)
             wire_fin = jnp.concatenate(
                 [bc(scf_k), ixf_k, pnf_k, ptf_k, counts[:, None]],
                 axis=1)
-            return (wire_rec, wire_fin), (WEs, pwns, pwts)
+            # 4K+1 finals ints pad to K+1 rows of 4 — the host recovers
+            # the split from K (= min(k_lat, C), C free via plane shape)
+            f_rows = K + 1
+            fin_pad = jnp.pad(wire_fin, ((0, 0), (0, f_rows * 4
+                                                  - wire_fin.shape[1]))
+                              ).reshape(wire_fin.shape[0], f_rows, 4)
+            wire = jnp.concatenate([fin_pad, wire_rec], axis=1)
+            return wire, (WEs, pwns, pwts)
 
         fn = jax.jit(pipe)
         d["jits"][key] = fn
@@ -1532,7 +1543,12 @@ def _host_lm_lookup(net):
     (pn, i) and returns the f64 score array (dense matrix or factored
     back-off tables)."""
     if net.xw_backoff is None:
-        trans_np = np.asarray(net.trans, np.float64)
+        # cache the f64 view: the (R, R) conversion is ~50 ms at 5k
+        # vocab and this is called once per utterance in the batched
+        # lattice walk
+        trans_np = getattr(net, "_trans_np64", None)
+        if trans_np is None:
+            trans_np = net._trans_np64 = np.asarray(net.trans, np.float64)
         return lambda pn, i: trans_np[pn, i]
     x = net.xw_backoff
     cached = getattr(net, "_xw_pairs_arr", None)
@@ -2076,29 +2092,28 @@ def generate_lattice_batch(
     mp = (None if model_params is None else
           tuple(jnp.asarray(model_params[k], jnp.float32)
                 for k in ("means", "variances", "gconsts")))
-    (wire_rec, wire_fin), planes = fn(
+    wire, planes = fn(
         jnp.asarray(fb), _dev_lens(lens), _dev_scalar(lm_scale),
         _dev_scalar(word_pen),
         _dev_scalar(_BEAM_OFF if beam is None else beam),
         _dev_scalar(lattice_beam), mp)
-    # TWO fetches total (each tunnel call costs ~0.25 s flat — round-5
-    # latgen cProfile): the small finals+counts buffer first, then only
-    # the occupied prefix of the record buffer (in-beam records sort
-    # first; prefix rounded to 1024 slots so the eager device slice
-    # compiles at most M/1024 distinct programs). The (B, T, K)
-    # per-frame planes this replaces were 34 MB at (16, 512, 256) and
-    # the dev tunnel moves ~15-20 MB/s.
-    wf = np.asarray(wire_fin)
-    K_f = (wf.shape[1] - 1) // 4
-    scf_k = wf[:, :K_f].copy().view(np.float32)
-    ixf_k = wf[:, K_f:2 * K_f]
-    pnf_k = wf[:, 2 * K_f:3 * K_f]
-    ptf_k = wf[:, 3 * K_f:4 * K_f]
-    counts = wf[:, 4 * K_f]
-    M = int(wire_rec.shape[1])
-    m_need = int(min(M, max(1, counts.max())))
-    m_slice = min(M, -(-m_need // 1024) * 1024)
-    wr = np.asarray(wire_rec[:, :m_slice] if m_slice < M else wire_rec)
+    # ONE fetch total (each tunnel call costs a flat ~0.25-0.5 s —
+    # round-5 latgen cProfile): finals+counts rows first (K+1 rows of
+    # 4), then the full in-beam record block (~4 MB at default k_rec,
+    # B=16 — cheaper shipped whole than a second flat-cost fetch for a
+    # count-bounded prefix). The (B, T, K) per-frame planes this
+    # replaces were 34 MB at (16, 512, 256) and the dev tunnel moves
+    # ~15-20 MB/s.
+    w = np.asarray(wire)
+    f_rows = K + 1
+    wf = w[:, :f_rows].reshape(B, f_rows * 4)
+    scf_k = wf[:, :K].copy().view(np.float32)
+    ixf_k = wf[:, K:2 * K]
+    pnf_k = wf[:, 2 * K:3 * K]
+    ptf_k = wf[:, 3 * K:4 * K]
+    counts = wf[:, 4 * K]
+    wr = w[:, f_rows:]
+    M = int(wr.shape[1])
     rec_sc = wr[:, :, 0].copy().view(np.float32)
     rec_ix = wr[:, :, 1]
     rec_idx = wr[:, :, 2]

@@ -805,8 +805,10 @@ def main():
         hdecode_5k_triguide_xrt=round(r[0], 6),
         hdecode_5k_plain_factored_xrt=round(r[1], 6)))
 
-    # config #1: batched MFCC frontend
-    section("hcopy", 45, lambda: bench_frontend(
+    # config #1: batched MFCC frontend (min_s values on these three
+    # continuity rows reflect warm-cache costs — 4-8 s each measured —
+    # so a tight tail still attempts them; the watchdog bounds overrun)
+    section("hcopy", 30, lambda: bench_frontend(
         n_utts=(8 if SMOKE else 64), secs=(1.0 if SMOKE else 5.0)),
         store=lambda r: extra.update(
             hcopy_mfcc_xrt=round(r[0], 6),
@@ -814,11 +816,11 @@ def main():
 
     # round-1 continuity numbers (config #2: BW throughput)
     comp0, names0 = build_model()
-    section("hvite_100w", 90, lambda: bench_decode(
+    section("hvite_100w", 45, lambda: bench_decode(
         comp0, build_net(comp0, names0), T=(100 if SMOKE else 500),
         batch=(2 if SMOKE else 8)),
         store=lambda r: extra.update(hvite_100w_loop_xrt=round(r, 6)))
-    section("herest", 90, lambda: bench_herest(
+    section("herest", 45, lambda: bench_herest(
         comp0, names0, n_utts=(4 if SMOKE else 16),
         T=(100 if SMOKE else 500)),
         store=lambda r: extra.update(

@@ -480,6 +480,10 @@ def run(argv: List[str]) -> int:
     arc_batch = int(cfg.int_("ARCBATCH", 256, module="HMMIREST") or 256)
     arcfb = ArcFB(trainer, comp, batch=arc_batch)
     pend: List[dict] = []
+    # per-side lattice total logP under the CURRENT model — the MMI
+    # criterion num-den delta across iterations is the training
+    # regression signal (HFBLat.c prints the same totals)
+    lat_lp = {"num_lat": 0.0, "den_lat": 0.0}
 
     def flush():
         nonlocal num_total, den_total, total_acc_exp
@@ -534,6 +538,7 @@ def run(argv: List[str]) -> int:
                 continue
             logp, post = arc_posteriors(lat, lmscale=lm_scale * kappa,
                                         wdpenalty=0.0, acscale=kappa)
+            lat_lp[role] += float(logp)
             gam = {aid: (float(np.exp(min(g, 0.0))) if g > -30 else 0.0)
                    for aid, g in post.items()}
             t_utts, t_w = ((num_utts, num_w) if role == "num_lat"
@@ -602,6 +607,16 @@ def run(argv: List[str]) -> int:
     if ta.trace:
         print(f"HMMIRest: num occ {num_occ:.1f}, den occ {den_occ:.1f}, "
               f"num logP {num_lp:.2f}")
+        if mode == "MMI":
+            # the MMI objective under the INPUT model (lattices fixed):
+            # numerator path logP (kappa-scaled to match the
+            # denominator's exponent) minus the denominator lattice
+            # total — this must RISE across HMMIRest iterations
+            # (tests/test_e2e_latt.py pins it)
+            num_side = (lat_lp["num_lat"] if ta.has("q")
+                        else kappa * num_lp)
+            print(f"HMMIRest: MMI criterion {num_side - lat_lp['den_lat']:.2f}"
+                  f" (num {num_side:.2f}, den {lat_lp['den_lat']:.2f})")
 
     var_floor = hset.macros["v"].get("varFloor1")
     m, v, w = ebw_update(comp, num_total, den_total, ecfg, var_floor)

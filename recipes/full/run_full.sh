@@ -230,32 +230,7 @@ score HDecode rec_hd.mlf
 
 echo "== results"
 cat results.md
-python - "$HERE" <<'EOF'
-import re, sys, os
-TOL = 3.0  # ~3 word errors on the 113-word test set; the round-5
-           # triphone-mapping bug moved MMI by 14+ points and adapted
-           # by 6 — both far outside this band
-def parse(path):
-    rows = {}
-    for ln in open(path):
-        m = re.match(r"\|\s*(\S+)\s*\|\s*([0-9.]+)\s*\|\s*(-?[0-9.]+)", ln)
-        if m:
-            rows[m.group(1)] = (float(m.group(2)), float(m.group(3)))
-    return rows
-got = parse("results.md")
-exp_path = os.path.join(sys.argv[1], "results_expected.md")
-if not os.path.exists(exp_path):
-    print("NOTE: no results_expected.md committed yet — copy results.md")
-    sys.exit(0)
-exp = parse(exp_path)
-bad = []
-for k, (c, a) in exp.items():
-    if k not in got:
-        bad.append(f"missing stage {k}")
-    elif got[k][0] < c - TOL or got[k][1] < a - TOL:
-        bad.append(f"{k}: got {got[k]}, expected >= ({c-TOL:.1f}, {a-TOL:.1f})")
-if bad:
-    print("FULL RECIPE REGRESSION:", *bad, sep="\n  ")
-    sys.exit(1)
-print("== FULL RECIPE PASSED (all stages within tolerance)")
-EOF
+# detection logic lives in check_results.py so the regression check is
+# itself unit-tested (a deliberately broken MMI row must FAIL — see
+# tests/test_recipe_check.py)
+python "$HERE/check_results.py" results.md "$HERE/results_expected.md"

@@ -117,6 +117,38 @@ def test_mpe_and_numlat_modes(trained, capsys):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_mmi_criterion_rises(trained, capsys):
+    """The lattice-MMI objective (kappa-scaled numerator logP minus
+    denominator lattice logP, lattices FIXED) must increase across
+    HMMIRest iterations — the domain-independent proof the EBW update
+    moves the model the right way (HFBLat.c role; the full recipe's
+    WER stages can move either way on mismatched test speakers)."""
+    import re
+
+    os.makedirs("lats", exist_ok=True)
+    assert hvite.run(
+        ["-w", "wdnet.slf", "-p", "-8", "-z", "lat", "-l", "lats",
+         "-i", "rec.mlf", "-H", "hmm2/hmmdefs", "-S", "train.scp",
+         "dict", "monophones"]) == 0
+    capsys.readouterr()
+
+    tail = ["-I", "phones.mlf", "-r", "lats", "-d", "dict",
+            "-S", "train.scp", "monophones"]
+    crits = []
+    src = "hmm2/hmmdefs"
+    for it in ("ita", "itb", "itc"):
+        os.makedirs(it, exist_ok=True)
+        assert hmmirest.run(["-T", "1", "-H", src, "-M", it] + tail) == 0
+        m = re.search(r"MMI criterion (-?[0-9.]+)",
+                      capsys.readouterr().out)
+        assert m, "criterion line missing under -T 1"
+        crits.append(float(m.group(1)))
+        src = f"{it}/hmmdefs"
+    # each iteration's printed criterion scores the INPUT model, so
+    # crits[i+1] > crits[i] says iteration i's update helped
+    assert crits[1] > crits[0] and crits[2] > crits[1], crits
+
+
 def test_z_retry_ladder_writes_lattice(trained, monkeypatch, capsys):
     """ADVICE r4: a pruned-out utterance recovered by the retry ladder
     must get its .lat file too — downstream HMMIRest -r fails on a
